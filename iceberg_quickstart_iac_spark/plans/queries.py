@@ -1,0 +1,593 @@
+"""The analytics query catalog — every operator from SURVEY.md §2 as a
+(PySpark DataFrame implementation, ANSI-SQL DuckDB oracle) pair.
+
+Design notes (scale-first):
+
+- Everything is declarative DataFrame API / SQL: Catalyst gets predicate
+  pushdown into the parquet scans, column pruning, join-strategy selection,
+  and AQE re-planning for free. No RDDs, no driver-side loops.
+- Small dimensions (region/nation/customer at TPC-H ratios) are broadcast
+  explicitly where the stats may not make it obvious; fact-fact joins stay
+  shuffle joins keyed on the join column so they scale horizontally.
+- **Cross-engine float determinism**: double SUMs are order-sensitive, and
+  Spark's partial aggregation order differs from DuckDB's. Every money/value
+  aggregate therefore casts the (deterministic, per-row) double expression to
+  DECIMAL(18,6), sums exactly, and casts the exact result back to DOUBLE.
+  Both engines then produce bit-identical values with no tolerance games.
+  This mirrors what a production TPC-H schema does anyway (money is decimal).
+- Timestamps are emitted as epoch microseconds (``unix_micros`` /
+  ``epoch_us``) and dates as ISO 'yyyy-MM-dd' strings — raw timestamp/date
+  objects cross the Arrow boundary with engine-specific types.
+- Every computed column is aliased identically in the Spark plan and the
+  oracle SQL (driver hashes after sorting columns by name).
+
+Reference parity anchors are cited per query (file:line into
+/root/reference).
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.datasets import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+#: exact intermediate type for order-insensitive money/value sums
+DEC = "decimal(18,6)"
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def dsum(col: F.Column | str, alias: str) -> F.Column:
+    """Order-insensitive SUM of a double expression: exact decimal internally,
+    double externally (identical bits in Spark and DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's own example analytics query —
+# filter + group + count + sort over the event stream
+# (docs/bring-your-own-data.md:83-90; SURVEY §2 P3+A5+O3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_event_type_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    """,
+)
+def flagship_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy(F.desc("n_events"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rich aggregation (TPC-H Q1 shape): scan-heavy groupBy with many aggregates.
+# Partial (map-side) aggregation + AQE handle this at any scale; the group
+# cardinality is tiny so the final shuffle is negligible. (SURVEY §2.4 A5.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-way join + group + top-k (TPC-H Q3 shape). customer is broadcast (small
+# dim at every SF ratio); orders⋈lineitem shuffles on the order key.
+# Deterministic top-k tie-break on o_orderkey. (SURVEY §2.3 J1, §2.6 O2/O3.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'MACHINERY'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-way star join (TPC-H Q5 shape): all dimensions broadcast, single shuffle
+# over the fact tables. (SURVEY §2.3 J1.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS, TPC-H Q4 shape) — the CDC "changed-row detection" shape
+# from SURVEY §2.3 J2 (assets/dimensions.py:22-27).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join (NOT EXISTS) — the CDC "new-key detection" shape (SURVEY §2.3 J2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_big_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Enrichment equi-join (SURVEY §2.3 J1, docs/bring-your-own-data.md:203):
+# fact ⋈ broadcast(dimension) → rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "enrich_orders_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def enrich_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_total"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-check aggregate (SURVEY §2.4 A1-A4): the Soda check set
+# (quality/soda_checks/event_stream_checks.yaml:1-13) computed as ONE
+# single-pass native aggregation — no subprocess, no second engine.
+# Freshness uses a fixed as-of instant for determinism; epoch-µs integers
+# avoid engine timestamp formatting entirely.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_checks_events",
+    oracle="""
+    SELECT COUNT(*) AS row_count,
+           COUNT(*) - COUNT(props) AS missing_props,
+           COUNT(event_id) - COUNT(DISTINCT event_id) AS duplicate_event_ids,
+           epoch_us(MAX(ts)) AS max_ts_us,
+           (epoch_us(TIMESTAMP '2024-02-01') - epoch_us(MAX(ts))) // 3600000000 AS freshness_hours
+    FROM events
+    """,
+)
+def quality_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    as_of = F.unix_micros(F.lit("2024-02-01").cast("timestamp"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        (F.count(F.lit(1)) - F.count("props")).alias("missing_props"),
+        (F.count("event_id") - F.countDistinct("event_id")).alias("duplicate_event_ids"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        ((as_of - F.unix_micros(F.max("ts"))) / F.lit(3600000000)).cast("long").alias("freshness_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / current-version selection (SURVEY §2.5 W1-W2): row_number over a
+# key ordered by recency — the SCD2 "is_current" and feature-store
+# "latest per entity" shape (scd_type2.yaml:54-58, feature_table.yaml:43-47).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (SURVEY §2.6 O2): ORDER BY ... LIMIT — Catalyst plans
+# TakeOrderedAndProject (per-partition heap + driver merge; no full sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7): INTERSECT / EXCEPT over key cohorts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setops_customer_cohorts",
+    oracle="""
+    (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_custkey
+    """,
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    final = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return big.intersect(final).subtract(urgent).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# JSON payload functions (SURVEY §2.8 F5): the reference carries structured
+# payloads as JSON strings (event_stream.yaml:36-38) — extract, cast, rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_props_rollup",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-part scalar functions (SURVEY §2.8 F2): year/month extraction, the
+# scalar analogs of Iceberg's partition transforms.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_order_stats",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_year, o_month
+    ORDER BY o_year, o_month
+    """,
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_total"))
+        .orderBy("o_year", "o_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-safe projection (SURVEY §2.2 P1, §2.11 G1): the reader access level
+# excludes restricted columns (user_id here, mirroring
+# resources/iceberg.py:132-153) — the drop happens BEFORE the scan action,
+# so Catalyst never reads the restricted columns from parquet at all.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pii_safe_events",
+    oracle="""
+    SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_id % 97 = 0
+    ORDER BY event_id
+    """,
+)
+def pii_safe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").drop("user_id", "props")
+    return (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact keyed dedup (SURVEY §2.13 X1): canonical-representative selection —
+# min id per group + group size. At 100 TB this is a single hash shuffle on
+# the dedup key (map-side partial aggregation shrinks it first).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_docs_by_key",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def dedup_docs_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics (SURVEY §2.13 X4): whitespace tokenization + char counts,
+# entirely JVM-side (split/size — no Python in the hot path).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", r"\s+"))).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
