@@ -1,0 +1,243 @@
+"""Data-quality checks as native Spark aggregations (SURVEY §2.4 A1-A4).
+
+Parity target: the reference's SodaCL check files
+(``dagster/lakehouse/quality/soda_checks/*.yaml``) executed via a Soda
+subprocess over DuckDB (``quality/runner.py:37-50``). Here the same four
+check primitives — ``row_count``, ``missing_count``, ``duplicate_count``,
+``freshness`` — compile into ONE single-pass DataFrame aggregation: no
+subprocess, no second engine, one job per table regardless of how many
+checks it declares. At 100 TB that is one scan with map-side partial
+aggregation; ``duplicate_count`` is the only check that shuffles (exact
+COUNT DISTINCT), and an ``approx`` flag trades it for a sketch.
+
+Improvement over the reference (SURVEY §5 notes the latent bug): check
+columns are validated against the table schema up front — the reference
+ships a compliance check on ``event_stream.email``, a column that does not
+exist in that table, and nothing catches it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGE_RE = re.compile(r"^(\d+)([dhms])$")
+_AGE_SECONDS = {"d": 86400, "h": 3600, "m": 60, "s": 1}
+
+_OPS = {
+    ">": lambda v, t: v > t,
+    ">=": lambda v, t: v >= t,
+    "=": lambda v, t: v == t,
+    "==": lambda v, t: v == t,
+    "<=": lambda v, t: v <= t,
+    "<": lambda v, t: v < t,
+}
+
+KINDS = ("row_count", "missing_count", "duplicate_count", "freshness")
+
+
+def parse_age(age: str) -> int:
+    """'1d' / '12h' / '30m' / '45s' → seconds."""
+    m = _AGE_RE.match(age)
+    if not m:
+        raise ValueError(f"Unparseable age {age!r} (expected e.g. '1d', '12h')")
+    return int(m.group(1)) * _AGE_SECONDS[m.group(2)]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative check, SodaCL-equivalent.
+
+    ``row_count > 0``                 → Check("row_count", op=">", threshold=0)
+    ``missing_count(event_id) = 0``   → Check("missing_count", "event_id")
+    ``duplicate_count(event_id) = 0`` → Check("duplicate_count", "event_id")
+    ``freshness(ts) < 1d``            → Check("freshness", "ts", max_age="1d")
+    """
+
+    kind: str
+    column: str | None = None
+    op: str = "="
+    threshold: int = 0
+    max_age: str | None = None
+    name: str | None = None
+
+    def label(self) -> str:
+        if self.name:
+            return self.name
+        target = f"({self.column})" if self.column else ""
+        if self.kind == "freshness":
+            return f"freshness{target} < {self.max_age}"
+        return f"{self.kind}{target} {self.op} {self.threshold}"
+
+
+@dataclass
+class CheckResult:
+    check: Check
+    value: float
+    passed: bool
+    detail: str = ""
+
+    @property
+    def label(self) -> str:
+        return self.check.label()
+
+
+@dataclass
+class QualityReport:
+    table: str
+    results: list[CheckResult] = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        return all(r.passed for r in self.results)
+
+    def failures(self) -> list[CheckResult]:
+        return [r for r in self.results if not r.passed]
+
+
+def validate_checks(checks: list[Check], columns: list[str]) -> list[str]:
+    """Return one error string per check that names a non-existent column or
+    an unknown kind. (The reference has no such validation — SURVEY §5.)"""
+    errors = []
+    colset = set(columns)
+    for check in checks:
+        if check.kind not in KINDS:
+            errors.append(f"{check.label()}: unknown check kind {check.kind!r}")
+        elif check.kind != "row_count" and check.column not in colset:
+            errors.append(
+                f"{check.label()}: column {check.column!r} does not exist "
+                f"(available: {sorted(colset)})"
+            )
+        if check.kind == "freshness" and not check.max_age:
+            errors.append(f"{check.label()}: freshness requires max_age")
+    return errors
+
+
+def _metric_expr(check: Check, idx: int, as_of: Column, approx: bool) -> Column:
+    key = f"m{idx}"
+    if check.kind == "row_count":
+        return F.count(F.lit(1)).alias(key)
+    if check.kind == "missing_count":
+        return (F.count(F.lit(1)) - F.count(check.column)).alias(key)
+    if check.kind == "duplicate_count":
+        distinct = (
+            F.approx_count_distinct(check.column) if approx else F.countDistinct(check.column)
+        )
+        return (F.count(check.column) - distinct).alias(key)
+    if check.kind == "freshness":
+        # age in seconds at evaluation time
+        return (as_of.cast("long") - F.max(check.column).cast("long")).alias(key)
+    raise ValueError(f"Unknown check kind: {check.kind!r}")
+
+
+def run_checks(
+    df: DataFrame,
+    checks: list[Check],
+    table: str = "",
+    as_of: Column | None = None,
+    approx: bool = False,
+    strict: bool = True,
+) -> QualityReport:
+    """Evaluate every check in ONE aggregation pass over ``df``.
+
+    ``as_of`` pins the freshness reference instant (default: now) — tests
+    and backfills pass a literal for determinism. ``approx=True`` swaps the
+    exact COUNT DISTINCT in duplicate_count for HLL (no exact-distinct
+    shuffle — the 100 TB mode). ``strict`` raises on invalid check specs.
+    """
+    errors = validate_checks(checks, df.columns)
+    if errors and strict:
+        raise ValueError("Invalid checks: " + "; ".join(errors))
+
+    as_of = as_of if as_of is not None else F.current_timestamp()
+    valid = [c for c in checks if not validate_checks([c], df.columns)]
+    exprs = [_metric_expr(c, i, as_of, approx) for i, c in enumerate(valid)]
+    if not exprs:
+        return QualityReport(table=table)
+
+    row = df.agg(*exprs).collect()[0]
+
+    report = QualityReport(table=table)
+    for i, check in enumerate(valid):
+        value = row[f"m{i}"]
+        value = 0 if value is None else value
+        if check.kind == "freshness":
+            limit = parse_age(check.max_age)
+            passed = value < limit
+            detail = f"age {value}s vs limit {limit}s"
+        else:
+            passed = _OPS[check.op](value, check.threshold)
+            detail = f"value {value} {check.op} {check.threshold}"
+        report.results.append(CheckResult(check=check, value=value, passed=passed, detail=detail))
+    return report
+
+
+# ---------------------------------------------------------------------------
+# Default check sets — direct re-expression of the reference's SodaCL files
+# (quality/soda_checks/{event_stream,scd,feature,compliance}_checks.yaml).
+# The compliance set FIXES the reference's email-on-event_stream bug by
+# declaring email checks on scd_type2, where the column actually exists.
+# ---------------------------------------------------------------------------
+
+EVENT_STREAM_CHECKS = [
+    Check("row_count", op=">", threshold=0, name="Event stream has data"),
+    Check("missing_count", "event_id", name="event_id is never null"),
+    Check("missing_count", "event_type", name="event_type is never null"),
+    Check("missing_count", "event_timestamp", name="event_timestamp is never null"),
+    Check("duplicate_count", "event_id", name="event_id is unique"),
+    Check("freshness", "event_timestamp", max_age="1d", name="Data is fresh (< 1 day)"),
+]
+
+SCD_TYPE2_CHECKS = [
+    Check("row_count", op=">", threshold=0, name="SCD table has data"),
+    Check("missing_count", "surrogate_key", name="surrogate_key is never null"),
+    Check("missing_count", "natural_key", name="natural_key is never null"),
+    Check("missing_count", "effective_from", name="effective_from is never null"),
+    Check("missing_count", "is_current", name="is_current is never null"),
+    Check("duplicate_count", "surrogate_key", name="surrogate_key is unique"),
+]
+
+FEATURE_TABLE_CHECKS = [
+    Check("row_count", op=">", threshold=0, name="Feature table has data"),
+    Check("missing_count", "entity_id", name="entity_id is never null"),
+    Check("missing_count", "feature_timestamp", name="feature_timestamp is never null"),
+    Check("missing_count", "feature_set", name="feature_set is never null"),
+    Check("freshness", "computed_at", max_age="2d", name="Features are fresh (< 2 days)"),
+]
+
+COMPLIANCE_CHECKS = {
+    "event_stream": [
+        Check("missing_count", "user_id", name="Compliance: user_id is never null (PII tracking)"),
+        Check(
+            "freshness",
+            "event_timestamp",
+            max_age="7d",
+            name="Compliance: event data not stale (< 7 days)",
+        ),
+    ],
+    "scd_type2": [
+        # the reference declared this on event_stream, which has no email
+        # column (compliance_checks.yaml:7-9) — validated + relocated here
+        Check("missing_count", "email", name="Compliance: email is never null (PII tracking)"),
+        Check(
+            "missing_count",
+            "effective_from",
+            name="Compliance: SCD effective_from is never null (audit trail)",
+        ),
+        Check(
+            "freshness",
+            "effective_from",
+            max_age="30d",
+            name="Compliance: dimension data not stale (< 30 days)",
+        ),
+    ],
+}
+
+DEFAULT_CHECKS = {
+    "event_stream": EVENT_STREAM_CHECKS,
+    "scd_type2": SCD_TYPE2_CHECKS,
+    "feature_table": FEATURE_TABLE_CHECKS,
+}

@@ -1,0 +1,89 @@
+"""Governance tests: audit record shape (reference tests/test_audit.py),
+access-level reads, reader views, schema drift (sensors/schema_drift.py)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from iceberg_quickstart_iac_spark.governance import (
+    AccessLevel,
+    diff_schema,
+    log_audit_event,
+    read_with_access_level,
+    reader_view_sql,
+)
+from iceberg_quickstart_iac_spark.templates import get_template, spark_schema
+
+
+def test_audit_record_shape(caplog):
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="lakehouse.audit"):
+        record = log_audit_event(
+            "table_write", "lakehouse.event_stream", details={"row_count": 10}
+        )
+    assert set(record) == {"timestamp", "event", "table", "details"}
+    assert record["timestamp"].endswith("+00:00")  # UTC ISO
+    assert record["details"] == {"row_count": 10}
+    logged = json.loads(caplog.records[-1].message)  # JSON-valid log line
+    assert logged["event"] == "table_write"
+
+
+def test_reader_drops_restricted_columns(spark):
+    template = get_template("event_stream")
+    df = spark.createDataFrame([], spark_schema(template))
+    out = read_with_access_level(df, template, AccessLevel.READER)
+    assert "user_id" not in out.columns and "ip_address" not in out.columns
+    assert "event_id" in out.columns
+
+
+def test_admin_and_writer_see_everything(spark):
+    template = get_template("event_stream")
+    df = spark.createDataFrame([], spark_schema(template))
+    for level in ("admin", "writer"):
+        assert read_with_access_level(df, template, level).columns == df.columns
+
+
+def test_reader_view_sql():
+    sql = reader_view_sql(get_template("event_stream"), "lakehouse.lakehouse.event_stream")
+    assert sql.startswith("CREATE OR REPLACE VIEW lakehouse.lakehouse.event_stream_reader AS ")
+    assert "user_id" not in sql and "ip_address" not in sql
+    assert "event_id, event_type, event_timestamp" in sql
+
+
+def test_drift_none():
+    template = get_template("event_stream")
+    report = diff_schema(spark_schema(template), template, audit=False)
+    assert not report.has_drift
+
+
+def test_drift_missing_extra_and_type():
+    template = get_template("event_stream")
+    live = spark_schema(template)
+    fields = [f for f in live.fields if f.name != "payload"]  # drop one
+    fields.append(T.StructField("surprise", T.IntegerType()))  # add one
+    fields = [
+        T.StructField(f.name, T.IntegerType()) if f.name == "event_id" else f for f in fields
+    ]  # retype one
+    report = diff_schema(T.StructType(fields), template, audit=False)
+    assert report.missing_columns == ["payload"]
+    assert report.extra_columns == ["surprise"]
+    assert report.type_mismatches == {"event_id": {"expected": "string", "actual": "int"}}
+    assert "Missing columns: ['payload']" in report.message()
+
+
+def test_drift_ignores_deliberate_demotions():
+    """time/uuid demote to string in our engine by design; a live string
+    column must not read as drift."""
+    template = {
+        "name": "t",
+        "namespace": "ns",
+        "columns": [{"name": "u", "type": "uuid"}, {"name": "tod", "type": "time"}],
+        "partition_spec": [],
+    }
+    live = T.StructType(
+        [T.StructField("u", T.StringType()), T.StructField("tod", T.StringType())]
+    )
+    assert not diff_schema(live, template, audit=False).has_drift
