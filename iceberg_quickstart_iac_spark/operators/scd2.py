@@ -1,0 +1,143 @@
+"""SCD Type 2 merge (SURVEY §2.3 J3, §2.5 W1).
+
+Parity target: the reference's documented dimension-update algorithm
+(``dagster/lakehouse/assets/dimensions.py:22-27``):
+
+1. read current dimension rows,
+2. compare the incoming batch against open (``is_current``) versions,
+3. close changed versions (``effective_to`` = batch ts, ``is_current`` =
+   false),
+4. insert new versions with ``is_current`` = true.
+
+The reference leaves this as a stub; on an Iceberg-enabled cluster it is a
+single ``MERGE INTO`` (rendered by :func:`scd2_merge_sql`). The
+engine-native implementation here composes exactly the joins Catalyst would
+plan for that MERGE — a broadcast-or-shuffle equi-join on the natural key
+plus set union — and works on any DataFrame pair:
+
+- change detection is a null-safe hash compare (``xxhash64``) over the
+  tracked attribute columns;
+- surrogate keys are deterministic: ``xxhash64(natural_key, effective_from)``
+  — reproducible across retries (idempotent re-merge), no driver-side
+  sequence bottleneck at 100 TB;
+- closed + opened + untouched rows are unioned and returned; writing the
+  result with overwrite (or MERGE on a real warehouse) is the caller's
+  snapshot commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _attr_digest(cols: list[str]) -> Column:
+    # null-safe change fingerprint over tracked attributes
+    return F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols])
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    natural_key: str,
+    tracked_cols: list[str],
+    effective_ts_col: str = "effective_from",
+    surrogate_key_col: str = "surrogate_key",
+) -> DataFrame:
+    """Apply one batch of updates to an SCD2 dimension; returns the new dim.
+
+    ``dim`` follows the scd_type2 template contract: ``natural_key``,
+    ``tracked_cols``, ``effective_from``, ``effective_to``, ``is_current``,
+    ``surrogate_key``. ``updates`` carries ``natural_key``, ``tracked_cols``
+    and ``effective_ts_col`` (the batch effective instant per row).
+    """
+    upd = updates.withColumn("__digest", _attr_digest(tracked_cols))
+    open_rows = dim.filter(F.col("is_current")).withColumn("__digest", _attr_digest(tracked_cols))
+    closed_rows = dim.filter(~F.col("is_current"))
+
+    upd_k = upd.select(
+        F.col(natural_key).alias("__k"),
+        F.col("__digest").alias("__new_digest"),
+        F.col(effective_ts_col).alias("__new_from"),
+        *[F.col(c).alias(f"__new_{c}") for c in tracked_cols],
+    )
+
+    # classify open versions: unchanged / superseded
+    joined = open_rows.join(upd_k, open_rows[natural_key] == upd_k["__k"], "left")
+
+    untouched = joined.filter(
+        F.col("__k").isNull() | (F.col("__digest") == F.col("__new_digest"))
+    ).select(dim.columns)
+
+    superseded = (
+        joined.filter(F.col("__k").isNotNull() & (F.col("__digest") != F.col("__new_digest")))
+        .withColumn("effective_to", F.col("__new_from"))
+        .withColumn("is_current", F.lit(False))
+        .select(dim.columns)
+    )
+
+    # rows to insert: changed attributes, or natural keys never seen
+    changed_keys = (
+        joined.filter(F.col("__k").isNotNull() & (F.col("__digest") != F.col("__new_digest")))
+        .select(F.col("__k").alias(natural_key))
+    )
+    brand_new = upd.join(open_rows.select(natural_key), natural_key, "left_anti")
+    to_insert = upd.join(changed_keys, natural_key, "left_semi").unionByName(brand_new)
+
+    inserts = (
+        to_insert.withColumn(
+            surrogate_key_col,
+            F.xxhash64(F.col(natural_key), F.col(effective_ts_col).cast("string")),
+        )
+        .withColumn("effective_from", F.col(effective_ts_col))
+        .withColumn("effective_to", F.lit(None).cast(dim.schema["effective_to"].dataType))
+        .withColumn("is_current", F.lit(True))
+    )
+    missing = [c for c in dim.columns if c not in inserts.columns]
+    for c in missing:
+        inserts = inserts.withColumn(c, F.lit(None).cast(dim.schema[c].dataType))
+    inserts = inserts.select(dim.columns)
+
+    return closed_rows.unionByName(untouched).unionByName(superseded).unionByName(inserts)
+
+
+def scd2_current(dim: DataFrame) -> DataFrame:
+    """Current-version selection (W1): the open row per natural key."""
+    return dim.filter(F.col("is_current"))
+
+
+def scd2_merge_sql(
+    table_fq: str,
+    updates_view: str,
+    natural_key: str,
+    tracked_cols: list[str],
+    effective_ts_col: str = "effective_from",
+) -> list[str]:
+    """Render the equivalent Iceberg ``MERGE INTO`` + insert statements for a
+    real warehouse (requires the iceberg runtime; see tables/catalog_conf.py).
+
+    Two statements because closing old versions and inserting new ones touch
+    different target rows: MERGE closes, INSERT appends the new versions.
+    """
+    change_cond = " OR ".join(
+        f"NOT (t.{c} <=> s.{c})" for c in tracked_cols
+    )
+    merge = (
+        f"MERGE INTO {table_fq} t\n"
+        f"USING {updates_view} s\n"
+        f"ON t.{natural_key} = s.{natural_key} AND t.is_current\n"
+        f"WHEN MATCHED AND ({change_cond}) THEN UPDATE SET "
+        f"t.effective_to = s.{effective_ts_col}, t.is_current = false"
+    )
+    cols = [natural_key, *tracked_cols]
+    select_cols = ", ".join(f"s.{c}" for c in cols)
+    insert = (
+        f"INSERT INTO {table_fq} ({', '.join(cols)}, surrogate_key, effective_from, "
+        f"effective_to, is_current)\n"
+        f"SELECT {select_cols}, xxhash64(s.{natural_key}, CAST(s.{effective_ts_col} AS STRING)), "
+        f"s.{effective_ts_col}, NULL, true\n"
+        f"FROM {updates_view} s LEFT JOIN {table_fq} t\n"
+        f"  ON t.{natural_key} = s.{natural_key} AND t.is_current AND t.effective_from = s.{effective_ts_col}\n"
+        f"WHERE t.{natural_key} IS NULL"
+    )
+    return [merge, insert]

@@ -591,3 +591,89 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time / as-of join (SURVEY §2.3 J4): for each purchase event, the
+# most recent prior click by the same user. Implemented with the engine's
+# union+window as-of operator (one shuffle, no range explosion); the oracle
+# is DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.event_id AS click_event_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY p.user_id, purchase_ts_us
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        value_cols=["click_event_id"],
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "click_event_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    ).orderBy("user_id", "purchase_ts_us")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 version-chain construction (SURVEY §2.3 J3 / §2.5 W1): rebuild a
+# type-2 dimension from an ordered change history — effective_from/to via
+# LEAD, is_current on the open row. The merge operator itself
+# (operators/scd2.py) is exercised in tests; this query pins the windowed
+# chain semantics against SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_chain_from_orders",
+    oracle="""
+    SELECT o_custkey AS natural_key,
+           o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+           strftime(
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             '%Y-%m-%d'
+           ) AS effective_to,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL AS is_current
+    FROM orders
+    ORDER BY natural_key, effective_from, status
+    """,
+)
+def scd2_chain_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lead_date = F.lead("o_orderdate").over(w)
+    return (
+        orders.select(
+            F.col("o_custkey").alias("natural_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+            F.date_format(lead_date, "yyyy-MM-dd").alias("effective_to"),
+            lead_date.isNull().alias("is_current"),
+        )
+        .orderBy("natural_key", "effective_from", "status")
+    )

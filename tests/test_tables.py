@@ -1,0 +1,184 @@
+"""Snapshot-log table + catalog-conf tests (SURVEY §2.10 M1-M3, §2.1 S6-S10).
+
+Catalog-conf coverage mirrors the reference's backend matrix
+(tests/test_iceberg.py:6-72); SnapTable covers what the reference delegates
+to Iceberg itself: atomicity, time-travel, snapshot listing, expiration."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from iceberg_quickstart_iac_spark.tables import SnapTable, TableNotFoundError, spark_catalog_conf
+from iceberg_quickstart_iac_spark.templates import get_template
+
+# --- catalog conf matrix --------------------------------------------------
+
+
+def test_glue_default_backend():
+    conf = spark_catalog_conf(env={})
+    assert conf["spark.sql.catalog.lakehouse"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.lakehouse.catalog-impl"].endswith("GlueCatalog")
+    assert conf["spark.sql.catalog.lakehouse.client.region"] == "us-east-1"
+    assert "iceberg" in conf["spark.sql.extensions"].lower()
+
+
+def test_glue_region_from_env():
+    conf = spark_catalog_conf(env={"AWS_REGION": "eu-west-1"})
+    assert conf["spark.sql.catalog.lakehouse.client.region"] == "eu-west-1"
+
+
+def test_nessie_backend():
+    env = {"LAKEHOUSE_BACKEND": "aws-nessie", "NESSIE_URI": "http://nessie:19120/iceberg"}
+    conf = spark_catalog_conf(env=env)
+    assert conf["spark.sql.catalog.lakehouse.type"] == "rest"
+    assert conf["spark.sql.catalog.lakehouse.uri"] == "http://nessie:19120/iceberg"
+
+
+def test_nessie_requires_uri():
+    with pytest.raises(KeyError):
+        spark_catalog_conf(env={"LAKEHOUSE_BACKEND": "aws-nessie"})
+
+
+def test_gcp_backend():
+    env = {
+        "LAKEHOUSE_BACKEND": "gcp",
+        "ICEBERG_REST_URI": "https://biglake.example/v1",
+        "GCP_PROJECT_ID": "proj",
+    }
+    conf = spark_catalog_conf(env=env)
+    assert conf["spark.sql.catalog.lakehouse.type"] == "rest"
+    assert conf["spark.sql.catalog.lakehouse.gcs.project-id"] == "proj"
+
+
+def test_local_hadoop_backend(tmp_path):
+    conf = spark_catalog_conf(
+        env={"LAKEHOUSE_BACKEND": "local-hadoop", "LAKEHOUSE_WAREHOUSE": str(tmp_path)}
+    )
+    assert conf["spark.sql.catalog.lakehouse.type"] == "hadoop"
+    assert conf["spark.sql.catalog.lakehouse.warehouse"] == str(tmp_path)
+
+
+def test_unknown_backend_rejected():
+    with pytest.raises(ValueError, match="Unknown LAKEHOUSE_BACKEND"):
+        spark_catalog_conf(env={"LAKEHOUSE_BACKEND": "oracle-cloud"})
+
+
+# --- snapshot-log tables --------------------------------------------------
+
+
+@pytest.fixture()
+def events_df(spark):
+    return spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "purchase")], "event_id LONG, event_type STRING"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    template = {
+        "name": "mini_events",
+        "namespace": "lakehouse",
+        "columns": [{"name": "event_id", "type": "long"}, {"name": "event_type", "type": "string"}],
+        "partition_spec": [],
+        "properties": {"commit_num_retries": 3},
+    }
+    return SnapTable.create(tmp_path / "t", template)
+
+
+def test_load_missing_table_is_actionable(tmp_path):
+    with pytest.raises(TableNotFoundError, match="Create it first"):
+        SnapTable.load(tmp_path / "nope")
+
+
+def test_overwrite_and_read(spark, table, events_df):
+    table.overwrite(events_df)
+    assert table.read(spark).count() == 3
+    table.overwrite(events_df.limit(1))
+    assert table.read(spark).count() == 1  # full refresh replaced everything
+
+
+def test_append_accumulates(spark, table, events_df):
+    table.append(events_df)
+    table.append(events_df)
+    assert table.read(spark).count() == 6
+    assert table.current_snapshot()["row_count"] == 6
+
+
+def test_schema_mismatch_rejected(spark, table):
+    bad = spark.createDataFrame([(1, "x", "extra")], "event_id LONG, event_type STRING, oops STRING")
+    with pytest.raises(ValueError, match="Schema mismatch"):
+        table.overwrite(bad)
+
+
+def test_time_travel_by_snapshot_and_timestamp(spark, table, events_df):
+    s1 = table.overwrite(events_df.limit(1))
+    time.sleep(0.01)
+    between_ms = int(time.time() * 1000)
+    time.sleep(0.01)
+    s2 = table.append(events_df)
+
+    assert table.read(spark).count() == 4  # current
+    assert table.read(spark, snapshot_id=s1["snapshot_id"]).count() == 1
+    assert table.read(spark, snapshot_id=s2["snapshot_id"]).count() == 4
+    assert table.read(spark, as_of_ms=between_ms).count() == 1
+    with pytest.raises(ValueError, match="No snapshot"):
+        table.read(spark, snapshot_id="doesnotexist")
+
+
+def test_snapshot_listing(spark, table, events_df):
+    table.overwrite(events_df)
+    table.append(events_df)
+    snaps = table.snapshots(spark).orderBy("sequence").collect()
+    assert [s.operation for s in snaps] == ["overwrite", "append"]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert snaps[1].row_count == 6
+
+
+def test_expire_snapshots_drops_history_and_orphans(spark, table, events_df):
+    table.overwrite(events_df)          # snapshot 0 (its data dir becomes orphaned)
+    table.overwrite(events_df.limit(2))  # snapshot 1 (current)
+    assert len(list(table.data_dir.iterdir())) == 2
+
+    removed = table.expire_snapshots(older_than_ms=int(time.time() * 1000) + 1000)
+    assert removed == 1
+    assert table.read(spark).count() == 2  # current snapshot survives
+    assert len(list(table.data_dir.iterdir())) == 1  # orphan dir deleted
+    assert table.snapshots(spark).count() == 1  # only the current snapshot remains
+
+
+def test_expire_honors_template_retention(spark, tmp_path, events_df):
+    template = dict(get_template("event_stream"))
+    table = SnapTable.create(tmp_path / "ev", template)
+    # columns of events_df don't match event_stream's — bypass the check by
+    # clearing declared columns (schema enforcement tested separately)
+    meta = table.meta
+    meta["columns"] = []
+    (table.root / "table.json").write_text(__import__("json").dumps(meta))
+    table.overwrite(events_df)
+    # 7d retention from the template: nothing old enough to expire
+    assert table.expire_snapshots() == 0
+
+
+def test_concurrent_commits_both_land(spark, table, events_df):
+    """Two racing commits must serialize via the seq-claim, not clobber."""
+    import threading
+
+    errs = []
+
+    def worker():
+        try:
+            table.append(events_df.limit(1))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    snaps = table.snapshots(spark).collect()
+    assert len(snaps) == 4
+    assert sorted(s.sequence for s in snaps) == [0, 1, 2, 3]
