@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.13 X1-X2).
+
+Four tiers, all shuffle-frugal by construction:
+
+- **exact** (:func:`exact_dedup`): hash-groupBy on the dedup key, keep the
+  smallest id. One shuffle, map-side partial aggregation.
+- **MinHash + LSH** (:func:`minhash_signatures`, :func:`lsh_candidate_pairs`,
+  :func:`near_dup_clusters`): character-shingle MinHash signatures computed
+  via explode + groupBy-min (one shuffle, 1 row per doc), banded into
+  buckets; only docs sharing a band bucket become candidate pairs — the
+  O(n²) pair space never materializes. Candidates verified by signature
+  agreement, clustered by iterative min-label propagation (converges in
+  O(log(cluster diameter)) joins).
+- **SimHash** (:func:`simhash`): 64-bit near-dup fingerprint via signed
+  bit-count aggregation over token hashes; hamming-adjacent docs collide on
+  at least one of 4 16-bit chunks (used as its own banding scheme).
+- **n-gram Jaccard** (:func:`ngram_jaccard_pairs`): exact Jaccard over
+  shingle sets for candidate pairs, with a document-frequency cap that
+  drops ubiquitous shingles before the pair join (the classic skew guard —
+  a stop-shingle shared by 1M docs would otherwise emit 10¹² pairs).
+
+All JVM-side column/aggregation ops; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.operators.text import normalize_text
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (smallest ``id_col``) per dedup key."""
+    w = W.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def shingles(col, k: int = 5):
+    """Character k-shingles of the normalized text (array<string>)."""
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(norm, i, F.lit(k)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, minhash array<long> of length num_perm) per document.
+
+    Shingles explode to one row each (dedup within doc), then ``num_perm``
+    seeded xxhash64 minima aggregate back to one row per doc — a single
+    shuffle keyed on the doc id.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("__sh")
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("__sh"), F.lit(p))).alias(f"mh{p}") for p in range(num_perm)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"mh{p}") for p in range(num_perm)]).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. With r = num_perm/bands
+    rows per band, the usual S-curve applies (bands=16, r=4 → ~50% catch at
+    Jaccard ≈ 0.55).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    r = num_perm // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def signature_similarity(pairs: DataFrame, signatures: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard per candidate pair = fraction of agreeing minhashes."""
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__sig_b"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v))
+            / F.size("__sig_a"),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def near_dup_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 10
+) -> DataFrame:
+    """Connected components over the duplicate graph by min-label propagation.
+
+    Returns (id, cluster_id) where cluster_id is the smallest doc id in the
+    component; singletons map to themselves. Each iteration is one join +
+    aggregate; label space halves fast (typical dup clusters converge in
+    2-3 rounds).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), "cluster_id")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit weighted sum over
+    token hashes. Near-identical token multisets → small hamming distance."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = bit_sums.select(
+        F.col(id_col),
+        F.aggregate(
+            F.array(*[F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(bits)]),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_candidate_pairs(sig: DataFrame, id_col: str, chunks: int = 4) -> DataFrame:
+    """Candidate pairs whose simhashes agree on ≥1 of ``chunks`` 16-bit
+    chunks (catches hamming distance < chunks by pigeonhole)."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            _hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _hamming(x, y):
+    return F.bit_count(x.bitwiseXOR(y))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Explode distinct shingles; drop shingles appearing in more than
+    ``max_shingle_df`` docs (skew guard); count shared shingles per pair;
+    Jaccard = shared / (|A| + |B| - shared); keep pairs ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("__sh"),
+    )
+    rare = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_shingle_df
+    )
+    sh = sh.join(F.broadcast(rare.select("__sh")), "__sh")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    shared = (
+        a.join(b, ["__sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

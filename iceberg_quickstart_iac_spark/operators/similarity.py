@@ -1,0 +1,181 @@
+"""Embedding similarity search (SURVEY §2.13 X3).
+
+Three strategies over an ``array<float>`` embedding column:
+
+- :func:`cosine_topk` — exact brute force, pure JVM (`zip_with` +
+  `aggregate` dot products against broadcast query vectors, window top-k).
+  The correctness baseline; O(N·Q·d) but perfectly scan-parallel.
+- :func:`cosine_topk_pandas` — the same math through an Arrow-batched
+  ``mapInPandas`` with one numpy GEMM per batch, then a global top-k.
+  ~10-50× the JVM loop at larger Q·d; the production brute-force path.
+- :func:`hyperplane_lsh_topk` — random-hyperplane LSH: sign-bit signatures
+  bucket the corpus; only the query's bucket (plus optional multi-probe
+  neighbors at hamming distance 1) is scored. The 100 TB path: candidate
+  set per query is |bucket| ≈ N / 2^planes, and the bucket join is a plain
+  equi-join Catalyst can shuffle-partition.
+
+Query sets are expected to be small (broadcast); the corpus side is never
+collected, never exploded per pair beyond the candidate set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector (JVM-side).
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query,
+    deterministic tie-break on vec_id.
+    """
+    q = F.broadcast(queries.select(query_id, query_vec))
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .crossJoin(q)
+        .select(
+            query_id,
+            corpus_id,
+            (
+                _dot(F.col(corpus_vec), F.col(query_vec))
+                / (_norm(F.col(corpus_vec)) * _norm(F.col(query_vec)))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Vectorized brute force: one numpy GEMM per Arrow batch.
+
+    ``queries_pdf`` is a driver-side pandas frame (query sets are small);
+    it ships to executors inside the closure — the Spark equivalent of a
+    broadcast dim. Per-partition partial top-k keeps the shuffle tiny:
+    only k rows per (partition, query) reach the final window.
+    """
+    import numpy as np
+
+    qids = queries_pdf[query_id].to_numpy()
+    qmat = np.stack(queries_pdf[query_vec].to_numpy()).astype("float64")  # Q x d
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")  # N x d
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ qmat.T) / np.outer(norms, qnorm)  # N x Q
+            n_keep = min(k, cos.shape[0])
+            # partial top-k per query within this batch
+            idx = np.argpartition(-cos, n_keep - 1, axis=0)[:n_keep]  # k x Q
+            out = {
+                query_id: np.repeat(qids, n_keep),
+                corpus_id: pdf[corpus_id].to_numpy()[idx].T.ravel(),
+                "cosine": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    id_type = dict(corpus.dtypes)[corpus_id]
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score, schema=f"{query_id} long, {corpus_id} {id_type}, cosine double"
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec, planes: list[list[float]]):
+    """Sign-bit LSH signature (long) for one embedding column vs fixed planes."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    return F.aggregate(
+        F.array(*[b.cast("long") for b in bits]),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    multi_probe: bool = True,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing the query's LSH
+    bucket (plus hamming-1 probe buckets when ``multi_probe``)."""
+    n_planes = len(planes)
+    tagged_corpus = corpus.select(
+        corpus_id, corpus_vec, hyperplane_signature(F.col(corpus_vec), planes).alias("bucket")
+    )
+    qsig = queries.select(
+        query_id, query_vec, hyperplane_signature(F.col(query_vec), planes).alias("qbucket")
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        qsig = qsig.select(query_id, query_vec, F.explode(probes).alias("qbucket"))
+
+    cand = tagged_corpus.join(
+        F.broadcast(qsig), tagged_corpus["bucket"] == qsig["qbucket"]
+    )
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        (
+            _dot(F.col(corpus_vec), F.col(query_vec))
+            / (_norm(F.col(corpus_vec)) * _norm(F.col(query_vec)))
+        ).alias("cosine"),
+    ).dropDuplicates([query_id, corpus_id])
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

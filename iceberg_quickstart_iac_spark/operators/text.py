@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines (SURVEY §2.13 X4).
+
+Everything here is built-in column expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path. At 100 TB these are embarrassingly
+parallel map-only stages: no shuffle at all until an aggregation is asked
+for.
+
+Operators:
+
+- :func:`normalize_text` — canonical form for content-hash dedup;
+- :func:`token_count` / :func:`word_tokens` — whitespace + BPE-ish regex
+  tokenization;
+- :func:`fingerprint` — 64-bit content fingerprint (xxhash64 of the
+  normalized text) and :func:`content_md5`;
+- :func:`language_id` — stopword/charset heuristic language guess;
+- :func:`quality_score` — composite [0,1] heuristic (length, alpha ratio,
+  punctuation density, mean token length, repetition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pretokenizer: word pieces or single non-space symbols
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+#: small per-language stopword seeds for the n-gram heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "que", "une", "des"],
+    "es": ["el", "la", "los", "de", "que", "es", "para", "con", "una", "por"],
+}
+
+_CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical dedup form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' split or 'bpe' (regex word/symbol pieces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(c), r"\s+"))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+    raise ValueError(f"Unknown token_count mode: {mode!r}")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit content fingerprint of the normalized text."""
+    return F.xxhash64(normalize_text(col))
+
+
+def content_md5(col: Column | str) -> Column:
+    """Hex MD5 of the normalized text (cross-engine-stable dedup key)."""
+    return F.md5(normalize_text(col))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language guess over {en, de, fr, es, zh, unknown}.
+
+    CJK-dominant text → zh; otherwise the language whose stopword seed set
+    overlaps the token set most (ties → lexicographic, deterministic);
+    no overlap at all → 'unknown'. All array ops, zero UDFs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = word_tokens(c)
+    n_cjk = F.size(F.regexp_extract_all(c, F.lit(_CJK_PATTERN), 0))
+
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words]))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(scores, lambda s: F.struct(s.score.alias("score"), s.lang.alias("lang")))
+    )
+    latin_guess = F.when(best.score > 0, best.lang).otherwise(F.lit("unknown"))
+    return F.when(n_cjk * 2 > F.length(c) / 4, F.lit("zh")).otherwise(latin_guess)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Blends: reasonable length (50-10k chars), alphabetic ratio, punctuation
+    density, mean token length in [3, 12], and distinct-token ratio
+    (repetition penalty). Weights are convention, not science — the point is
+    the *shape*: a pure column expression a filter can push down.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    tokens = word_tokens(c)
+    n_tokens = F.size(tokens)
+
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(
+        F.least(n_chars / 50.0, F.lit(1.0))
+    )
+    alpha_ratio = F.size(F.regexp_extract_all(c, F.lit("[A-Za-z]"), 0)) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    punct_ratio = F.size(F.regexp_extract_all(c, F.lit("[.,!?;:]"), 0)) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(F.lit(0.2))
+    mean_tok_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    tok_len_ok = F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 1.0).otherwise(F.lit(0.3))
+    distinct_ratio = F.size(F.array_distinct(tokens)) / F.greatest(n_tokens, F.lit(1))
+
+    return (
+        0.25 * len_ok + 0.25 * alpha_ratio + 0.15 * punct_ok + 0.15 * tok_len_ok
+        + 0.20 * distinct_ratio
+    )

@@ -677,3 +677,154 @@ def scd2_chain_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("natural_key", "effective_from", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-hash exact dedup (SURVEY §2.13 X1): canonical representative per
+# normalized-content fingerprint. MD5 of the normalized text is the
+# cross-engine-stable key (xxhash64 is Spark-only).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_fingerprint_dedup",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import content_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(content_md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document quality scoring (SURVEY §2.13 X4): pure column arithmetic — the
+# oracle replicates the exact same IEEE expression tree in DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality_scores",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0
+                        ELSE least(n_chars / 50.0, 1.0) END)
+         + 0.25 * (n_alpha / greatest(n_chars, 1))
+         + 0.15 * (CASE WHEN (n_punct / greatest(n_chars, 1)) <= 0.1 THEN 1.0 ELSE 0.2 END)
+         + 0.15 * (CASE WHEN n_chars / greatest(len(toks), 1) >= 3
+                         AND n_chars / greatest(len(toks), 1) <= 12 THEN 1.0 ELSE 0.3 END)
+         + 0.20 * (len(list_distinct(toks)) / greatest(len(toks), 1)) AS quality
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine top-k (SURVEY §2.13 X3): exact brute force, JVM-side
+# zip_with/aggregate dot products. The oracle replicates the identical
+# double-precision fold in DuckDB list lambdas.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id,
+             c.vec_id,
+             list_sum(list_transform(list_zip(c.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+      FROM embeddings c, q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries_df, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH near-duplicate detection (SURVEY §2.13 X2). Signature hashing
+# is xxhash64 (Spark-specific), so the driver records a rows-only check;
+# exactness is pinned in tests against planted duplicates + exact Jaccard.
+# ---------------------------------------------------------------------------
+
+
+@query("near_dup_minhash_pairs")
+def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, num_perm=64)
+    return (
+        signature_similarity(pairs, sigs, "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (SURVEY §2.13 X4): stopword/charset heuristic —
+# Spark-side expression; accuracy pinned in tests against the truth column.
+# Rows-only driver check (the heuristic is not meaningfully SQL-portable).
+# ---------------------------------------------------------------------------
+
+
+@query("doc_language_id")
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", language_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

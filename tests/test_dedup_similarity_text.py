@@ -1,0 +1,238 @@
+"""Extension-operator tests (SURVEY §2.13): dedup tiers on planted
+duplicates, similarity search vs numpy ground truth, text analysis vs the
+documents truth column, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.datasets import load_table
+from iceberg_quickstart_iac_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+    signature_similarity,
+    simhash,
+    simhash_candidate_pairs,
+)
+from iceberg_quickstart_iac_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    hyperplane_lsh_topk,
+    make_planes,
+)
+from iceberg_quickstart_iac_spark.operators.text import language_id, quality_score, token_count
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a bright sky"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """10 distinct docs + 3 near-copies of doc 0 + 1 exact copy of doc 1."""
+    import random
+
+    rng = random.Random(7)
+    words = BASE.split()
+    rows = []
+    for i in range(10):
+        shuffled = words[:]
+        rng.shuffle(shuffled)
+        rows.append((i, " ".join(shuffled)))
+    base_text = rows[0][1]
+    rows.append((100, base_text.replace("fox", "wolf")))          # 1-word edit
+    rows.append((101, base_text + " extra tail words here"))      # small append
+    rows.append((102, base_text.upper()))                          # case only
+    rows.append((103, rows[1][1]))                                 # exact dup of doc 1
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b")], "id LONG, k STRING"
+    )
+    out = exact_dedup(df, ["k"], "id").collect()
+    assert sorted((r.k, r.id) for r in out) == [("a", 1), ("b", 2)]
+
+
+def test_minhash_lsh_finds_planted_dups(planted_docs):
+    sigs = minhash_signatures(planted_docs, "doc_id", "text", num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, num_perm=64)
+    sims = signature_similarity(pairs, sigs, "doc_id")
+    strong = {(r.id_a, r.id_b) for r in sims.filter("est_jaccard >= 0.5").collect()}
+    assert (0, 100) in strong  # 1-word edit
+    assert (0, 101) in strong  # appended tail
+    assert (0, 102) in strong  # case-only change (normalization)
+    assert (1, 103) in strong  # exact copy
+    # shuffled word-salad docs share vocabulary but not 5-char shingles at 0.5
+    assert all(a in (0, 1) or a >= 100 for a, b in strong), strong
+
+
+def test_near_dup_clusters_transitive(planted_docs):
+    sigs = minhash_signatures(planted_docs, "doc_id", "text", num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, num_perm=64)
+    sims = signature_similarity(pairs, sigs, "doc_id").filter("est_jaccard >= 0.5")
+    clusters = near_dup_clusters(sims, planted_docs.select("doc_id"), "doc_id")
+    by_id = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert by_id[100] == by_id[0] == by_id[101] == by_id[102] == 0
+    assert by_id[103] == by_id[1] == 1
+    assert by_id[5] == 5  # singleton
+
+
+def test_ngram_jaccard_exact(planted_docs):
+    out = ngram_jaccard_pairs(planted_docs, "doc_id", "text", threshold=0.5)
+    found = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert found[(1, 103)] == 1.0  # exact duplicate
+    assert found[(0, 102)] == 1.0  # case-normalized duplicate
+    assert 0.5 <= found[(0, 100)] < 1.0
+
+
+def test_simhash_near_dups_close(planted_docs):
+    sig = simhash(planted_docs, "doc_id", "text")
+    pairs = simhash_candidate_pairs(sig, "doc_id")
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert ham[(1, 103)] == 0  # identical text → identical simhash
+    assert ham[(0, 102)] == 0  # case-only
+    assert ham[(0, 101)] <= 8  # small append stays hamming-close
+
+
+# --- similarity -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def truth_topk(emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    q = mat[np.isin(ids, [0, 1, 2])]
+    qids = ids[np.isin(ids, [0, 1, 2])]
+    cos = (mat @ q.T) / np.outer(norms, np.linalg.norm(q, axis=1))
+    truth = {}
+    for j, qid in enumerate(qids):
+        order = sorted(zip(-cos[:, j], ids))  # desc cosine, asc id tiebreak
+        truth[qid] = [int(i) for _, i in order[:10]]
+    return truth
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_cosine_topk_matches_numpy(emb, truth_topk):
+    out = cosine_topk(emb, _queries(emb), k=10).orderBy("query_id", "rank").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    assert got == truth_topk
+
+
+def test_cosine_topk_pandas_matches_numpy(emb, truth_topk):
+    qpdf = _queries(emb).toPandas()
+    out = cosine_topk_pandas(emb, qpdf, k=10).orderBy("query_id", "rank").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    assert got == truth_topk
+
+
+def test_hyperplane_lsh_recall(emb, truth_topk):
+    # 4 planes → 16 buckets over 500 near-orthogonal vectors; multi-probe
+    # widens to 5 buckets/query (~30% of the corpus scored instead of 100%)
+    planes = make_planes(64, n_planes=4, seed=42)
+    out = hyperplane_lsh_topk(emb, _queries(emb), planes, k=10).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, true_ids in truth_topk.items():
+        assert qid in got[qid]  # the query vector itself is always found
+        recall = len(got[qid] & set(true_ids)) / 10
+        assert recall >= 0.2, (qid, recall)
+
+
+# --- text -----------------------------------------------------------------
+
+
+def test_language_id_on_real_sentences(spark):
+    """The synthetic documents table uses one shared English-ish vocabulary
+    with a *random* lang label (verified: identical top tokens per lang), so
+    accuracy against that column is meaningless. Assert on real sentences."""
+    rows = [
+        ("en", "the cat is on the roof and the dog is in the garden for now"),
+        ("de", "der hund ist nicht auf dem dach und die katze ist ein tier"),
+        ("fr", "le chien est dans le jardin et les chats sont pour une maison"),
+        ("es", "el perro es una mascota que vive para la casa con los gatos"),
+        ("zh", "猫在屋顶上狗在花园里它们是好朋友今天天气很好"),
+        ("unknown", "zzz qqq xxx yyy www"),
+    ]
+    df = spark.createDataFrame(rows, "truth STRING, text STRING")
+    out = {r.truth: r.pred for r in df.select("truth", language_id("text").alias("pred")).collect()}
+    assert out == {t: t for t in out}
+
+
+def test_token_count_modes(spark):
+    df = spark.createDataFrame([("Hello, world! 42",)], "t STRING")
+    row = df.select(
+        token_count("t").alias("ws"), token_count("t", "bpe").alias("bpe")
+    ).collect()[0]
+    assert row.ws == 3
+    assert row.bpe == 5  # Hello , world ! 42
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [("good", BASE), ("junk", "aa aa aa aa aa aa aa aa aa aa")], "name STRING, t STRING"
+    )
+    rows = {r.name: r.q for r in df.select("name", quality_score("t").alias("q")).collect()}
+    assert 0 <= rows["junk"] < rows["good"] <= 1
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_byte_metadata,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (1, b"fake-image-bytes-1", "image/png", (None, None, None, None)),
+        (2, b"fake-video-bytes-2", "video/mp4", (None, None, 2500, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with_meta = attach_byte_metadata(df)
+    assert with_meta.select("meta.n_bytes").collect()[0][0] == 18
+
+    feats = extract_features(df).collect()
+    assert {r.media_id for r in feats} == {1, 2}
+    assert all(len(r.features) == 16 for r in feats)
+    f1 = extract_features(df).filter("media_id = 1").collect()[0].features
+    assert f1 == feats[0].features or f1 == feats[1].features  # deterministic
+
+    resized = resize_images(with_meta, 224, 224).select("meta.width", "meta.height").collect()
+    assert all((r.width, r.height) == (224, 224) for r in resized)
+
+    frames = sample_frames(with_meta.filter("media_id = 2"), every_ms=1000).collect()
+    assert [f.frame_ms for f in frames] == [0, 1000, 2000]
+    assert len({f.frame_fingerprint for f in frames}) == 3  # per-frame ids differ
+
+    with pytest.raises(NotImplementedError, match="decoder='fake'"):
+        extract_features(df, decoder="real")
