@@ -828,3 +828,90 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization, batch form (SURVEY §2.9 / pyspark guide's
+# classic): lag → new-session flag → running sum = session id. One window
+# shuffle on user_id. The streaming analog is
+# streaming.session_windows (native session_window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) AS end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1800000000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window rollup, batch form (SURVEY §2.9 ST3): 15-minute windows as
+# portable integer window ids (epoch-µs floor-division — identical in both
+# engines; streaming form uses F.window + watermark).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_minute_windows",
+    oracle="""
+    SELECT epoch_us(ts) // 900000000 AS window_id,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_id, event_type
+    ORDER BY window_id, event_type
+    """,
+)
+def event_minute_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("unix_micros(ts) div 900000000").alias("window_id"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("window_id", "event_type")
+    )

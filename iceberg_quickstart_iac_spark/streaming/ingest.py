@@ -1,0 +1,140 @@
+"""Incremental ingest + streaming analytics (SURVEY §2.9).
+
+The reference is batch-only: its event-stream asset is a stub that says
+"replace with your actual ingestion logic (Kafka consumer, S3 event
+notification…)" (``assets/event_streams.py:22-24``) and incremental loads
+are listed as the follow-up enhancement (``docs/bring-your-own-data.md:
+226-228``). This module IS that follow-up, Spark-native:
+
+- **ST1** :func:`incremental_file_ingest` — Structured Streaming file
+  source (exactly-once file tracking via the checkpoint) appended to a
+  snapshot-log table through ``foreachBatch``. ``Trigger.AvailableNow``
+  gives batch-cadence incremental runs: each invocation processes only
+  files not yet seen, then stops — the drop-in upgrade for the
+  reference's full-refresh model.
+- **ST2** append-only event-stream semantics (``outputMode("append")``).
+- **ST3** :func:`windowed_event_counts` / :func:`freshness_monitor` —
+  watermarked tumbling/sliding windows; the continuous analog of the
+  freshness quality check.
+- :func:`session_windows` — native ``session_window`` gap sessionization
+  (the streaming analog of the batch ``user_sessions`` catalog query).
+
+Scale notes: the file source lists + tracks files on the driver but reads
+them in executors; windowed aggs shuffle on (window, key) with state kept
+in the state store — watermarks bound state size, which is what makes these
+viable as always-on jobs at event-stream volumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of a file directory with a declared schema."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def incremental_file_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    table: SnapTable,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally append new source files into a snapshot-log table.
+
+    Exactly-once at the file level: the checkpoint records processed files;
+    each micro-batch lands as one atomic append commit. With
+    ``available_now`` the query drains everything currently available and
+    stops (scheduled-batch cadence); without it, it runs continuously.
+    """
+    stream = read_file_stream(spark, source_path, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) per-key counts — the streaming
+    analog of the flagship group-count query (A5)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native gap-based sessionization (``session_window``)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def freshness_monitor(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous freshness: latest event timestamp per window (ST3) — the
+    always-on version of the freshness quality check (A4)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(F.max(ts_col).alias("max_ts"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.end").alias("window_end"), "max_ts", "n_events")
+    )

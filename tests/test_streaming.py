@@ -1,0 +1,146 @@
+"""Structured Streaming tests (SURVEY §2.9 ST1-ST3): incremental file
+ingest into snapshot tables, watermarked windows, sessionization,
+freshness — driven to completion with AvailableNow / memory sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_quickstart_iac_spark.streaming import (
+    freshness_monitor,
+    incremental_file_ingest,
+    read_file_stream,
+    session_windows,
+    windowed_event_counts,
+)
+from iceberg_quickstart_iac_spark.tables import SnapTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _write_batch(spark, path, start_id, n, day="2024-01-01"):
+    rows = [
+        (
+            start_id + i,
+            f"{day} 10:{i % 60:02d}:00",
+            "click" if i % 2 == 0 else "view",
+            float(i),
+            i % 3,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, ts_s STRING, event_type STRING, value DOUBLE, user_id LONG")
+    df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapTable.create(
+        tmp_path / "tbl",
+        {"name": "stream_events", "namespace": "lakehouse", "columns": [], "partition_spec": []},
+    )
+
+    _write_batch(spark, src, 0, 10)
+    q = incremental_file_ingest(spark, src, SCHEMA, table, ckpt)
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 10
+
+    # second run: only NEW files are processed (file-level exactly-once)
+    _write_batch(spark, src, 100, 5)
+    q = incremental_file_ingest(spark, src, SCHEMA, table, ckpt)
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 15
+    ids = {r.event_id for r in table.read(spark).select("event_id").collect()}
+    assert len(ids) == 15  # no duplicates from re-reading old files
+
+    # third run with nothing new: no extra snapshot commits
+    snaps_before = table.snapshots(spark).count()
+    q = incremental_file_ingest(spark, src, SCHEMA, table, ckpt)
+    q.awaitTermination(120)
+    assert table.snapshots(spark).count() == snaps_before
+
+
+def _run_stream_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 20)
+    stream = read_file_stream(spark, src, SCHEMA)
+    agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    out = _run_stream_to_memory(spark, agg, "win_counts", "append").collect()
+    # AvailableNow + append emits only watermark-closed windows; verify shape
+    # and totals on what was emitted
+    assert all(r.window_end > r.window_start for r in out)
+    assert all(r.event_type in ("click", "view") for r in out)
+    total = sum(r.n_events for r in out)
+    assert total > 0
+
+
+def test_session_windows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 12)  # minutes 0..11, 3 users interleaved
+    stream = read_file_stream(spark, src, SCHEMA)
+    sess = session_windows(stream, gap="2 minutes", watermark="1 hour")
+    # complete mode: the 1h watermark would hold every session open under
+    # AvailableNow, so append mode would emit nothing by design
+    out = _run_stream_to_memory(spark, sess, "sessions", "complete").collect()
+    # users 0,1,2 each hit minutes k, k+3, k+6, k+9 → 3-minute gaps > 2m gap
+    # close each event into its own session... gap '2 minutes' means strictly
+    # beyond 2m closes; 3m apart → separate sessions per event
+    assert all(r.n_events == 1 for r in out)
+    assert len(out) == 12
+
+
+def test_freshness_monitor(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 10)
+    stream = read_file_stream(spark, src, SCHEMA)
+    fresh = freshness_monitor(stream, window="1 hour", watermark="1 hour")
+    out = _run_stream_to_memory(spark, fresh, "fresh", "append").collect()
+    if out:  # single window may be held open by the watermark under AvailableNow
+        assert max(r.n_events for r in out) <= 10
+
+
+def test_batch_and_streaming_sessionization_agree(spark, sf_dir_small):
+    """The batch user_sessions catalog query and the native session_window
+    streaming operator must produce the same session count per user."""
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.plans import queries
+
+    batch = queries()["user_sessions"](spark, sf_dir_small)
+    batch_counts = {
+        r.user_id: r.n for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    ev = load_table(spark, sf_dir_small, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    native_counts = {r.user_id: r.n for r in native.collect()}
+    assert batch_counts == native_counts
