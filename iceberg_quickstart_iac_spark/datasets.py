@@ -29,12 +29,28 @@ TABLE_NAMES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table; normalize nanosecond timestamps to µs."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, events_ts_at_least: str | None = None
+) -> DataFrame:
+    """Read one synthetic table; normalize nanosecond timestamps to µs.
+
+    ``events_ts_at_least``: optional 'YYYY-MM-DD[ HH:MM:SS]' lower bound on
+    ``events.ts``. Because the ns→µs conversion hides ``ts`` behind an
+    expression, a filter applied *after* conversion cannot reach the parquet
+    scan; this parameter applies the equivalent raw-nanos predicate *before*
+    conversion so row-group pruning still happens (PushedFilters shows the
+    GreaterThanOrEqual). Production tables with µs timestamps don't need
+    this — it exists for the testdata's TIMESTAMP(NANOS) artifact.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        if events_ts_at_least is not None:
+            bound_ns = F.unix_micros(F.lit(events_ts_at_least).cast("timestamp")) * 1000
+            df = df.filter(F.col("ts") >= bound_ns)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and events_ts_at_least is not None:
+        df = df.filter(F.col("ts") >= F.lit(events_ts_at_least).cast("timestamp"))
     return df
 
 

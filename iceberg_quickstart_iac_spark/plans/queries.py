@@ -92,10 +92,10 @@ def dsum(col: F.Column | str, alias: str) -> F.Column:
     """,
 )
 def flagship_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # time filter applied at the raw scan (pushed to parquet row groups)
+    ev = load_table(spark, sf_dir, "events", events_ts_at_least="2024-01-15")
     return (
-        ev.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
-        .groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy(F.desc("n_events"), "event_type")
     )
@@ -181,9 +181,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
+    # customer scales with SF — no forced broadcast; AQE converts to
+    # broadcast at runtime when the filtered side is actually small
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
@@ -227,10 +229,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # supplier/nation/region are fixed-size tiny dims → always broadcast;
+    # customer grows with SF → leave the choice to stats + AQE
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -329,7 +333,7 @@ def enrich_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_total"))
         .orderBy("c_mktsegment", "o_orderstatus")
@@ -801,7 +805,10 @@ def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    # cache: the signature DAG (shingle explode + 64 min-aggs) feeds the
+    # banding self-join AND both sides of the similarity join — without a
+    # cache Spark recomputes it 4x (measured 21s -> ~5s at sf0.1)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64).cache()
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, num_perm=64)
     return (
         signature_similarity(pairs, sigs, "doc_id")
