@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests: the reference's asset-materialization
+lifecycle (template → source → schema → quality gate → atomic write →
+governed read) in one flow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.operators.quality import Check
+from iceberg_quickstart_iac_spark.pipeline import (
+    Materialization,
+    QualityGateError,
+    materialize,
+    read_table,
+)
+
+TEMPLATE = {
+    "name": "mini_events",
+    "namespace": "lakehouse",
+    "columns": [
+        {"name": "event_id", "type": "string", "required": True},
+        {"name": "event_type", "type": "string", "required": True},
+        {"name": "event_timestamp", "type": "timestamptz", "required": True},
+        {"name": "user_id", "type": "string", "pii": True, "access_level": "restricted"},
+        {"name": "value", "type": "double"},
+    ],
+    "partition_spec": [{"column": "event_timestamp", "transform": "day"}],
+    "properties": {"write_format": "parquet"},
+}
+
+
+@pytest.fixture()
+def batch(spark):
+    rows = [
+        ("e1", "click", "2024-01-01 10:00:00", "u1", 1.5),
+        ("e2", "view", "2024-01-01 11:00:00", "u2", 2.5),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id STRING, event_type STRING, ts_s STRING, user_id STRING, value DOUBLE"
+    ).withColumn("event_timestamp", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+CHECKS = [
+    Check("row_count", op=">", threshold=0),
+    Check("missing_count", "event_id"),
+    Check("duplicate_count", "event_id"),
+]
+
+
+def test_materialize_custom_df_and_read_back(spark, tmp_path, batch):
+    result = materialize(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS)
+    assert isinstance(result, Materialization)
+    assert result.num_rows == 2 and result.operation == "overwrite"
+    assert result.quality.passed
+
+    df = read_table(spark, TEMPLATE, tmp_path)
+    assert df.count() == 2
+    assert "user_id" in df.columns  # admin sees everything
+
+    reader_df = read_table(spark, TEMPLATE, tmp_path, access_level="reader")
+    assert "user_id" not in reader_df.columns  # governed read
+
+
+def test_materialize_from_declared_source(spark, tmp_path, batch):
+    src = tmp_path / "src"
+    batch.select("event_id", "event_type", "event_timestamp", "user_id", "value").write.parquet(
+        f"file://{src}"
+    )
+    template = {**TEMPLATE, "source": {"path": f"file://{src}", "format": "parquet"}}
+    result = materialize(
+        spark, template, tmp_path / "wh", checks=CHECKS, allowed_schemes=("file://",)
+    )
+    assert result.num_rows == 2
+
+
+def test_quality_gate_blocks_bad_batch(spark, tmp_path, batch):
+    dup = batch.union(batch)  # duplicate event_ids
+    with pytest.raises(QualityGateError, match="duplicate"):
+        materialize(spark, TEMPLATE, tmp_path, df=dup, checks=CHECKS)
+    # nothing was written
+    with pytest.raises(Exception):
+        read_table(spark, TEMPLATE, tmp_path)
+
+
+def test_quality_gate_can_warn_only(spark, tmp_path, batch):
+    dup = batch.union(batch)
+    result = materialize(
+        spark, TEMPLATE, tmp_path, df=dup, checks=CHECKS, enforce_quality=False
+    )
+    assert result.num_rows == 4 and not result.quality.passed
+
+
+def test_append_mode_and_time_travel(spark, tmp_path, batch):
+    first = materialize(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS)
+    more = batch.withColumn("event_id", F.concat(F.col("event_id"), F.lit("-2")))
+    materialize(spark, TEMPLATE, tmp_path, df=more, mode="append", checks=CHECKS)
+    assert read_table(spark, TEMPLATE, tmp_path).count() == 4
+    assert read_table(spark, TEMPLATE, tmp_path, snapshot_id=first.snapshot_id).count() == 2
+
+
+def test_missing_source_is_actionable(spark, tmp_path):
+    with pytest.raises(ValueError, match="no source block"):
+        materialize(spark, TEMPLATE, tmp_path)
