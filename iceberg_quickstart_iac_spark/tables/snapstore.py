@@ -274,6 +274,36 @@ class SnapTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:
+        """Rewrite the current snapshot's data into fewer files — the
+        ``rewrite_data_files`` analog (SURVEY §4; Iceberg calls this
+        compaction). Many small append commits → one coalesced directory;
+        history before the compaction snapshot remains time-travelable
+        until expired.
+        """
+        current = self.current_snapshot()
+        if current is None:
+            raise TableNotFoundError(f"Table {self.fq_name} has no snapshots yet")
+        df = self.read(spark)
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        dir_name = uuid.uuid4().hex
+        df.write.parquet(str(self.data_dir / dir_name))
+        files = len(list((self.data_dir / dir_name).glob("*.parquet")))
+        entry = self._commit(
+            lambda entries: {
+                "operation": "compact",
+                "data_dirs": [dir_name],
+                "row_count": current["row_count"],
+                "file_count": files,
+            }
+        )
+        log_audit_event(
+            "table_write", self.fq_name, details={"mode": "compact", "file_count": files}
+        )
+        return entry
+
+
     def expire_snapshots(self, older_than_ms: int | None = None, max_age_ms: int | None = None) -> int:
         """Drop snapshots past the retention window; delete orphaned data.
 

@@ -1,0 +1,188 @@
+"""Property-based tests (hypothesis) for the invariant-heavy operators:
+as-of join vs pandas.merge_asof, SCD2 merge invariants under arbitrary
+update sequences, Murmur3 vectorized-vs-scalar agreement, quality-metric
+identities. Data is generated small and driven through the real Spark
+operators."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_quickstart_iac_spark.functions.transforms import (
+    _murmur3_32,
+    _murmur3_32_bytes,
+)
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_murmur3_vectorized_equals_scalar(values):
+    arr = np.array(values, dtype="<i8")
+    vec = _murmur3_32(np.frombuffer(arr.tobytes(), dtype=np.uint8))
+    for v, h in zip(values, vec):
+        assert h == _murmur3_32_bytes(np.array([v], dtype="<i8").tobytes())
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_murmur3_bytes_is_deterministic_int32(data):
+    h = _murmur3_32_bytes(data)
+    assert -(2**31) <= h < 2**31
+    assert h == _murmur3_32_bytes(data)
+
+
+@st.composite
+def _asof_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    right = []
+    left = []
+    for k in range(n_keys):
+        r_ts = sorted(set(draw(st.lists(st.integers(0, 1000), min_size=0, max_size=8))))
+        right += [(f"k{k}", t, float(i)) for i, t in enumerate(r_ts)]
+        l_ts = draw(st.lists(st.integers(0, 1000), min_size=1, max_size=8))
+        left += [(f"k{k}", t) for t in l_ts]
+    return left, right
+
+
+@given(_asof_case())
+@settings(**SETTINGS)
+def test_asof_join_matches_merge_asof(spark, case):
+    from iceberg_quickstart_iac_spark.operators.asof import as_of_join
+
+    left_rows, right_rows = case
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(left_rows)], "k STRING, lts TIMESTAMP, lid INT"
+    )
+    if right_rows:
+        right = spark.createDataFrame(
+            [(k, ts(t), v) for k, t, v in right_rows], "k STRING, rts TIMESTAMP, rv DOUBLE"
+        )
+    else:
+        right = spark.createDataFrame([], "k STRING, rts TIMESTAMP, rv DOUBLE")
+
+    ours = (
+        as_of_join(left, right, on="k", left_ts="lts", right_ts="rts")
+        .orderBy("k", "lts", "lid")
+        .toPandas()
+    )
+    lp = left.toPandas().sort_values("lts", kind="stable")
+    rp = right.toPandas().sort_values("rts", kind="stable")
+    expected = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="k").sort_values(
+        ["k", "lts", "lid"], ignore_index=True
+    )
+    assert ours["rv"].fillna(-1).tolist() == expected["rv"].fillna(-1).tolist()
+
+
+@st.composite
+def _scd2_batches(draw):
+    keys = [f"k{i}" for i in range(draw(st.integers(1, 4)))]
+    n_batches = draw(st.integers(1, 3))
+    batches = []
+    for b in range(n_batches):
+        batch = []
+        for k in draw(st.lists(st.sampled_from(keys), min_size=1, max_size=4, unique=True)):
+            batch.append((k, draw(st.sampled_from(["a", "b", "c"]))))
+        batches.append(batch)
+    return batches
+
+
+@given(_scd2_batches())
+@settings(**SETTINGS)
+def test_scd2_invariants_hold_under_any_batch_sequence(spark, batches):
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [],
+        "surrogate_key LONG, natural_key STRING, status STRING, "
+        "effective_from TIMESTAMP, effective_to TIMESTAMP, is_current BOOLEAN",
+    )
+    base = datetime.datetime(2024, 1, 1)
+    for i, batch in enumerate(batches):
+        updates = spark.createDataFrame(
+            [(k, s, base + datetime.timedelta(days=i)) for k, s in batch],
+            "natural_key STRING, status STRING, effective_from TIMESTAMP",
+        )
+        dim = scd2_merge(dim, updates, "natural_key", ["status"]).localCheckpoint()
+
+    pdf = dim.toPandas()
+    seen_keys = {k for batch in batches for k, _ in batch}
+    # exactly one current row per key ever seen
+    current = pdf[pdf.is_current]
+    assert set(current.natural_key) == seen_keys
+    assert current.natural_key.is_unique
+    # open rows have no effective_to; closed rows do
+    assert current.effective_to.isna().all()
+    assert pdf[~pdf.is_current].effective_to.notna().all()
+    # per key: version intervals are chronologically ordered and contiguous
+    for k, grp in pdf.groupby("natural_key"):
+        grp = grp.sort_values("effective_from")
+        ends = grp.effective_to.tolist()
+        starts = grp.effective_from.tolist()
+        for j in range(len(grp) - 1):
+            assert ends[j] == starts[j + 1]  # closed exactly at successor start
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 5)), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_quality_metric_identities(spark, rows):
+    """missing + present = total; duplicate_count = rows-with-value − distinct."""
+    from iceberg_quickstart_iac_spark.operators.quality import Check, run_checks
+
+    data = [(str(v) if present else None,) for present, v in rows]
+    df = spark.createDataFrame(data, "x STRING")
+    rep = run_checks(
+        df,
+        [
+            Check("row_count", op=">=", threshold=0),
+            Check("missing_count", "x", op=">=", threshold=0),
+            Check("duplicate_count", "x", op=">=", threshold=0),
+        ],
+    )
+    by = {r.check.kind: r.value for r in rep.results}
+    present_vals = [v for v in (d[0] for d in data) if v is not None]
+    assert by["row_count"] == len(data)
+    assert by["missing_count"] == len(data) - len(present_vals)
+    assert by["duplicate_count"] == len(present_vals) - len(set(present_vals))
+
+
+def test_compaction_preserves_data_and_history(spark, tmp_path):
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tmp_path / "t", {"name": "t", "namespace": "ns", "columns": [], "partition_spec": []}
+    )
+    df = spark.createDataFrame([(i,) for i in range(10)], "v LONG")
+    for _ in range(3):
+        t.append(df.repartition(4))
+    assert t.current_snapshot()["file_count"] >= 4
+    pre_compact = t.current_snapshot()["snapshot_id"]
+
+    entry = t.compact(spark, target_files=1)
+    assert entry["operation"] == "compact"
+    assert entry["file_count"] == 1
+    assert t.read(spark).count() == 30
+    # pre-compaction snapshot still time-travelable
+    assert t.read(spark, snapshot_id=pre_compact).count() == 30
