@@ -54,16 +54,19 @@ def cosine_topk(
     Output: (query_id, vec_id, cosine, rank), rank 1..k per query,
     deterministic tie-break on vec_id.
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
+    # norms hoisted to one column per row/query (vs per pair): same value,
+    # one fold per pair instead of three
+    q = F.broadcast(
+        queries.select(query_id, query_vec, _norm(F.col(query_vec)).alias("__qn"))
+    )
     scored = (
-        corpus.select(corpus_id, corpus_vec)
+        corpus.select(corpus_id, corpus_vec, _norm(F.col(corpus_vec)).alias("__cn"))
         .crossJoin(q)
         .select(
             query_id,
             corpus_id,
             (
-                _dot(F.col(corpus_vec), F.col(query_vec))
-                / (_norm(F.col(corpus_vec)) * _norm(F.col(query_vec)))
+                _dot(F.col(corpus_vec), F.col(query_vec)) / (F.col("__cn") * F.col("__qn"))
             ).alias("cosine"),
         )
     )

@@ -1133,10 +1133,19 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.similarity import _dot, _norm
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # hoist the norms to one column per ROW (vs recomputing both per PAIR in
+    # the nested-loop join — 3 folds/pair → 1); same expression tree per
+    # value, so results stay bit-identical to the oracle's formula
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cosine = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
@@ -1173,4 +1182,147 @@ def event_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Third-wave analytics: Q10/Q14 shapes, CUBE with grouping indicators,
+# LIKE-predicate pushdown.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '1999-02-01'
+    """,
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(disc).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "cube_status_year",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    ORDER BY g_status, g_year, o_orderstatus NULLS FIRST, o_year NULLS FIRST
+    """,
+)
+def cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    return (
+        orders.cube("o_orderstatus", "o_year")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_year").cast("int").alias("g_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_year", "g_status", "g_year", "n_orders")
+        .orderBy(
+            "g_status",
+            "g_year",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_year").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "brand_size_stats",
+    oracle="""
+    SELECT p_brand,
+           COUNT(DISTINCT p_size) AS n_sizes,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price,
+           COUNT(*) AS n_parts
+    FROM part
+    WHERE p_type LIKE '%BRASS%' OR p_name LIKE '%red%'
+       OR p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def brand_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_type").like("%BRASS%")
+            | F.col("p_name").like("%red%")
+            | F.col("p_type").isin("PROMO", "ECONOMY")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_size").alias("n_sizes"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+            F.max("p_retailprice").cast("double").alias("max_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("p_brand")
     )
