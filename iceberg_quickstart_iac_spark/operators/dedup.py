@@ -230,7 +230,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         F.aggregate(
             F.array(*[F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(bits)]),
             F.lit(0).cast("long"),
-            lambda acc, bit: acc * 2 + bit,
+            # shiftleft|or, NOT acc*2+bit: the multiply overflows signed long
+            # at the 64th bit under ANSI mode (whenever the first-folded bit
+            # is 1) — shifts wrap without overflow checks
+            lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
         ).alias("simhash"),
     )
     return sig

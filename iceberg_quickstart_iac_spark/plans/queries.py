@@ -1326,3 +1326,73 @@ def brand_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining dedup tiers as driver-visible queries (SURVEY §2.13 X2). Both are
+# engine-hash-specific → rows-only driver checks; correctness is pinned in
+# tests against planted duplicates. Id-bounded blocks keep bench cost flat
+# across SFs (the cap is in the name, not silent).
+# ---------------------------------------------------------------------------
+
+
+@query("simhash_near_pairs_block2k")
+def simhash_near_pairs_block2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    sig = simhash(docs, "doc_id", "text").cache()
+    return (
+        simhash_candidate_pairs(sig, "doc_id")
+        .filter(F.col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("ngram_jaccard_dups_block1k")
+def ngram_jaccard_dups_block1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot metadata / time-travel as a driver-visible query (SURVEY §2.10
+# M1-M2): builds a throwaway snapshot table, commits overwrite + append +
+# compact, and returns the deterministic metadata columns. Rows-only check
+# (snapshot ids / timestamps are nondeterministic by nature).
+# ---------------------------------------------------------------------------
+
+
+@query("snapshot_metadata_lifecycle")
+def snapshot_metadata_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="snapmeta_") + "/t",
+        {"name": "meta_demo", "namespace": "lakehouse", "columns": [], "partition_spec": []},
+    )
+    region = load_table(spark, sf_dir, "region")
+    first = t.overwrite(region)
+    t.append(region)
+    t.compact(spark, target_files=1)
+    # time-travel assertion folded into the result: the first snapshot must
+    # still read 5 rows after compaction
+    tt_rows = t.read(spark, snapshot_id=first["snapshot_id"]).count()
+    return (
+        t.snapshots(spark)
+        .select(
+            "sequence",
+            "operation",
+            "row_count",
+            "data_dir_count",
+            F.lit(tt_rows).alias("time_travel_rows"),
+        )
+        .orderBy("sequence")
+    )
