@@ -87,3 +87,25 @@ def test_drift_ignores_deliberate_demotions():
         [T.StructField("u", T.StringType()), T.StructField("tod", T.StringType())]
     )
     assert not diff_schema(live, template, audit=False).has_drift
+
+
+def test_audit_rejects_unknown_event():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unknown audit event"):
+        log_audit_event("table_dropped_by_intern", "lakehouse.t")
+
+
+def test_audit_subscribers_observe_events():
+    from iceberg_quickstart_iac_spark.governance.audit import (
+        add_audit_subscriber,
+        remove_audit_subscriber,
+    )
+
+    seen = []
+    add_audit_subscriber(seen.append)
+    try:
+        log_audit_event("table_read", "lakehouse.t", details={"rows": 1})
+    finally:
+        remove_audit_subscriber(seen.append)
+    assert len(seen) == 1 and seen[0]["event"] == "table_read"
