@@ -1396,3 +1396,57 @@ def snapshot_metadata_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sequence")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profile (SURVEY §2.4 extension): exact percentiles (Spark
+# `percentile` ≡ DuckDB `quantile_cont`, both linear interpolation on the
+# sorted set — order-insensitive by construction) and variance/stddev
+# computed from exact decimal sums via the explicit formula — the naive
+# stddev aggregate is float-order-sensitive and can't hash-match.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_price_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_price,
+           round((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1), 3) AS var_price,
+           round(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1)), 3) AS stddev_price,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+    s2 = F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(24,6)")).cast(
+        "double"
+    )
+    var = (s2 - s * s / n) / (n - F.lit(1))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            (s / n).alias("mean_price"),
+            # both engines agree to ~1 ulp on the variance formula but not
+            # bitwise; round(3) both sides puts the grain 10 orders above it
+            F.round(var, 3).alias("var_price"),
+            F.round(F.sqrt(var), 3).alias("stddev_price"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
