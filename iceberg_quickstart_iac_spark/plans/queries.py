@@ -1450,3 +1450,356 @@ def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave — remaining classic TPC-H join/aggregate shapes adapted to the
+# trimmed star schema (no partsupp/shipmode/phone columns in the testdata),
+# plus window-function analytics (running totals, LAG gaps, NTILE tiers).
+# Parity anchor: the reference delegates exactly this class of SQL to
+# Athena/BigQuery/DuckDB (docs/bring-your-own-data.md:83-90); these prove the
+# Spark engine covers the same declarative surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume of trade between two nations per ship year.
+
+    Scale notes: the two fact tables join on their natural shuffle keys
+    (orderkey); supplier + both nation roles are broadcast so the
+    nation-pair predicate prunes rows before the fact-fact shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_8'
+                         THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_8's share of EUROPE's ECONOMY-part market per
+    year. Share = exact-decimal conditional sum / exact-decimal total, both
+    cast to double before the (IEEE-deterministic) division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_8", vol.cast(DEC)).otherwise(
+            F.lit(0).cast(DEC)
+        )
+    ).cast("double")
+    den = F.sum(vol.cast(DEC)).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(region), n2.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((num / den).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans partsupp, absent from the schema): profit on
+    'gear' parts by supplier nation and order year. The p_name LIKE filter
+    broadcasts a pruned part dim, shrinking the probe before the fact
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicate across both join
+    sides. The part-side disjuncts (brand+size) are pushed below the join to
+    prune the broadcast build; the mixed l_quantity conjuncts evaluate as the
+    join residual — exactly where Catalyst puts them."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (mktsegment instead of the absent phone prefix):
+    above-average-balance customers dormant since 2000. The scalar average
+    is a 1-row broadcast cross join — no driver-side collect — and the NOT
+    EXISTS is a left_anti join on the (date-pruned) order scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "customer_running_totals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_spend,
+           COALESCE(CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS gap_days
+    FROM orders
+    WHERE o_custkey % 50 = 7
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics (SURVEY §2.5 extension): per-customer order sequence,
+    running spend, and days-since-previous-order. One shuffle on o_custkey
+    serves all three window functions; the running sum is an exact decimal
+    prefix sum (cast to double per row) so both engines agree bitwise."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 7)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
+            F.sum(F.col("o_totalprice").cast(DEC)).over(wr).cast("double").alias(
+                "running_spend"
+            ),
+            F.coalesce(
+                F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long"),
+                F.lit(-1).cast("long"),
+            ).alias("gap_days"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quartile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(total_spend AS DECIMAL(18,6))) AS DOUBLE) AS segment_spend
+    FROM (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+             CAST(NTILE(4) OVER (ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) DESC,
+                                 c_custkey) AS BIGINT) AS quartile
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    ) t
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE tiering (SURVEY §2.5 extension): customers ranked into spend
+    quartiles (deterministic tie-break on c_custkey), then re-aggregated per
+    segment. The per-customer aggregate and the NTILE reuse one
+    customer-keyed shuffle; the global NTILE is a single-partition sort of
+    the already-aggregated (small) customer list.
+
+    Scale note: a global NTILE over raw rows would bottleneck on one
+    partition; here it runs over ~1 row per customer post-aggregation. At
+    100 TB swap in percent_rank over bucketed boundaries."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"))
+    )
+    w = W.orderBy(F.desc("total_spend"), "c_custkey")
+    return (
+        per_cust.select(
+            "c_mktsegment",
+            "total_spend",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("total_spend", "segment_spend"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
