@@ -7,11 +7,17 @@ from iceberg_quickstart_iac_spark.streaming.ingest import (
     session_windows,
     windowed_event_counts,
 )
+from iceberg_quickstart_iac_spark.streaming.stateful import (
+    running_user_stats,
+    streaming_dedup,
+)
 
 __all__ = [
     "freshness_monitor",
     "incremental_file_ingest",
     "read_file_stream",
+    "running_user_stats",
     "session_windows",
+    "streaming_dedup",
     "windowed_event_counts",
 ]
