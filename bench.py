@@ -40,15 +40,21 @@ def main() -> None:
 
     # best-of-N per query: JVM/GC timing noise on a shared box is ±60% for
     # sub-second queries; the min is the stable signal
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    timings: dict[str, float] = {}
-    for name, fn in catalog.items():
-        best = float("inf")
-        for _ in range(repeats):
+    # best-of-N with WHOLE-CATALOG sweeps (not back-to-back reps of one
+    # query): a transient GC/CPU stall then lands on the same query in at
+    # most one sweep, so the per-query min across sweeps filters it out
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    timings: dict[str, float] = {name: float("inf") for name in catalog}
+    for _ in range(repeats):
+        for name, fn in catalog.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            # queries that .cache() intermediates would otherwise accumulate
+            # storage across 48 queries x sweeps in this one JVM — the
+            # memory pressure + GC stalls show up as 10x outliers later
+            spark.catalog.clearCache()
+    timings = {name: round(t, 4) for name, t in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

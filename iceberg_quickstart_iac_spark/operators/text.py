@@ -67,16 +67,23 @@ def content_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def language_id(col: Column | str) -> Column:
+def language_id(col: Column | str, tokens: Column | None = None) -> Column:
     """Heuristic language guess over {en, de, fr, es, zh, unknown}.
 
     CJK-dominant text → zh; otherwise the language whose stopword seed set
     overlaps the token set most (ties → lexicographic, deterministic);
-    no overlap at all → 'unknown'. All array ops, zero UDFs.
+    no overlap at all → 'unknown'. All codegen-able array ops, zero UDFs —
+    no higher-order functions, which would drop the whole projection out of
+    whole-stage codegen and re-evaluate the tokenize subtree per element.
+
+    Pass a pre-materialized ``tokens`` column (:func:`word_tokens`) when
+    calling in a hot path so normalization+split runs once per row.
     """
     c = F.col(col) if isinstance(col, str) else col
-    tokens = word_tokens(c)
-    n_cjk = F.size(F.regexp_extract_all(c, F.lit(_CJK_PATTERN), 0))
+    if tokens is None:
+        tokens = word_tokens(c)
+    # count-by-length-delta: no per-match array materialization
+    n_cjk = F.length(c) - F.length(F.regexp_replace(c, _CJK_PATTERN, ""))
 
     scores = F.array(
         *[
@@ -89,9 +96,8 @@ def language_id(col: Column | str) -> Column:
             for lang, words in sorted(STOPWORDS.items())
         ]
     )
-    best = F.array_max(
-        F.transform(scores, lambda s: F.struct(s.score.alias("score"), s.lang.alias("lang")))
-    )
+    # array_max on struct = max by (score, then lang): same tie-break as before
+    best = F.array_max(scores)
     latin_guess = F.when(best.score > 0, best.lang).otherwise(F.lit("unknown"))
     return F.when(n_cjk * 2 > F.length(c) / 4, F.lit("zh")).otherwise(latin_guess)
 
@@ -112,10 +118,10 @@ def quality_score(col: Column | str) -> Column:
     len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(
         F.least(n_chars / 50.0, F.lit(1.0))
     )
-    alpha_ratio = F.size(F.regexp_extract_all(c, F.lit("[A-Za-z]"), 0)) / F.greatest(
+    alpha_ratio = (n_chars - F.length(F.regexp_replace(c, "[A-Za-z]", ""))) / F.greatest(
         n_chars, F.lit(1)
     )
-    punct_ratio = F.size(F.regexp_extract_all(c, F.lit("[.,!?;:]"), 0)) / F.greatest(
+    punct_ratio = (n_chars - F.length(F.regexp_replace(c, "[.,!?;:]", ""))) / F.greatest(
         n_chars, F.lit(1)
     )
     punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(F.lit(0.2))

@@ -826,9 +826,12 @@ def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_language_id")
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import _spread
     from iceberg_quickstart_iac_spark.operators.text import language_id
 
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread: one small parquet file scans as ONE partition — fan the
+    # regex-heavy classification out to every core before the cheap agg
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", "lang", language_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
