@@ -13,6 +13,11 @@ Three strategies over an ``array<float>`` embedding column:
   neighbors at hamming distance 1) is scored. The 100 TB path: candidate
   set per query is |bucket| ≈ N / 2^planes, and the bucket join is a plain
   equi-join Catalyst can shuffle-partition.
+- :func:`ivf_index` / :func:`ivf_topk` — IVF (inverted-file) ANN: a
+  k-means coarse quantizer assigns every corpus vector to a cell; a query
+  scores only its ``nprobe`` nearest cells' vectors. The data-adaptive
+  alternative to LSH: cells follow the embedding distribution, so recall
+  per candidate scanned is higher on clustered corpora.
 
 Query sets are expected to be small (broadcast); the corpus side is never
 collected, never exploded per pair beyond the candidate set.
@@ -140,6 +145,86 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float
 
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    max_iter: int = 20,
+    seed: int = 42,
+    corpus_vec: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF coarse quantizer: (cell-tagged corpus, centroid list).
+
+    KMeans (JVM, seeded → deterministic) clusters the embeddings; the
+    returned corpus carries a ``cell`` column. At 100 TB: fit on a sample
+    (``corpus.sample(...)``), then assignment is a map-only pass, and
+    writing the corpus partitioned/bucketed BY cell makes every later
+    probe a partition-pruned scan instead of a full-corpus filter.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.withColumn(
+        "__v", array_to_vector(F.col(corpus_vec).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, maxIter=max_iter, seed=seed, featuresCol="__v", predictionCol="cell"
+    ).fit(vecs)
+    tagged = model.transform(vecs).drop("__v")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return tagged, centroids
+
+
+def ivf_topk(
+    tagged_corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by cosine, scoring only ``nprobe`` cells per query.
+
+    Candidate volume is ~``nprobe / n_cells`` of the corpus; the
+    (query × cell) routing table is tiny and broadcast, so the only big
+    operation is an equi-join on ``cell`` — shuffle-free when the corpus
+    is already partitioned by cell (see :func:`ivf_index`).
+    """
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # rank cells by cosine(query, centroid): explode the centroid list per
+    # query (Q x n_cells rows — tiny), window top-nprobe
+    routed = (
+        queries.select(query_id, query_vec, F.posexplode(cent).alias("cell", "__c"))
+        .withColumn(
+            "__cell_cos",
+            _dot(F.col(query_vec), F.col("__c")) / (_norm(F.col(query_vec)) * _norm(F.col("__c"))),
+        )
+        .withColumn(
+            "__cell_rank",
+            F.row_number().over(
+                W.partitionBy(query_id).orderBy(F.desc("__cell_cos"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("__cell_rank") <= nprobe)
+        .select(query_id, query_vec, "cell")
+    )
+    cand = tagged_corpus.join(F.broadcast(routed), "cell")
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        (
+            _dot(F.col(corpus_vec), F.col(query_vec))
+            / (_norm(F.col(corpus_vec)) * _norm(F.col(query_vec)))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def hyperplane_lsh_topk(

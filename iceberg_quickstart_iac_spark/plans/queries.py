@@ -2108,3 +2108,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor (SURVEY §2.13 X3 scale path). The
+# k-means quantizer is engine-specific (seeded JVM KMeans), so the driver
+# records a rows-only check; recall vs the exact top-k is pinned in
+# tests/test_dedup_similarity_text.py.
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_ann_ivf")
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tagged, centroids = ivf_index(emb, n_cells=16, seed=42)
+    return ivf_topk(tagged, centroids, queries_df, k=10, nprobe=6).orderBy(
+        "query_id", "rank"
+    )

@@ -236,3 +236,58 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError, match="decoder='fake'"):
         extract_features(df, decoder="real")
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+
+    tagged, cents = ivf_index(emb, n_cells=16, seed=42)
+    assert len(cents) == 16 and len(cents[0]) == 64
+    out = ivf_topk(tagged, cents, q, k=10, nprobe=6).collect()
+    approx = {(r.query_id, r.vec_id) for r in out}
+
+    # full k rows per query, ranks contiguous, scores within [-1, 1]
+    assert len(out) == 5 * 10
+    # self-similarity rounds to 1.0 + O(eps) in double arithmetic
+    assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in out)
+    # probing 6/16 cells must beat random scanning by a wide margin
+    assert len(approx & exact) / len(exact) >= 0.6
+
+    # seeded quantizer -> bit-stable results across rebuilds
+    tagged2, cents2 = ivf_index(emb, n_cells=16, seed=42)
+    out2 = ivf_topk(tagged2, cents2, q, k=10, nprobe=6).collect()
+    assert [(r.query_id, r.vec_id, r.cosine) for r in out] == [
+        (r.query_id, r.vec_id, r.cosine) for r in out2
+    ]
+
+
+def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
+    """nprobe = n_cells degenerates to exact brute force — same top-k set."""
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tagged, cents = ivf_index(emb, n_cells=8, seed=7)
+    full = ivf_topk(tagged, cents, q, k=5, nprobe=8).collect()
+    exact = cosine_topk(emb, q, k=5).collect()
+    assert sorted((r.query_id, r.vec_id) for r in full) == sorted(
+        (r.query_id, r.vec_id) for r in exact
+    )
