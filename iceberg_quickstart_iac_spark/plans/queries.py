@@ -2130,3 +2130,52 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(tagged, centroids, queries_df, k=10, nprobe=6).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join (SURVEY §2.3 extension): follow-up events within one
+# hour of an anchor event by the same user — the interval-join shape OSS
+# Spark would otherwise plan as a per-key near-cartesian product.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_followup_pairs",
+    oracle="""
+    SELECT a.event_type AS type_a,
+           b.event_type AS type_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS total_gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_followup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor type, follow-up type) pair counts + total gap for same-user
+    events <= 1 hour apart. The strict lower bound rides in as lo = ts+1µs
+    (timestamps are µs precision); gaps sum exactly as int64 µs."""
+    from iceberg_quickstart_iac_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("user_id", F.col("event_type").alias("type_b"), F.col("ts").alias("ts_b"))
+    anchors = ev.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+        F.timestamp_micros(F.unix_micros("ts") + 1).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    return (
+        range_join(points, anchors, ["user_id"], "ts_b", "lo", "hi", bucket_s=3600)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("total_gap_us"),
+        )
+        .orderBy("type_a", "type_b")
+    )
