@@ -3,6 +3,7 @@
 from iceberg_quickstart_iac_spark.governance.access import (
     AccessLevel,
     read_with_access_level,
+    read_with_row_policies,
     reader_view_sql,
 )
 from iceberg_quickstart_iac_spark.governance.audit import AUDIT_EVENTS, log_audit_event
@@ -14,5 +15,6 @@ __all__ = [
     "diff_schema",
     "log_audit_event",
     "read_with_access_level",
+    "read_with_row_policies",
     "reader_view_sql",
 ]

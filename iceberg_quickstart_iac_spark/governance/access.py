@@ -57,6 +57,38 @@ def read_with_access_level(
     return df
 
 
+def read_with_row_policies(
+    df: DataFrame,
+    policies: dict[str, str],
+    access_level: AccessLevel | str = AccessLevel.READER,
+    table: str | None = None,
+) -> DataFrame:
+    """Row-level governance: reader sessions see only rows passing EVERY
+    policy predicate (Lake Formation row filters / BigQuery row-access
+    policies, expressed Spark-native).
+
+    ``policies`` maps policy name → SQL boolean expression over the
+    table's columns (e.g. ``{"region_fence": "region = 'EU'"}``). The
+    predicates are plain Catalyst filters, so they push down to the scan
+    like any user filter — restricted rows are pruned at the parquet
+    row-group level, not post-read. Admin/writer sessions bypass, same as
+    the column tier.
+    """
+    from pyspark.sql import functions as F
+
+    level = AccessLevel(access_level)
+    if level is not AccessLevel.READER or not policies:
+        return df
+    for name in sorted(policies):
+        df = df.filter(F.expr(policies[name]))
+    log_audit_event(
+        "row_policy_applied",
+        table or "",
+        details={"policies": sorted(policies), "access_level": level.value},
+    )
+    return df
+
+
 def reader_view_sql(template: dict, table_fq: str, view_fq: str | None = None) -> str:
     """Render the governed reader view DDL for a template."""
     restricted = set(get_restricted_columns(template))

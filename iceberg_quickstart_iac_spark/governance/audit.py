@@ -28,6 +28,7 @@ AUDIT_EVENTS = (
     "table_write",
     "source_ingest",
     "pii_columns_dropped",
+    "row_policy_applied",
     "schema_drift",
 )
 

@@ -2179,3 +2179,103 @@ def event_followup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregate (SURVEY §2.5/§2.9 extension): one
+# pass produces every time grain (minute ⊂ hour ⊂ day ⊂ total) via ROLLUP —
+# the batch form of a multi-resolution materialized rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_time_hierarchy_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
+                WHEN GROUPING(hour_b)   = 0 THEN 'hour'
+                WHEN GROUPING(day_b)    = 0 THEN 'day'
+                ELSE 'total' END AS grain,
+           CAST(epoch_us(day_b)    AS BIGINT) AS day_us,
+           CAST(epoch_us(hour_b)   AS BIGINT) AS hour_us,
+           CAST(epoch_us(minute_b) AS BIGINT) AS minute_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT value,
+             date_trunc('day', ts)    AS day_b,
+             date_trunc('hour', ts)   AS hour_b,
+             date_trunc('minute', ts) AS minute_b
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22'
+    ) t
+    GROUP BY ROLLUP (day_b, hour_b, minute_b)
+    ORDER BY grain, day_us NULLS FIRST, hour_us NULLS FIRST, minute_us NULLS FIRST
+    """,
+)
+def event_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day/total aggregates in ONE aggregation pass (ROLLUP
+    expands the grouping sets; partial aggregation still combines map-side).
+    The scale path for \"keep every resolution materialized\": at 100 TB
+    this replaces 3 separate scans with one, and the output is exactly the
+    multi-grain table a serving layer reads with grain = filter."""
+    ev = load_table(spark, sf_dir, "events", events_ts_at_least="2024-01-20").filter(
+        F.col("ts") < F.lit("2024-01-22").cast("timestamp")
+    )
+    day_b = F.date_trunc("day", F.col("ts"))
+    hour_b = F.date_trunc("hour", F.col("ts"))
+    minute_b = F.date_trunc("minute", F.col("ts"))
+    grain = (
+        F.when(F.grouping(minute_b) == 0, "minute")
+        .when(F.grouping(hour_b) == 0, "hour")
+        .when(F.grouping(day_b) == 0, "day")
+        .otherwise("total")
+    )
+    return (
+        ev.rollup(day_b, hour_b, minute_b)
+        .agg(
+            grain.alias("grain"),
+            F.unix_micros(day_b).alias("day_us"),
+            F.unix_micros(hour_b).alias("hour_us"),
+            F.unix_micros(minute_b).alias("minute_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select("grain", "day_us", "hour_us", "minute_us", "n_events", "sum_value")
+        .orderBy("grain", F.asc_nulls_first("day_us"), F.asc_nulls_first("hour_us"),
+                 F.asc_nulls_first("minute_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-level governance (SURVEY §2.11 G1 row tier): the reader-session scan
+# with row policies applied — predicates reach the parquet scan exactly
+# like user filters (tests/test_governance.py asserts PushedFilters).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "row_policy_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value >= 0 AND event_type <> 'error'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def row_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.governance.access import read_with_row_policies
+
+    ev = load_table(spark, sf_dir, "events")
+    governed = read_with_row_policies(
+        ev,
+        {"non_negative_value": "value >= 0", "no_error_rows": "event_type <> 'error'"},
+        table="events",
+    )
+    return (
+        governed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

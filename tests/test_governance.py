@@ -109,3 +109,51 @@ def test_audit_subscribers_observe_events():
     finally:
         remove_audit_subscriber(seen.append)
     assert len(seen) == 1 and seen[0]["event"] == "table_read"
+
+
+def test_row_policies_filter_and_audit(spark):
+    from iceberg_quickstart_iac_spark.governance.access import read_with_row_policies
+    from iceberg_quickstart_iac_spark.governance.audit import (
+        add_audit_subscriber,
+        remove_audit_subscriber,
+    )
+
+    df = spark.createDataFrame(
+        [("EU", 10), ("EU", -5), ("US", 10)], "region string, amount int"
+    )
+    seen = []
+    add_audit_subscriber(seen.append)
+    try:
+        out = read_with_row_policies(
+            df,
+            {"region_fence": "region = 'EU'", "no_negatives": "amount >= 0"},
+            table="t",
+        ).collect()
+    finally:
+        remove_audit_subscriber(seen.append)
+    assert [(r.region, r.amount) for r in out] == [("EU", 10)]
+    (rec,) = [r for r in seen if r["event"] == "row_policy_applied"]
+    assert rec["details"]["policies"] == ["no_negatives", "region_fence"]
+
+
+def test_row_policies_bypass_for_admin_and_empty(spark):
+    from iceberg_quickstart_iac_spark.governance.access import read_with_row_policies
+
+    df = spark.createDataFrame([("EU", 1), ("US", 2)], "region string, amount int")
+    assert read_with_row_policies(df, {"f": "region = 'EU'"}, "admin").count() == 2
+    assert read_with_row_policies(df, {}, "reader").count() == 2
+
+
+def test_row_policy_predicate_pushes_to_scan(spark, tmp_path):
+    """The policy is an ordinary Catalyst filter — it must reach the
+    parquet scan (restricted rows pruned at row-group level, not post-read)."""
+    from iceberg_quickstart_iac_spark.governance.access import read_with_row_policies
+
+    path = str(tmp_path / "gov")
+    spark.createDataFrame(
+        [("EU", 1), ("US", 2)], "region string, amount int"
+    ).write.parquet(path)
+    out = read_with_row_policies(spark.read.parquet(path), {"fence": "region = 'EU'"})
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(jm)
+    assert "EqualTo(region,EU)" in plan.split("PushedFilters")[1].splitlines()[0]

@@ -1,0 +1,63 @@
+"""Plan-regression tests: the physical plans we designed for, asserted so a
+refactor can't silently trade them away (PERFORMANCE.md is the prose
+version). All assertions are on explain output — no query executes except
+the few whose construction is eager (IVF fit, table lifecycle)."""
+
+from __future__ import annotations
+
+from iceberg_quickstart_iac_spark.plans.queries import queries
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jm)
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir_small):
+    """A CartesianProduct in any catalog plan is a scale bug: it means a
+    join lost its equi-condition (or a broadcast hint) somewhere."""
+    offenders = []
+    for name, fn in queries().items():
+        if "CartesianProduct" in _plan(spark, fn(spark, sf_dir_small)):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_flagship_filter_reaches_parquet_scan(spark, sf_dir_small):
+    p = _plan(spark, queries()["flagship_event_type_counts"](spark, sf_dir_small))
+    assert "GreaterThanOrEqual(ts," in p  # raw-nanos predicate, pushed
+    # pruned scan: the unused event_id/user_id/props columns are not read
+    assert "props" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q6_whole_predicate_pushes_down(spark, sf_dir_small):
+    p = _plan(spark, queries()["q6_flat_revenue"](spark, sf_dir_small))
+    scan = p.split("PushedFilters")[1].splitlines()[0]
+    for field in ("l_shipdate", "l_discount", "l_quantity"):
+        assert field in scan, f"{field} not pushed: {scan}"
+
+
+def test_q3_broadcasts_dims_and_heaps_topk(spark, sf_dir_small):
+    p = _plan(spark, queries()["q3_top_revenue_orders"](spark, sf_dir_small))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k: per-partition heap, no global sort
+
+
+def test_pii_columns_never_scanned(spark, sf_dir_small):
+    p = _plan(spark, queries()["pii_safe_events"](spark, sf_dir_small))
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_aggregates_are_partial_then_final(spark, sf_dir_small):
+    """Map-side combine: every groupBy plans partial + final HashAggregate."""
+    p = _plan(spark, queries()["q1_pricing_summary"](spark, sf_dir_small))
+    assert p.count("HashAggregate") >= 2
+
+
+def test_range_join_is_equi_join_not_band(spark, sf_dir_small):
+    """The bucketed decomposition must plan as a hash/sort-merge equi-join;
+    a BroadcastNestedLoopJoin would mean the band condition leaked back in."""
+    p = _plan(spark, queries()["event_followup_pairs"](spark, sf_dir_small))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
