@@ -8,11 +8,13 @@ from iceberg_quickstart_iac_spark.streaming.ingest import (
     windowed_event_counts,
 )
 from iceberg_quickstart_iac_spark.streaming.stateful import (
+    followup_join_stream,
     running_user_stats,
     streaming_dedup,
 )
 
 __all__ = [
+    "followup_join_stream",
     "freshness_monitor",
     "incremental_file_ingest",
     "read_file_stream",

@@ -34,6 +34,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -163,4 +164,37 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         stateStructType=_STATS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def followup_join_stream(
+    anchors: DataFrame,
+    followups: DataFrame,
+    max_gap_s: int = 3600,
+    watermark_s: int = 7200,
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming analog of
+    ``operators.rangejoin.range_join`` (events within ``max_gap_s`` after a
+    same-user anchor), expressed with Spark's native time-bound join.
+
+    ``anchors`` needs ``user_id, event_id AS anchor_id, ts_a``;
+    ``followups`` needs ``user_id, event_id AS follow_id, ts_b``. The time
+    bound (``ts_b`` in ``(ts_a, ts_a + max_gap_s]``) plus both watermarks
+    lets the state store evict anchors older than the watermark — bounded
+    state on an unbounded stream, which is what makes this viable as an
+    always-on job. Output: one row per (anchor, follow-up) pair with the
+    gap in seconds.
+    """
+    a = anchors.withWatermark("ts_a", f"{watermark_s} seconds")
+    b = followups.withWatermark("ts_b", f"{watermark_s} seconds")
+    cond = (
+        (a["user_id"] == b["user_id"])
+        & (b["ts_b"] > a["ts_a"])
+        & (b["ts_b"] <= a["ts_a"] + F.expr(f"INTERVAL {int(max_gap_s)} SECONDS"))
+    )
+    return a.join(b, cond).select(
+        a["user_id"],
+        "anchor_id",
+        "follow_id",
+        (F.unix_micros(b["ts_b"]) - F.unix_micros(a["ts_a"])).alias("gap_us"),
     )

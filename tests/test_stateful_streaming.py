@@ -35,6 +35,15 @@ def _few_state_stores(spark):
     spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _us(s: str) -> int:
+    """ISO 'YYYY-MM-DD HH:MM:SS' (UTC) → epoch microseconds."""
+    from datetime import datetime, timezone
+
+    return int(
+        datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+
+
 def _write_slice(spark, path, rows):
     spark.createDataFrame(
         rows, "user_id LONG, event_id LONG, event_type STRING, value DOUBLE, ts_us LONG"
@@ -135,3 +144,40 @@ def test_running_user_stats_accumulates_across_runs(spark, tmp_path):
     by_user = {r.user_id: r for r in out2}
     assert (by_user[1].n_events, by_user[1].sum_value, by_user[1].max_value) == (3, 16.0, 10.0)
     assert (by_user[2].n_events, by_user[2].sum_value, by_user[2].max_value) == (1, 1.0, 1.0)
+
+
+def test_followup_join_stream_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join produces exactly the pairs the batch
+    bucketed range_join finds on the same data."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.streaming.stateful import followup_join_stream
+
+    rows = [
+        (1, 10, "click", 1.0, _us("2024-01-01 00:00:00")),
+        (1, 11, "buy", 2.0, _us("2024-01-01 00:30:00")),   # 30min after 10
+        (1, 12, "view", 3.0, _us("2024-01-01 02:00:00")),  # past 1h from both
+        (2, 20, "click", 1.0, _us("2024-01-01 00:00:00")),
+        (2, 21, "buy", 1.0, _us("2024-01-01 01:00:00")),   # exactly 1h -> inclusive
+    ]
+    src = str(tmp_path / "src")
+    _write_slice(spark, src, rows)
+
+    base = read_file_stream(spark, src, SCHEMA).withColumn(
+        "ts", F.timestamp_micros("ts_us")
+    )
+    anchors = base.select(
+        "user_id", F.col("event_id").alias("anchor_id"), F.col("ts").alias("ts_a")
+    )
+    follows = base.select(
+        "user_id", F.col("event_id").alias("follow_id"), F.col("ts").alias("ts_b")
+    )
+    out = _drain(
+        spark,
+        followup_join_stream(anchors, follows, max_gap_s=3600),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        "append",
+    )
+    got = sorted((r.anchor_id, r.follow_id, r.gap_us) for r in out)
+    assert got == [(10, 11, 1800_000000), (20, 21, 3600_000000)]
