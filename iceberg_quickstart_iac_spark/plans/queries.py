@@ -2279,3 +2279,53 @@ def row_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape (partsupp value → supplier-nation revenue share): groups kept
+# only if they exceed a fraction of the GLOBAL total. The global scalar is
+# a window SUM over the 25-row aggregate — one pass over the fact table,
+# no second scan, no driver round-trip.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_top_nation_share",
+    oracle="""
+    WITH nation_value AS (
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, value
+    FROM nation_value
+    WHERE value > (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 0.04 FROM nation_value
+    )
+    ORDER BY value DESC, n_name
+    """,
+)
+def q11_top_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier nations holding > 4% of global line revenue. The decimal
+    re-sum of the per-nation doubles keeps the global threshold bit-equal
+    across engines; the empty-partition window is 25 rows, not the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nation_value = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "value"))
+    )
+    total = F.sum(F.col("value").cast(DEC)).over(W.partitionBy()).cast("double")
+    return (
+        nation_value.withColumn("__threshold", total * F.lit(0.04))
+        .filter(F.col("value") > F.col("__threshold"))
+        .select("n_name", "value")
+        .orderBy(F.desc("value"), "n_name")
+    )
