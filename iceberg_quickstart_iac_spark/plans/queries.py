@@ -2126,7 +2126,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    tagged, centroids = ivf_index(emb, n_cells=16, seed=42)
+    tagged, centroids = ivf_index(emb, n_cells=16, max_iter=8, seed=42)  # recall flat past ~8 iters
     return ivf_topk(tagged, centroids, queries_df, k=10, nprobe=6).orderBy(
         "query_id", "rank"
     )
@@ -2328,4 +2328,83 @@ def q11_top_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("__threshold"))
         .select("n_name", "value")
         .orderBy(F.desc("value"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline (SURVEY §2.13 X5): documents deterministically wrapped
+# as media rows (binary payload + typed metadata), run through the REAL
+# operators — attach_byte_metadata and the sample_frames fan-out — with the
+# byte/frame arithmetic replicated in SQL for the oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_media_stats",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INT) + 1]
+               AS mime_type
+      FROM documents
+    )
+    SELECT mime_type,
+           COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN mime_type = 'video/mp4'
+                         THEN (n_bytes % 10000) // 1000 + 1 ELSE 0 END) AS BIGINT)
+             AS n_frames
+    FROM media
+    GROUP BY mime_type
+    ORDER BY mime_type
+    """,
+)
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime corpus stats + video frame-sampling volume. The frame count
+    comes from the actual sample_frames posexplode (1 frame/s of synthetic
+    duration = n_bytes % 10000 ms), not from arithmetic — the oracle does
+    the arithmetic, pinning the fan-out's row-count semantics."""
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        attach_byte_metadata,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.element_at(mimes, (F.col("doc_id") % 3).cast("int") + 1).alias("mime_type"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    media = attach_byte_metadata(media)
+    videos = media.filter(F.col("mime_type") == "video/mp4").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width"),
+            F.col("meta.height"),
+            (F.col("meta.n_bytes") % 10000).alias("duration_ms"),
+            F.col("meta.n_bytes"),
+        ),
+    )
+    frames_per_video = (
+        sample_frames(videos, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return (
+        media.join(frames_per_video, "media_id", "left")
+        .groupBy("mime_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.sum(F.coalesce(F.col("n_frames"), F.lit(0))).alias("n_frames"),
+        )
+        .orderBy("mime_type")
     )
