@@ -2408,3 +2408,104 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + conversion funnel — the two classic product-analytics
+# shapes on top of the event/order streams (SURVEY §2.4/§2.5 extension).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(epoch_us(cohort_month) AS BIGINT) AS cohort_us,
+           CAST(datediff('month', cohort_month, date_trunc('month', o_orderdate)) AS INT)
+             AS months_since,
+           COUNT(DISTINCT o_custkey) AS active_customers
+    FROM orders JOIN first_order USING (o_custkey)
+    GROUP BY cohort_us, months_since
+    ORDER BY cohort_us, months_since
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly acquisition-cohort retention triangle. One extra shuffle
+    (first-order per customer) feeding a broadcast-joined reaggregation;
+    months_between on month-truncated stamps is integral, so the INT cast
+    is exact in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    return (
+        orders.join(first_order, "o_custkey")
+        .select(
+            F.unix_micros("cohort_month").alias("cohort_us"),
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_month")
+            )
+            .cast("int")
+            .alias("months_since"),
+            "o_custkey",
+        )
+        .groupBy("cohort_us", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("active_customers"))
+        .orderBy("cohort_us", "months_since")
+    )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, MIN(ts) AS click_ts
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), first_purchase AS (
+      SELECT f.user_id, MIN(e.ts) AS purchase_ts
+      FROM first_click f
+      JOIN events e ON e.user_id = f.user_id
+                   AND e.event_type = 'purchase' AND e.ts > f.click_ts
+      GROUP BY f.user_id
+    )
+    SELECT COUNT(*) AS n_clickers,
+           COUNT(p.purchase_ts) AS n_purchasers,
+           CAST(SUM(CASE WHEN p.purchase_ts <= f.click_ts + INTERVAL 24 HOURS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h
+    FROM first_click f LEFT JOIN first_purchase p USING (user_id)
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click → purchase funnel: first click per user, first later purchase,
+    conversions within 24h. Both stages are per-user MIN aggregates on the
+    SAME user_id shuffle partitioning — Catalyst reuses the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        first_click.join(first_purchase, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.count("purchase_ts").alias("n_purchasers"),
+            F.sum(
+                F.when(
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_converted_24h"),
+        )
+    )
