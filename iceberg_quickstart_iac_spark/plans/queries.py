@@ -2509,3 +2509,49 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_converted_24h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-event-per-user via aggregate struct-max (SURVEY §2.5 W2 scale
+# variant). Contrast with `latest_order_per_customer` (window row_number):
+# the aggregate form needs NO per-partition sort — partial max(struct)
+# combines map-side, so at 100 TB it moves one struct per (partition, user)
+# through the shuffle instead of sorting every row group.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-1 per key without a window: max of a
+    (ts, event_id, …) struct is lexicographic, so the (ts, event_id)
+    prefix is the same total order the oracle's ROW_NUMBER uses — the
+    payload columns ride along in the struct."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+        )
+        .select(
+            "user_id",
+            F.unix_micros("m.ts").alias("last_ts_us"),
+            F.col("m.event_type").alias("last_event_type"),
+            F.col("m.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
