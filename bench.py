@@ -2,6 +2,12 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+``value`` is the total across the FULL catalog. The inline ``queries`` dict
+carries the headline subset only — the harness that records this line keeps
+a bounded tail of stdout (2000 chars observed), so the line must stay well
+under that; the complete per-query map is written to ``bench_detail.json``
+next to this file.
+
 Each query is timed end-to-end (plan + execute + collect-count via a cheap
 ``count()`` action over the final result). A warm-up pass on sf0.001 JIT-warms
 the JVM and primes the parquet footer cache so timings reflect steady state.
@@ -18,6 +24,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_quickstart_iac_spark import plans
 from iceberg_quickstart_iac_spark.session import get_spark
+
+# Queries reported inline in the one-line JSON (the full TPC-H suite, the
+# flagship, and the extension headliners). Everything else still runs and is
+# totalled in "value" + persisted to bench_detail.json — the inline dict is
+# capped so the output line fits the harness's 2000-char stdout tail.
+HEADLINE = frozenset(
+    {
+        "flagship_event_type_counts",
+        *{f"q{i}_" + s for i, s in enumerate(
+            [
+                "pricing_summary", "min_cost_supplier", "top_revenue_orders",
+                "order_priority", "region_revenue", "flat_revenue",
+                "nation_volume", "market_share", "product_profit",
+                "returned_item_customers", "top_nation_share",
+                "shipmode_priority", "customer_order_histogram",
+                "promo_revenue_pct", "top_supplier", "supplier_variety",
+                "small_qty_avg_yearly", "large_orders", "disjunctive_revenue",
+                "heavy_shippers", "sole_late_shippers", "dormant_rich_customers",
+            ],
+            start=1,
+        )},
+        "near_dup_minhash_pairs",
+        "simhash_near_pairs_block2k",
+        "ngram_jaccard_dups_block1k",
+        "embedding_cosine_topk",
+        "embedding_ann_ivf",
+        "asof_last_click_before_purchase",
+        "scd2_chain_from_orders",
+        "user_sessions",
+        "doc_language_id",
+        "doc_quality_scores",
+    }
+)
 
 
 def main() -> None:
@@ -54,20 +93,30 @@ def main() -> None:
             # storage across 48 queries x sweeps in this one JVM — the
             # memory pressure + GC stalls show up as 10x outliers later
             spark.catalog.clearCache()
-    timings = {name: round(t, 4) for name, t in timings.items()}
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"queries": timings, "sf": sf_val, "cpus": int(cpus)}, fh, indent=1, sort_keys=True)
+
+    headline = {n: t for n, t in timings.items() if n in HEADLINE}
+    line = json.dumps(
+        {
+            "metric": "catalog_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": headline,
+            "detail": "bench_detail.json",
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    # hard guard: a line longer than the harness tail buffer is unparseable
+    assert len(line) < 1900, f"bench line {len(line)} chars exceeds tail budget"
+    print(line)
 
 
 if __name__ == "__main__":

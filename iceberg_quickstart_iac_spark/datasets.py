@@ -1,13 +1,19 @@
 """Loaders for the driver-materialized synthetic tables (TESTDATA.md).
 
 These are plain parquet scans — Catalyst gets full predicate pushdown /
-column pruning — with one normalization: ``events.ts`` is written as
-parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects by
-default. We read it as raw int64 nanos (``nanosAsLong``) and convert to a
-microsecond timestamp JVM-side (``timestamp_micros``), matching what the
-production table would store (Iceberg timestamps are microsecond
-precision; see reference type mapping at
-``dagster/lakehouse/utils/table_loader.py:52-68``).
+column pruning — with one normalization: ``events.ts`` must land as a
+microsecond TIMESTAMP (what an Iceberg event_stream table stores; see
+reference type mapping at ``dagster/lakehouse/utils/table_loader.py:52-68``)
+no matter how a given testdata generation wrote it:
+
+- parquet ``timestamp[us]`` without the UTC flag: Spark 4 infers
+  TIMESTAMP_NTZ by default, which half the timestamp builtins
+  (``unix_micros`` & co.) reject — we disable the NTZ inference so the
+  column reads as a plain TIMESTAMP *natively* (no cast wrapping the
+  column, so predicate pushdown on ``ts`` still reaches the scan);
+- parquet ``TIMESTAMP(NANOS)``: the vectorized reader rejects it by
+  default; read as raw int64 nanos (``nanosAsLong``) and convert JVM-side
+  (``timestamp_micros``).
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ def load_table(
     this — it exists for the testdata's TIMESTAMP(NANOS) artifact.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         if events_ts_at_least is not None:

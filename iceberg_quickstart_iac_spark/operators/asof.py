@@ -51,6 +51,16 @@ def as_of_join(
 
     left_cols = [c for c in left.columns if c not in keys and c != left_ts]
 
+    # a carried right column sharing a name with a left column would emit two
+    # identically-named output columns, making every later F.col(c) ambiguous
+    # — fail loudly instead of producing a silently unusable frame
+    collisions = sorted(set(carried) & set([*left_cols, left_ts]))
+    if collisions:
+        raise ValueError(
+            f"as_of_join: right columns {collisions} collide with left columns; "
+            "rename them on the right side (or pass explicit value_cols) first"
+        )
+
     tagged_left = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),

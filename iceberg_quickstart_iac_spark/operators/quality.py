@@ -128,8 +128,14 @@ def _metric_expr(check: Check, idx: int, as_of: Column, approx: bool) -> Column:
         )
         return (F.count(check.column) - distinct).alias(key)
     if check.kind == "freshness":
-        # age in seconds at evaluation time
-        return (as_of.cast("long") - F.max(check.column).cast("long")).alias(key)
+        # age in seconds at evaluation time; the inner cast to TIMESTAMP makes
+        # this work for TIMESTAMP_NTZ columns too (parquet timestamp[us]
+        # without UTC adjustment infers as NTZ, and ANSI mode forbids a direct
+        # NTZ → BIGINT cast)
+        return (
+            as_of.cast("timestamp").cast("long")
+            - F.max(F.col(check.column).cast("timestamp")).cast("long")
+        ).alias(key)
     raise ValueError(f"Unknown check kind: {check.kind!r}")
 
 
@@ -163,12 +169,24 @@ def run_checks(
     report = QualityReport(table=table)
     for i, check in enumerate(valid):
         value = row[f"m{i}"]
-        value = 0 if value is None else value
         if check.kind == "freshness":
             limit = parse_age(check.max_age)
+            if value is None:
+                # MAX(ts) is NULL ⇔ zero rows (or all-null ts): no data is
+                # NOT fresh — coercing to age 0 would pass a never-loaded table
+                report.results.append(
+                    CheckResult(
+                        check=check,
+                        value=float("inf"),
+                        passed=False,
+                        detail=f"no rows / all-null {check.column}: nothing to be fresh",
+                    )
+                )
+                continue
             passed = value < limit
             detail = f"age {value}s vs limit {limit}s"
         else:
+            value = 0 if value is None else value
             passed = _OPS[check.op](value, check.threshold)
             detail = f"value {value} {check.op} {check.threshold}"
         report.results.append(CheckResult(check=check, value=value, passed=passed, detail=detail))

@@ -50,7 +50,24 @@ def scd2_merge(
     ``tracked_cols``, ``effective_from``, ``effective_to``, ``is_current``,
     ``surrogate_key``. ``updates`` carries ``natural_key``, ``tracked_cols``
     and ``effective_ts_col`` (the batch effective instant per row).
+
+    A batch may carry several rows for one natural key (late replays,
+    multi-event micro-batches); only the LATEST row per key (max
+    ``effective_ts_col``, ties broken deterministically by the remaining
+    columns) is applied — the same row Iceberg's ``MERGE INTO`` would
+    require after the caller deduplicates, except here the reduction is
+    built in, so the open-row join below can never fan out into duplicate
+    ``untouched``/``superseded`` copies or multiple ``is_current`` versions.
     """
+    other_cols = [c for c in updates.columns if c != natural_key]
+    # struct-max with the effective ts leading = arg-max by ts; one shuffle,
+    # map-side partial aggregation (no window sort)
+    ordered = [effective_ts_col, *[c for c in other_cols if c != effective_ts_col]]
+    updates = (
+        updates.groupBy(natural_key)
+        .agg(F.max(F.struct(*ordered)).alias("__latest"))
+        .select(natural_key, *[F.col(f"__latest.{c}").alias(c) for c in other_cols])
+    )
     upd = updates.withColumn("__digest", _attr_digest(tracked_cols))
     open_rows = dim.filter(F.col("is_current")).withColumn("__digest", _attr_digest(tracked_cols))
     closed_rows = dim.filter(~F.col("is_current"))

@@ -207,11 +207,14 @@ class SnapTable:
             current = entries[-1] if entries else None
             dirs = (current["data_dirs"] if current else []) + [dir_name]
             prev_rows = current["row_count"] if current else 0
+            prev_files = current["file_count"] if current else 0
             return {
                 "operation": "append",
                 "data_dirs": dirs,
+                # cumulative like row_count — Iceberg snapshot summaries track
+                # TOTAL files in the snapshot, not just the new manifest's
                 "row_count": prev_rows + rows,
-                "file_count": files,
+                "file_count": prev_files + files,
             }
 
         entry = self._commit(build)

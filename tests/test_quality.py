@@ -109,3 +109,17 @@ def test_quality_on_real_events(spark, sf_dir):
     as_of = F.lit("2024-01-31 00:00:00").cast("timestamp")
     report = run_checks(ev, checks, table="events", as_of=as_of)
     assert [r.passed for r in report.results] == [True, True, True, True]
+
+
+def test_freshness_on_empty_table_fails(spark):
+    """ADVICE r1: MAX(ts) NULL (zero rows) must FAIL freshness, not read as age 0."""
+    from iceberg_quickstart_iac_spark.operators.quality import Check, run_checks
+
+    empty = spark.createDataFrame([], "event_id LONG, event_timestamp TIMESTAMP")
+    report = run_checks(
+        empty,
+        [Check("freshness", "event_timestamp", max_age="1d")],
+        as_of=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    assert not report.passed
+    assert "no rows" in report.results[0].detail

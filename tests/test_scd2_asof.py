@@ -184,3 +184,49 @@ def test_asof_matches_pandas_merge_asof(spark, sf_dir_small):
         p, c, left_on="ts", right_on="cts", by="user_id", direction="backward"
     ).sort_values(["user_id", "ts"], ignore_index=True)
     assert ours["click_id"].fillna(-1).tolist() == expected["click_id"].fillna(-1).tolist()
+
+
+def test_multi_row_batch_per_key_applies_only_latest(spark, dim):
+    """ADVICE r1 (medium): a batch with several rows for one natural key must
+    not fan out the open-row join — only the latest row per key applies, and
+    exactly one is_current version survives."""
+    updates = spark.createDataFrame(
+        [
+            ("k1", "alice", "paused", TS(2024, 3, 1)),
+            ("k1", "alice", "inactive", TS(2024, 6, 1)),  # latest wins
+            ("k1", "alice", "retired", TS(2024, 5, 1)),
+        ],
+        "natural_key STRING, name STRING, status STRING, effective_from TIMESTAMP",
+    )
+    out = scd2_merge(dim, updates, "natural_key", ["name", "status"]).cache()
+    k1 = out.filter("natural_key = 'k1'").orderBy("effective_from").collect()
+    assert len(k1) == 2  # old version closed + one new version, no duplicates
+    closed, current = k1
+    assert closed.is_current is False
+    assert closed.effective_to == TS(2024, 6, 1)
+    assert current.is_current is True
+    assert current.status == "inactive"
+    assert current.effective_from == TS(2024, 6, 1)
+    # total row count: no duplicated untouched/superseded copies anywhere
+    assert out.count() == dim.count() + 1
+    assert out.filter("is_current").groupBy("natural_key").count().filter(
+        "count > 1"
+    ).count() == 0
+
+
+def test_asof_right_column_collision_raises(spark):
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 2), "x")], "k INT, ts TIMESTAMP, payload STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), "y")], "k INT, rts TIMESTAMP, payload STRING"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    # renaming clears it
+    ok = as_of_join(
+        left, right.withColumnRenamed("payload", "r_payload"),
+        on="k", left_ts="ts", right_ts="rts",
+    )
+    row = ok.collect()[0]
+    assert row.payload == "x" and row.r_payload == "y"

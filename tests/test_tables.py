@@ -100,10 +100,13 @@ def test_overwrite_and_read(spark, table, events_df):
 
 
 def test_append_accumulates(spark, table, events_df):
-    table.append(events_df)
-    table.append(events_df)
+    e1 = table.append(events_df)
+    e2 = table.append(events_df)
     assert table.read(spark).count() == 6
     assert table.current_snapshot()["row_count"] == 6
+    # file_count is cumulative like row_count (Iceberg snapshot summaries
+    # track total files) — ADVICE r1
+    assert e2["file_count"] == e1["file_count"] * 2 > 0
 
 
 def test_schema_mismatch_rejected(spark, table):
