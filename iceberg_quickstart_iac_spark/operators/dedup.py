@@ -305,8 +305,16 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` docs (skew guard); count shared shingles per pair;
     Jaccard = shared / (|A| + |B| - shared); keep pairs ≥ threshold.
     """
-    # Jaccard is over shingle SETS → per-doc distinct matters here
-    sh = _exploded_shingles(df, id_col, text_col, shingle_k).dropDuplicates([id_col, "__sh"])
+    # Jaccard is over shingle SETS → per-doc distinct matters here.
+    # Shingles are replaced by their 64-bit hash immediately: the distinct,
+    # the document-frequency count, and the pair self-join below all shuffle
+    # and compare fixed-width longs instead of 5-char strings (collision
+    # probability ~n²/2⁶⁵ — immaterial against the 0.5 threshold).
+    sh = (
+        _exploded_shingles(df, id_col, text_col, shingle_k)
+        .select(id_col, F.xxhash64("__sh").alias("__sh"))
+        .dropDuplicates([id_col, "__sh"])
+    )
     rare = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= max_shingle_df
     )

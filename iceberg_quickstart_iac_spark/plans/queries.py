@@ -2050,20 +2050,26 @@ def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey", "l_suppkey", late.alias("is_late")
+    # ONE pass over the fact join: reduce to (order, supplier, late-line
+    # count) first — the order profile and the final per-supplier count both
+    # derive from this tiny aggregate, so the lineitem⋈orders join is
+    # planned (and shuffled) once instead of twice
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("__n_late_lines"))
     )
-    profile = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    profile = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("__n_late_lines") > 0).cast("int")).alias("n_late_supp"),
     )
     return (
-        lines.filter(F.col("is_late"))
+        per_supp.filter(F.col("__n_late_lines") > 0)
         .join(profile, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 
@@ -2095,6 +2101,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 9)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # semi-join the fact table down to size-9 parts BEFORE the aggregation:
+    # each part's min cost depends only on its own rows, so pre-filtering is
+    # semantics-preserving and the groupBy + window shuffle ~2% of lineitem
+    # instead of all of it (the oracle filters after the CTE — same result)
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
