@@ -820,11 +820,41 @@ def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Language identification (SURVEY §2.13 X4): stopword/charset heuristic —
 # Spark-side expression; accuracy pinned in tests against the truth column.
-# Rows-only driver check (the heuristic is not meaningfully SQL-portable).
+# The oracle re-expresses the SAME heuristic in DuckDB SQL (list_intersect
+# dedups like array_intersect; list_aggregate 'max' over (score, lang)
+# structs reproduces array_max's lexicographic tie-break), so the driver
+# gets a full hash-compare, not just a rows-only check.
 # ---------------------------------------------------------------------------
 
 
-@query("doc_language_id")
+@query(
+    "doc_language_id",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT lang, text,
+        list_aggregate([
+          {'score': len(list_intersect(toks, ['der','die','das','und','ist','von','mit','auf','nicht','ein'])), 'lang': 'de'},
+          {'score': len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','on'])), 'lang': 'en'},
+          {'score': len(list_intersect(toks, ['el','la','los','de','que','es','para','con','una','por'])), 'lang': 'es'},
+          {'score': len(list_intersect(toks, ['le','la','les','et','est','pour','dans','que','une','des'])), 'lang': 'fr'}
+        ], 'max') AS best,
+        (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) AS n_cjk
+      FROM tok
+    )
+    SELECT lang,
+           CASE WHEN n_cjk * 2 > length(text) / 4.0 THEN 'zh'
+                WHEN best.score > 0 THEN best.lang
+                ELSE 'unknown' END AS predicted,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.dedup import _spread
     from iceberg_quickstart_iac_spark.operators.text import language_id
@@ -1355,7 +1385,37 @@ def simhash_near_pairs_block2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ngram_jaccard_dups_block1k")
+@query(
+    "ngram_jaccard_dups_block1k",
+    # The oracle recomputes the EXACT Jaccard from raw shingle strings
+    # (Spark-side shingles are 64-bit-hashed for shuffle width — collisions
+    # are ~n²/2⁶⁵, so the outputs agree bit-for-bit; the single int/int
+    # division is the only float op and is exact in both engines).
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 1000
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INTEGER), 5) AS s
+      FROM norm, LATERAL unnest(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
+    ),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+    shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c / (na.n + nb.n - c) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / (na.n + nb.n - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def ngram_jaccard_dups_block1k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1366,12 +1426,29 @@ def ngram_jaccard_dups_block1k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Snapshot metadata / time-travel as a driver-visible query (SURVEY §2.10
 # M1-M2): builds a throwaway snapshot table, commits overwrite + append +
-# compact, and returns the deterministic metadata columns. Rows-only check
-# (snapshot ids / timestamps are nondeterministic by nature).
+# compact, and returns the deterministic metadata columns (ids/timestamps,
+# which are nondeterministic by nature, are projected out). The expected
+# lifecycle is itself deterministic — 5-row overwrite, append to 10 rows/2
+# dirs, compact back to 1 dir, time-travel read of the first snapshot still
+# seeing 5 rows — so the oracle pins it as literal VALUES and the driver
+# hash-compares the full contract.
 # ---------------------------------------------------------------------------
 
 
-@query("snapshot_metadata_lifecycle")
+@query(
+    "snapshot_metadata_lifecycle",
+    oracle="""
+    SELECT CAST(sequence AS BIGINT) AS sequence, operation,
+           CAST(row_count AS BIGINT) AS row_count,
+           CAST(data_dir_count AS BIGINT) AS data_dir_count,
+           CAST(time_travel_rows AS BIGINT) AS time_travel_rows
+    FROM (VALUES (0, 'overwrite', 5, 1, 5),
+                 (1, 'append',   10, 2, 5),
+                 (2, 'compact',  10, 1, 5))
+         t(sequence, operation, row_count, data_dir_count, time_travel_rows)
+    ORDER BY sequence
+    """,
+)
 def snapshot_metadata_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -1391,11 +1468,11 @@ def snapshot_metadata_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.snapshots(spark)
         .select(
-            "sequence",
+            F.col("sequence").cast("long").alias("sequence"),
             "operation",
-            "row_count",
-            "data_dir_count",
-            F.lit(tt_rows).alias("time_travel_rows"),
+            F.col("row_count").cast("long").alias("row_count"),
+            F.col("data_dir_count").cast("long").alias("data_dir_count"),
+            F.lit(tt_rows).cast("long").alias("time_travel_rows"),
         )
         .orderBy("sequence")
     )
