@@ -102,6 +102,41 @@ def language_id(col: Column | str, tokens: Column | None = None) -> Column:
     return F.when(n_cjk * 2 > F.length(c) / 4, F.lit("zh")).otherwise(latin_guess)
 
 
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 256,
+    overlap: int = 64,
+):
+    """Split documents into fixed-width overlapping character chunks — the
+    standard pre-tokenization step of a training-data pipeline (context
+    windows with overlap so no boundary-spanning content is lost).
+
+    One output row per (doc, chunk_idx) with columns ``chunk_idx`` (0-based)
+    and ``chunk``. stride = chunk_chars − overlap; a doc of length L yields
+    max(1, ceil((L − overlap) / stride)) chunks. Pure JVM expressions
+    (sequence + explode + substr): map-only, no shuffle, embarrassingly
+    parallel at any scale.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(c) - F.lit(overlap)) / float(stride)).cast("long"), F.lit(1).cast("long")
+    )
+    exploded = df.select(
+        id_col,
+        text_col,
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.col(text_col).substr(
+        (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(chunk_chars)
+    )
+    return exploded.select(id_col, "chunk_idx", chunk.alias("chunk"))
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality heuristic in [0, 1].
 

@@ -2695,3 +2695,83 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: document chunking (SURVEY §2.13 X4 extension).
+# Fixed-width overlapping character chunks — the pre-tokenization step every
+# LLM data pipeline runs before packing context windows. Map-only
+# (sequence + explode + substr), so it scales linearly with no shuffle; the
+# md5 gives the oracle a content-exact handle on every chunk boundary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunks",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - 64) / 192.0) AS BIGINT), 1) AS n_chunks
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(u.i * 192 + 1 AS INTEGER), 256)) AS BIGINT) AS n_chars,
+           md5(substr(text, CAST(u.i * 192 + 1 AS INTEGER), 256)) AS chunk_md5
+    FROM base, LATERAL unnest(range(0, n_chunks)) u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = chunk_text(docs, "doc_id", "text", chunk_chars=256, overlap=64)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").cast("long").alias("n_chars"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic train/val/test split. A Knuth
+# multiplicative hash on the doc id ((id · 2654435761) mod 2³² mod 100) is
+# pure integer arithmetic — identical in every engine, stable across runs
+# and re-partitioning, and (unlike rand(seed)) independent of row order, so
+# the assignment is reproducible at 100 TB and auditable in plain SQL.
+# 90/5/5 by hash bucket.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_hash_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             (doc_id * 2654435761) % 4294967296 % 100 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.length("text").alias("__n"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -291,3 +291,29 @@ def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
     assert sorted((r.query_id, r.vec_id) for r in full) == sorted(
         (r.query_id, r.vec_id) for r in exact
     )
+
+
+def test_chunk_text_boundaries(spark):
+    from iceberg_quickstart_iac_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 256), (3, "c" * 257), (4, "d")],
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_text(docs, "doc_id", "text", chunk_chars=256, overlap=64)
+    rows = {(r.doc_id, r.chunk_idx): r.chunk for r in out.collect()}
+    # short doc -> exactly one chunk, full text
+    assert rows[(1, 0)] == "a" * 100 and (1, 1) not in rows
+    # exactly chunk_chars -> one chunk
+    assert rows[(2, 0)] == "b" * 256 and (2, 1) not in rows
+    # one char over -> two chunks, second starts at stride 192 (64 overlap)
+    assert len(rows[(3, 0)]) == 256 and rows[(3, 1)] == "c" * 65
+    # reassembly: stripping the overlap from every chunk after the first
+    # reproduces the document exactly
+    doc3 = rows[(3, 0)] + rows[(3, 1)][64:]
+    assert doc3 == "c" * 257
+    # degenerate single-char doc
+    assert rows[(4, 0)] == "d"
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, "doc_id", "text", chunk_chars=64, overlap=64)
