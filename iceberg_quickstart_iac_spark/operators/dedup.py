@@ -338,3 +338,48 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def contamination_rates(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination scan: per corpus document, the fraction of
+    its character shingles that appear ANYWHERE in the benchmark corpus.
+
+    The training-data hygiene op: docs with a high rate are (near-)copies of
+    eval data and must be dropped before training. Shingles are hashed to
+    64-bit longs; the benchmark side reduces to a distinct-hash set first
+    (tiny — benchmarks are small by construction) so the membership probe is
+    a broadcast semi-join: ONE shuffle on the corpus doc id, nothing else.
+    Returns (id, n_shingles, n_contaminated, rate) — rate is a single
+    int/int division, exact in any engine.
+    """
+    c_sh = (
+        _exploded_shingles(corpus, id_col, text_col, shingle_k)
+        .select(id_col, F.xxhash64("__sh").alias("__h"))
+        .dropDuplicates([id_col, "__h"])
+    )
+    b_sh = (
+        _exploded_shingles(benchmark, id_col, text_col, shingle_k)
+        .select(F.xxhash64("__sh").alias("__h"))
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles")).alias("rate"),
+        )
+    )

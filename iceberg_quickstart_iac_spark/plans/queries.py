@@ -2775,3 +2775,81 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: benchmark decontamination (SURVEY §2.13
+# extension). Every doc whose id is a multiple of 50 plays the held-out
+# benchmark; the rest of the corpus is scored by the fraction of its
+# distinct 5-shingles that appear anywhere in the benchmark. Spark hashes
+# shingles to longs (broadcast semi-join probe, one corpus-side shuffle);
+# the oracle recomputes from raw strings — same sets, same single int/int
+# division, bit-identical rates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_benchmark_contamination",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INTEGER), 5) AS s
+      FROM norm, LATERAL unnest(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS rate
+    FROM corpus c LEFT JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import contamination_rates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_rates(corpus, benchmark, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: vocabulary building — top-100 whitespace tokens
+# by corpus frequency (tie-break on token for determinism). The classic
+# first pass of tokenizer training; partial aggregation reduces each input
+# partition to its local token counts before the single exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_vocabulary",
+    oracle=r"""
+    SELECT t.tok AS token, COUNT(*) AS freq
+    FROM documents,
+         LATERAL unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) t(tok)
+    WHERE t.tok <> ''
+    GROUP BY t.tok
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import _spread
+    from iceberg_quickstart_iac_spark.operators.text import word_tokens
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )

@@ -317,3 +317,25 @@ def test_chunk_text_boundaries(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(docs, "doc_id", "text", chunk_chars=64, overlap=64)
+
+
+def test_contamination_rates_planted(spark):
+    from iceberg_quickstart_iac_spark.operators.dedup import contamination_rates
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "completely unrelated zebra xylophone quartz"),  # clean
+            (3, "the quick brown fox went somewhere else entirely"),  # partial
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rates = {r.doc_id: r for r in contamination_rates(corpus, bench, "doc_id", "text").collect()}
+    assert rates[1].rate == 1.0
+    assert rates[2].rate < 0.1
+    assert 0.2 < rates[3].rate < 0.9
+    assert rates[1].n_contaminated == rates[1].n_shingles
