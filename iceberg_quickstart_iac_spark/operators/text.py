@@ -102,6 +102,38 @@ def language_id(col: Column | str, tokens: Column | None = None) -> Column:
     return F.when(n_cjk * 2 > F.length(c) / 4, F.lit("zh")).otherwise(latin_guess)
 
 
+#: text-level PII patterns (applied in order). Kept to constructs shared by
+#: Java regex and RE2 (no lookaround) so DuckDB oracles can replay them.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
+    """Replace email / SSN / phone-shaped spans with ``token``.
+
+    The text-level complement of column-level governance (access.py drops
+    whole PII columns; this scrubs PII embedded inside free text before it
+    enters a training corpus). Pure regexp_replace chain — map-only,
+    codegen-friendly, no UDFs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (column name → count expression)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+
+
 def chunk_text(
     df,
     id_col: str,

@@ -2853,3 +2853,75 @@ def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset curation: exact-n stratified sampling (SURVEY §2.13 extension).
+# First n docs per language by multiplicative-hash order — reproducible
+# across engines/runs/partitionings and exact per stratum, which
+# fraction-based sampleBy can't guarantee. One window per stratum; at
+# 100 TB pre-filter by hash threshold first (see operators/sampling.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stratified_doc_sample",
+    oracle="""
+    SELECT lang, doc_id, sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 20
+    ORDER BY lang, sample_rank
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, ["lang"], 20, "doc_id")
+        .select("lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-level PII scrubbing (SURVEY §2.13 / §2.11 G1 complement): redact
+# email/SSN/phone spans inside free text before corpus assembly. The md5 of
+# the redacted text pins the exact replacement semantics cross-engine; the
+# patterns avoid lookaround so Java regex and RE2 agree.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+               '\+?\d[\d\s().-]{7,}\d', '[PII]', 'g')) AS redacted_md5
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ssn"].alias("n_ssn"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -339,3 +339,45 @@ def test_contamination_rates_planted(spark):
     assert rates[2].rate < 0.1
     assert 0.2 < rates[3].rate < 0.9
     assert rates[1].n_contaminated == rates[1].n_shingles
+
+
+def test_redact_pii_planted(spark):
+    from iceberg_quickstart_iac_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith+x@mail.co.uk today"),
+            (2, "ssn 123-45-6789 on file, call +1 (555) 123-4567 x22"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    counts = pii_counts("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            counts["n_email"].alias("n_email"),
+            counts["n_ssn"].alias("n_ssn"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[1].n_email == 2 and "@" not in out[1].red and "[PII]" in out[1].red
+    assert out[2].n_ssn == 1 and "123-45-6789" not in out[2].red
+    assert "555" not in out[2].red  # phone digits scrubbed
+    assert out[3].red == "no pii here at all"
+
+
+def test_stratified_sample_exact_and_stable(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, ["lang"], 7, "doc_id")
+    per = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 7 for n in per.values()) and len(per) >= 4  # exact n per stratum
+    # stability under repartitioning: identical picks regardless of layout
+    s2 = stratified_sample(docs.repartition(17), ["lang"], 7, "doc_id")
+    assert sorted((r.lang, r.doc_id) for r in s1.collect()) == sorted(
+        (r.lang, r.doc_id) for r in s2.collect()
+    )
