@@ -61,3 +61,33 @@ def test_range_join_is_equi_join_not_band(spark, sf_dir_small):
     p = _plan(spark, queries()["event_followup_pairs"](spark, sf_dir_small))
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "NestedLoop" not in p
+
+
+def test_chunking_is_map_only(spark, sf_dir_small):
+    """Chunk explosion must plan with zero Exchanges — it's the map-only
+    stage a 100 TB pipeline runs on every document."""
+    p = _plan(spark, queries()["doc_chunks"](spark, sf_dir_small))
+    body = p.split("Sort")[0]  # the final presentation orderBy is allowed
+    assert "Exchange" not in body.replace("rangepartitioning", "")
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir_small):
+    """The benchmark membership probe must broadcast the (tiny) benchmark
+    shingle set — a shuffled join here would move the full corpus."""
+    p = _plan(spark, queries()["doc_benchmark_contamination"](spark, sf_dir_small))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_q2_aggregates_only_filtered_parts(spark, sf_dir_small):
+    """The size-9 semi-join must run BELOW the cost aggregation (the round-2
+    rewrite); if the aggregate consumed the raw lineitem again, the semi
+    join would appear above the first HashAggregate."""
+    import re
+
+    p = _plan(spark, queries()["q2_min_cost_supplier"](spark, sf_dir_small))
+    # formatted explain numbers operators depth-first: deeper = smaller id.
+    # The semi join must be DEEPER than every aggregate (it feeds them).
+    semi_ids = [int(m) for m in re.findall(r"LeftSemi \w+ \((\d+)\)", p)]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert semi_ids and agg_ids
+    assert max(semi_ids) < min(agg_ids), (semi_ids, agg_ids)
