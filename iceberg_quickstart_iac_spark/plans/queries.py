@@ -1038,11 +1038,19 @@ def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+    # aggregate lineitem BEFORE the join: per-order quantity is map-side
+    # combinable, and the >150 HAVING survives on almost no orders
+    # (o_orderdate/o_totalprice are functionally dependent on o_orderkey,
+    # so grouping after the join is equivalent). NO forced broadcast hint:
+    # the surviving set grows linearly with SF — AQE converts to broadcast
+    # at runtime exactly when the filtered aggregate is actually small
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__qty"))
         .filter(F.col("__qty") > 150)
+    )
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
         .select(
             "o_orderkey",
             "o_orderdate",
@@ -1646,14 +1654,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("double")
     den = F.sum(vol.cast(DEC)).cast("double")
+    # customer/nation/region contribute NO output columns — they are pure
+    # filters, so they collapse to semi-joins applied BEFORE the fact-fact
+    # join: orders shrinks to EU customers' orders first, and the one big
+    # shuffle (lineitem⋈orders) runs against the reduced side. c_custkey
+    # and n_nationkey are unique, so semi ≡ inner here.
+    eu_nations = n2.join(F.broadcast(region), n2.n_regionkey == region.r_regionkey).select(
+        "n_nationkey"
+    )
+    cust_eu = cust.join(
+        F.broadcast(eu_nations), cust.c_nationkey == F.col("n_nationkey"), "left_semi"
+    ).select("c_custkey")
+    orders_eu = orders.join(
+        cust_eu, orders.o_custkey == cust_eu.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_orderdate")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n2), cust.c_nationkey == n2.n_nationkey)
-        .join(F.broadcast(region), n2.n_regionkey == region.r_regionkey)
+        .join(orders_eu, li.l_orderkey == orders_eu.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((num / den).alias("mkt_share"))
         .orderBy("o_year")
