@@ -186,3 +186,79 @@ def test_compaction_preserves_data_and_history(spark, tmp_path):
     assert t.read(spark).count() == 30
     # pre-compaction snapshot still time-travelable
     assert t.read(spark, snapshot_id=pre_compact).count() == 30
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA1, exclude_categories=("Cs",)),
+            min_size=1,
+            max_size=700,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(80, 300),
+    st.integers(0, 60),
+)
+@settings(**SETTINGS)
+def test_chunking_reassembles_exactly(spark, texts, chunk_chars, overlap):
+    """Invariant: chunk(0) + chunk(i)[overlap:] for i>0 == original text,
+    for ANY text (unicode incl. CJK) and any (chunk, overlap) geometry."""
+    from iceberg_quickstart_iac_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    rows = chunk_text(df, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    for i, t in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t, (t, chunks)
+        # every chunk except possibly the last is full width
+        assert all(len(c) == chunk_chars for c in chunks[:-1])
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=5, max_size=60, unique=True), st.integers(1, 5))
+@settings(**SETTINGS)
+def test_stratified_sample_is_prefix_stable(spark, ids, n):
+    """Growing a stratum never changes which of the surviving rows rank
+    first: the hash order is a fixed total order, so the n-sample of a
+    superset contains the n-sample of any subset's top picks that remain."""
+    from iceberg_quickstart_iac_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id LONG, stratum STRING")
+    picks = [
+        r.doc_id
+        for r in stratified_sample(df, ["stratum"], n, "doc_id")
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert len(picks) == min(n, len(ids))
+    # recompute the expected order in plain python — the contract is pure
+    # integer arithmetic, so it must agree exactly
+    expected = sorted(ids, key=lambda i: ((i * 2654435761) % 4294967296, i))[: n]
+    assert picks == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.text(max_size=5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_keeps_min_id_per_key(spark, rows):
+    from iceberg_quickstart_iac_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "k LONG, id LONG, payload STRING")
+    out = exact_dedup(df, ["k"], "id").collect()
+    expected_min = {}
+    for k, i, _ in rows:
+        expected_min[k] = min(expected_min.get(k, i), i)
+    assert {r.k: r.id for r in out} == expected_min
+    assert len(out) == len(expected_min)  # exactly one row per key
