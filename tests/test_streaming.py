@@ -144,3 +144,48 @@ def test_batch_and_streaming_sessionization_agree(spark, sf_dir_small):
     )
     native_counts = {r.user_id: r.n for r in native.collect()}
     assert batch_counts == native_counts
+
+
+def test_map_only_corpus_ops_run_on_streams(spark, tmp_path):
+    """chunk_text / redact_pii / quality_score are pure projections, so the
+    SAME operator code runs unmodified on a stream — the batch/streaming
+    unification Spark promises, verified against the batch result."""
+    from iceberg_quickstart_iac_spark.operators.text import (
+        chunk_text,
+        quality_score,
+        redact_pii,
+    )
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "email me at alice@example.com " + "lorem ipsum " * 30),
+        (2, "plain document " * 25),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    batch_df.coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def pipeline(df):
+        cleaned = df.select("doc_id", redact_pii("text").alias("text"))
+        return chunk_text(cleaned, "doc_id", "text", chunk_chars=128, overlap=16).select(
+            "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_md5"),
+            quality_score("chunk").alias("q"),
+        )
+
+    streamed = _run_stream_to_memory(spark, pipeline(stream), "chunked_docs", "append").collect()
+    batch = pipeline(batch_df.select("doc_id", "text")).collect()
+    key = lambda r: (r.doc_id, r.chunk_idx, r.chunk_md5, round(r.q, 12))
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(streamed) > 2  # chunking fan-out happened on the stream
+    # PII never reaches the sink
+    full = _run_stream_to_memory(
+        spark,
+        stream.select(redact_pii("text").alias("t")),
+        "redacted_docs",
+        "append",
+    ).collect()
+    assert all("@" not in r.t for r in full)
