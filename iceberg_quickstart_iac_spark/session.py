@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default 100 kicks the sketch aggregations (64 minhash minima / 64
+        # simhash bit-sums per group) out of generated code into the
+        # interpreted path — measured ~20% on the minhash signature stage
+        .config("spark.sql.codegen.maxFields", "250")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
