@@ -315,10 +315,17 @@ def ngram_jaccard_pairs(
         .select(id_col, F.xxhash64("__sh").alias("__sh"))
         .dropDuplicates([id_col, "__sh"])
     )
-    rare = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= max_shingle_df
+    # Drop ubiquitous shingles by ANTI-joining the FREQUENT set: frequent
+    # shingles are few by definition (bounded by corpus_size/max_shingle_df),
+    # so that side broadcasts at any scale. The previous inner-join against
+    # the RARE set broadcast nearly every distinct shingle — fine at sf0.1,
+    # guaranteed driver OOM at 100 TB.
+    frequent = (
+        sh.groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
     )
-    sh = sh.join(F.broadcast(rare.select("__sh")), "__sh")
+    sh = sh.join(F.broadcast(frequent.select("__sh")), "__sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
