@@ -6,8 +6,11 @@ Design notes (scale-first):
 - Everything is declarative DataFrame API / SQL: Catalyst gets predicate
   pushdown into the parquet scans, column pruning, join-strategy selection,
   and AQE re-planning for free. No RDDs, no driver-side loops.
-- Small dimensions (region/nation/customer at TPC-H ratios) are broadcast
-  explicitly where the stats may not make it obvious; fact-fact joins stay
+- Broadcast hints are reserved for FIXED-cardinality dimensions (region 5,
+  nation 25, bounded blocks, scalar aggregates). part/supplier/customer GROW
+  with scale factor, so they carry no hint: Catalyst's size stats broadcast
+  them while they're small and AQE re-plans at runtime — a forced hint
+  passes at sf0.1 and OOMs the driver at SF 10^5. Fact-fact joins stay
   shuffle joins keyed on the join column so they scale horizontally.
 - **Cross-engine float determinism**: double SUMs are order-sensitive, and
   Spark's partial aggregation order differs from DuckDB's. Every money/value
@@ -233,7 +236,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer grows with SF → leave the choice to stats + AQE
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1293,7 +1296,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
     promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast(DEC))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -1596,7 +1599,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1669,8 +1672,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust_eu, orders.o_custkey == cust_eu.c_custkey, "left_semi"
     ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(orders_eu, li.l_orderkey == orders_eu.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -1706,8 +1709,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -1735,7 +1738,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join residual — exactly where Catalyst puts them."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    j = li.join(part, part.p_partkey == li.l_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1981,7 +1984,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -2014,8 +2017,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -2048,7 +2051,7 @@ def q17_small_qty_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -2094,7 +2097,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
     )
@@ -2105,7 +2108,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        supp.join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        supp.join(heavy, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -2163,7 +2166,7 @@ def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_supp.filter(F.col("__n_late_lines") > 0)
         .join(profile, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("__n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -2202,7 +2205,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics-preserving and the groupBy + window shuffle ~2% of lineitem
     # instead of all of it (the oracle filters after the CTE — same result)
     li = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -2213,8 +2216,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         costs.withColumn("best_cost", best)
         .filter(F.col("unit_cost") == F.col("best_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -2428,7 +2431,7 @@ def q11_top_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     nation_value = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "value"))
