@@ -2947,3 +2947,40 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ssn"].alias("n_ssn"),
         F.md5(redact_pii("text")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token accounting (SURVEY §2.13 X4): the token budget a tokenizer
+# pipeline actually bills — word pieces plus single non-space symbols —
+# aggregated per language. Java regex and RE2 agree on the \w+|[^\w\s]
+# pretokenizer (verified corpus-wide), so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_bpe_token_stats",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS DOUBLE) / COUNT(*)
+             AS avg_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count("text", "bpe").alias("__n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_bpe_tokens"),
+            (F.sum("__n").cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
