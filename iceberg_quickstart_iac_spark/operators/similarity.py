@@ -294,3 +294,35 @@ def hyperplane_lsh_topk(
     ).dropDuplicates([query_id, corpus_id])
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings_int8(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, qvec array<int>, scale).
+
+    The standard 4x storage/IO compression for embedding corpora at 100 TB
+    (faiss SQ8 / Milvus SQ8 design): q = floor(x/scale + 0.5) with
+    scale = max|x| / 127, so values land in [-127, 127] and dequantization
+    is q·scale. floor(+0.5) is used instead of round() deliberately —
+    explicit half-up rounding is bit-identical across engines, while
+    round()'s half-case convention differs between them. Map-only column
+    expressions; reconstruction error is bounded by scale/2 per component.
+    """
+    v = F.col(corpus_vec)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return corpus.select(
+        corpus_id,
+        corpus_vec,
+        scale.alias("scale"),
+    ).select(
+        corpus_id,
+        F.transform(
+            F.col(corpus_vec),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+        "scale",
+    )

@@ -2984,3 +2984,88 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization audit (SURVEY §2.13 X3 storage path): per
+# vector, the symmetric-scale int8 form plus its exact reconstruction
+# error. floor(x/scale + 0.5) half-up rounding is bit-identical across
+# engines (round()'s half convention is not); the error fold is the same
+# sequential double chain on both sides.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_int8_audit",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+           list_sum(list_transform(embedding,
+                x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                   * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+             AS sq_err
+    FROM scaled
+    ORDER BY vec_id
+    """,
+)
+def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = quantize_embeddings_int8(emb)
+    orig = emb.select("vec_id", "embedding")
+    j = q.join(orig, "vec_id")
+    dq = F.zip_with(
+        F.col("embedding"),
+        F.col("qvec"),
+        lambda x, qv: x.cast("double") - qv.cast("double") * F.col("scale"),
+    )
+    return j.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(F.transform(dq, lambda e: e * e), F.lit(0.0), lambda a, v: a + v).alias(
+            "sq_err"
+        ),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Keyed pseudonymization (SURVEY §2.11 G1 depth): GDPR-style stable
+# pseudonyms — sha256(salt || user_id) replaces the identifier while
+# preserving joinability/groupability. The same map-only expression works
+# in any engine, so the oracle replays it; analytics on pseudonyms match
+# analytics on raw ids exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pseudonymized_user_activity",
+    oracle="""
+    SELECT sha256('corpus-v1:' || CAST(user_id AS VARCHAR)) AS user_pseud,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 29 = 0
+    GROUP BY user_pseud
+    ORDER BY user_pseud
+    """,
+)
+def pseudonymized_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    pseud = F.sha2(F.concat(F.lit("corpus-v1:"), F.col("user_id").cast("string")), 256)
+    return (
+        ev.groupBy(pseud.alias("user_pseud"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("user_pseud")
+    )

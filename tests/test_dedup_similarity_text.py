@@ -381,3 +381,18 @@ def test_stratified_sample_exact_and_stable(spark, sf_dir):
     assert sorted((r.lang, r.doc_id) for r in s1.collect()) == sorted(
         (r.lang, r.doc_id) for r in s2.collect()
     )
+
+
+def test_int8_quantization_bounds(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = quantize_embeddings_int8(emb).join(emb, "vec_id")
+    for r in q.collect():
+        assert all(-127 <= v <= 127 for v in r.qvec)  # int8 range
+        # per-component reconstruction error bounded by scale/2 (half-up)
+        for x, qv in zip(r.embedding, r.qvec):
+            assert abs(float(x) - qv * r.scale) <= r.scale / 2 + 1e-12
