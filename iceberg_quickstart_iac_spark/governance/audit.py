@@ -30,6 +30,7 @@ AUDIT_EVENTS = (
     "pii_columns_dropped",
     "row_policy_applied",
     "schema_drift",
+    "schema_evolution",
 )
 
 _audit_logger = logging.getLogger("lakehouse.audit")

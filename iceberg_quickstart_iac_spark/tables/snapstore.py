@@ -245,7 +245,13 @@ class SnapTable:
         snapshot_id: str | None = None,
         as_of_ms: int | None = None,
     ) -> DataFrame:
-        """Read the table — current state, or time-travel by id/timestamp."""
+        """Read the table — current state, or time-travel by id/timestamp.
+
+        After a schema evolution (:meth:`evolve_add_column`), directories
+        written before the evolution lack the new columns; ``mergeSchema``
+        unions the file schemas and the declared-schema projection fills
+        the gaps with typed NULLs — Iceberg's read-time schema resolution.
+        """
         snap = self._snapshot_for(snapshot_id, as_of_ms)
         paths = [str(self.data_dir / d) for d in snap["data_dirs"]]
         log_audit_event(
@@ -253,7 +259,24 @@ class SnapTable:
         )
         if not paths:
             raise ValueError(f"Snapshot {snap['snapshot_id']} has no data")
-        return spark.read.parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        declared = self.meta.get("columns", [])
+        if declared and set(c["name"] for c in declared) != set(df.columns):
+            from pyspark.sql import functions as F
+
+            from iceberg_quickstart_iac_spark.templates.loader import (
+                iceberg_type_to_spark,
+            )
+
+            df = df.select(
+                *[
+                    F.col(c["name"])
+                    if c["name"] in df.columns
+                    else F.lit(None).cast(iceberg_type_to_spark(c["type"])).alias(c["name"])
+                    for c in declared
+                ]
+            )
+        return df
 
     def snapshots(self, spark: SparkSession) -> DataFrame:
         """The snapshot-metadata table (M1), like Iceberg's ``t.snapshots``."""
@@ -274,6 +297,32 @@ class SnapTable:
             "snapshot_id STRING, parent_id STRING, sequence LONG, committed_at_ms LONG, "
             "operation STRING, row_count LONG, data_dir_count INT",
         )
+
+    # -- schema evolution --------------------------------------------------
+
+    def evolve_add_column(self, name: str, col_type: str, doc: str = "") -> dict:
+        """ADD COLUMN (Iceberg schema evolution, the capability the
+        reference advertises via the table format, ``docs/architecture.md:
+        8-11`` / ``docs/deep-dive.md:66-72``, but never implements).
+
+        Metadata-only: no data files are rewritten. Existing snapshots stay
+        readable — :meth:`read` resolves the new column to typed NULLs for
+        pre-evolution files — and subsequent writes must carry the column
+        (the write-side schema check enforces it).
+        """
+        meta = self.meta
+        cols = meta.get("columns", [])
+        if any(c["name"] == name for c in cols):
+            raise ValueError(f"Column {name!r} already exists on {self.fq_name}")
+        cols.append({"name": name, "type": col_type, "doc": doc})
+        meta["columns"] = cols
+        (self.root / "table.json").write_text(json.dumps(meta, indent=2))
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "add_column", "column": name, "type": col_type},
+        )
+        return meta
 
     # -- maintenance -------------------------------------------------------
 

@@ -185,3 +185,46 @@ def test_concurrent_commits_both_land(spark, table, events_df):
     snaps = table.snapshots(spark).collect()
     assert len(snaps) == 4
     assert sorted(s.sequence for s in snaps) == [0, 1, 2, 3]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """ADD COLUMN is metadata-only: old snapshots resolve the new column to
+    typed NULLs, new writes must carry it, time-travel still sees the
+    pre-evolution data correctly."""
+    template = {
+        "name": "evolving",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+        ],
+        "partition_spec": [],
+    }
+    t = SnapTable.create(tmp_path / "evolve", template)
+    v1 = spark.createDataFrame([(1, "click"), (2, "view")], "event_id LONG, event_type STRING")
+    first = t.overwrite(v1)
+
+    t.evolve_add_column("score", "double")
+
+    # old data reads with the new column as typed NULL
+    cur = t.read(spark)
+    assert cur.columns == ["event_id", "event_type", "score"]
+    assert dict(cur.dtypes)["score"] == "double"
+    assert all(r.score is None for r in cur.collect())
+
+    # writes now REQUIRE the new column
+    with pytest.raises(ValueError, match="Schema mismatch"):
+        t.append(v1)
+    v2 = spark.createDataFrame(
+        [(3, "click", 0.5)], "event_id LONG, event_type STRING, score DOUBLE"
+    )
+    t.append(v2)
+    rows = {r.event_id: r.score for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    # time-travel to the pre-evolution snapshot still works (current schema)
+    old = t.read(spark, snapshot_id=first["snapshot_id"])
+    assert old.count() == 2 and "score" in old.columns
+
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve_add_column("score", "double")
