@@ -324,6 +324,61 @@ class SnapTable:
         )
         return meta
 
+    def evolve_drop_column(self, name: str) -> dict:
+        """DROP COLUMN — metadata-only, like Iceberg: data files keep the
+        bytes, reads project the declared schema so the column vanishes,
+        and the write-side check stops accepting it."""
+        meta = self.meta
+        cols = meta.get("columns", [])
+        if not any(c["name"] == name for c in cols):
+            raise ValueError(f"Column {name!r} does not exist on {self.fq_name}")
+        meta["columns"] = [c for c in cols if c["name"] != name]
+        (self.root / "table.json").write_text(json.dumps(meta, indent=2))
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "drop_column", "column": name},
+        )
+        return meta
+
+    # -- incremental reads -------------------------------------------------
+
+    def read_incremental(self, spark: SparkSession, from_snapshot_id: str) -> DataFrame:
+        """Rows appended AFTER ``from_snapshot_id`` (Iceberg's incremental
+        append scan — the consumer side of CDC-style pipelines: checkpoint a
+        snapshot id, read only what arrived since).
+
+        Valid only across an append-only chain: an overwrite or compact
+        rewrites the visible set, so "new rows" is no longer the directory
+        delta — those chains raise and the caller falls back to a full read.
+        """
+        entries = self._entries()
+        ids = [e["snapshot_id"] for e in entries]
+        if from_snapshot_id not in ids:
+            raise ValueError(f"No snapshot {from_snapshot_id!r} in {self.fq_name}")
+        start = ids.index(from_snapshot_id)
+        newer = entries[start + 1 :]
+        if not newer:
+            return self.read(spark).limit(0)
+        non_append = [e["operation"] for e in newer if e["operation"] != "append"]
+        if non_append:
+            raise ValueError(
+                f"Incremental read invalid across {non_append} snapshots on "
+                f"{self.fq_name}; re-baseline with a full read"
+            )
+        base_dirs = set(entries[start]["data_dirs"])
+        new_dirs = [d for d in newer[-1]["data_dirs"] if d not in base_dirs]
+        log_audit_event(
+            "table_read",
+            self.fq_name,
+            details={"incremental_from": from_snapshot_id, "new_dirs": len(new_dirs)},
+        )
+        if not new_dirs:
+            return self.read(spark).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.data_dir / d) for d in new_dirs]
+        )
+
     # -- maintenance -------------------------------------------------------
 
     def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:

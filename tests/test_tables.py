@@ -228,3 +228,55 @@ def test_schema_evolution_add_column(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already exists"):
         t.evolve_add_column("score", "double")
+
+
+def test_schema_evolution_drop_column(spark, tmp_path):
+    template = {
+        "name": "dropping",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "event_id", "type": "long"},
+            {"name": "secret", "type": "string"},
+        ],
+        "partition_spec": [],
+    }
+    t = SnapTable.create(tmp_path / "dropcol", template)
+    t.overwrite(spark.createDataFrame([(1, "x")], "event_id LONG, secret STRING"))
+    t.evolve_drop_column("secret")
+    assert t.read(spark).columns == ["event_id"]  # projected away on read
+    with pytest.raises(ValueError, match="Schema mismatch"):
+        t.append(spark.createDataFrame([(2, "y")], "event_id LONG, secret STRING"))
+    t.append(spark.createDataFrame([(2,)], "event_id LONG"))
+    assert t.read(spark).count() == 2
+    with pytest.raises(ValueError, match="does not exist"):
+        t.evolve_drop_column("secret")
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    template = {
+        "name": "incr",
+        "namespace": "lakehouse",
+        "columns": [{"name": "event_id", "type": "long"}],
+        "partition_spec": [],
+    }
+    t = SnapTable.create(tmp_path / "incr", template)
+    first = t.overwrite(spark.createDataFrame([(1,), (2,)], "event_id LONG"))
+    # nothing new yet -> empty frame with the table schema
+    assert t.read_incremental(spark, first["snapshot_id"]).count() == 0
+
+    t.append(spark.createDataFrame([(3,)], "event_id LONG"))
+    second = t.append(spark.createDataFrame([(4,), (5,)], "event_id LONG"))
+    delta = t.read_incremental(spark, first["snapshot_id"])
+    assert sorted(r.event_id for r in delta.collect()) == [3, 4, 5]
+    # checkpoint advances: from the middle, only the last batch
+    mid = t.snapshots(spark).orderBy("sequence").collect()[1]
+    assert sorted(
+        r.event_id for r in t.read_incremental(spark, mid.snapshot_id).collect()
+    ) == [4, 5]
+
+    # an overwrite/compact breaks the append chain -> explicit error
+    t.compact(spark, target_files=1)
+    with pytest.raises(ValueError, match="re-baseline"):
+        t.read_incremental(spark, second["snapshot_id"] if isinstance(second, str) else second["snapshot_id"])
+    with pytest.raises(ValueError, match="No snapshot"):
+        t.read_incremental(spark, "nope")
