@@ -3069,3 +3069,71 @@ def pseudonymized_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy("user_pseud")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing (SURVEY §2.13 extension): assign chunks to
+# fixed-budget training windows by running-total bucketing — the streaming
+# form of sequence packing (each item lands in the bin its preceding
+# cumulative size dictates; bins can overflow by at most one item, the
+# standard online-packing bound). One window sort per shard, deterministic
+# order (doc_id, chunk_idx), and the whole construction is plain SQL, so
+# the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "packed_context_windows",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+             length(substr(text, CAST(u.i * 192 + 1 AS INTEGER), 256)) AS n_chars
+      FROM (
+        SELECT doc_id, text,
+               greatest(CAST(ceil((length(text) - 64) / 192.0) AS BIGINT), 1) AS n_chunks
+        FROM documents WHERE doc_id < 400
+      ), LATERAL unnest(range(0, n_chunks)) u(i)
+    ),
+    placed AS (
+      SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM chunks
+    )
+    SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS win_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_chars) AS BIGINT) AS win_chars
+    FROM placed
+    GROUP BY shard, win_id
+    ORDER BY shard, win_id
+    """,
+)
+def packed_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    chunks = chunk_text(docs, "doc_id", "text", chunk_chars=256, overlap=64).select(
+        "doc_id", "chunk_idx", F.length("chunk").alias("n_chars")
+    )
+    shard = (F.col("doc_id") % 8).alias("shard")
+    w = (
+        W.partitionBy(F.col("doc_id") % 8)
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = chunks.select(
+        shard,
+        "doc_id",
+        "chunk_idx",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        placed.groupBy("shard", F.floor(F.col("cum_before") / 2048).alias("win_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chars").cast("long").alias("win_chars"),
+        )
+        .orderBy("shard", "win_id")
+    )
