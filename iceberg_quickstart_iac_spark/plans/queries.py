@@ -60,12 +60,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Names surfaced FIRST by :func:`queries` — the driver's correctness gate
+#: covers the first 50 registered entries, so the queries most in need of a
+#: driver-side certification row lead the catalog: the round-2 additions
+#: (LLM-pipeline + TPC-H fifth wave, previously past the gate), the round-3
+#: additions, and the planted-oracle near-dup tiers. Everything else follows
+#: in source order and keeps its DuckDB oracle replayed by
+#: tests/test_oracle_parity.py — no query loses verification, only which
+#: harness certifies it changes.
+_GATE_PRIORITY: list[str] = [
+    # round-2 additions that had no CORRECTNESS row (queries registered 50-74)
+    "q16_supplier_variety",
+    "q17_small_qty_avg_yearly",
+    "q20_heavy_shippers",
+    "q21_sole_late_shippers",
+    "q2_min_cost_supplier",
+    "embedding_ann_ivf",
+    "event_followup_pairs",
+    "event_time_hierarchy_rollup",
+    "row_policy_events",
+    "q11_top_nation_share",
+    "multimodal_media_stats",
+    "cohort_retention",
+    "funnel_click_to_purchase",
+    "latest_event_per_user",
+    "q12_shipmode_priority",
+    "doc_chunks",
+    "doc_hash_split",
+    "doc_benchmark_contamination",
+    "token_vocabulary",
+    "stratified_doc_sample",
+    "doc_pii_redaction",
+    "doc_bpe_token_stats",
+    "embedding_int8_audit",
+    "pseudonymized_user_activity",
+    "packed_context_windows",
+    # round-3 additions
+    "embedding_lsh_topk",
+    "partitioned_table_pruning",
+    "soda_yaml_checks",
+    "drift_sensor_cycle",
+    # planted-truth oracles added round 3 (previously rows-only)
+    "near_dup_minhash_pairs",
+    "simhash_near_pairs_block2k",
+]
+
+
+def _gate_ordered(d: dict) -> dict:
+    head = {n: d[n] for n in _GATE_PRIORITY if n in d}
+    return {**head, **{n: v for n, v in d.items() if n not in head}}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_REGISTRY)
+    return _gate_ordered(_REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return _gate_ordered(_ORACLE)
 
 
 def dsum(col: F.Column | str, alias: str) -> F.Column:

@@ -43,10 +43,15 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import shutil
+import struct
 import time
 import uuid
 from pathlib import Path
+from urllib.parse import unquote
+
+from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,6 +68,144 @@ class CommitConflictError(RuntimeError):
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+# -- hidden partitioning -----------------------------------------------------
+#
+# The reference's headline table optimization is transform partitioning:
+# a query filtering on the SOURCE column reads only matching partition
+# folders (docs/table-template-reference.md:133-168 — "only reads files in
+# the hour=10 folder"; table-templates/event_stream.yaml:44-48 declares
+# [day(ts), hour(ts)]). Here the template's partition_spec drives the
+# physical parquet layout: writes derive one directory level per spec entry
+# (Iceberg's human-readable path convention, e.g. ts_day=2024-01-02/
+# ts_hour=2024-01-02-10), and reads prune directories driver-side from
+# simple predicates on the source column — the same metadata-only pruning
+# Iceberg does with manifest entries, so a day-filtered read of a year of
+# events lists and scans ~1/365th of the files. Directory listing is
+# O(partitions), driver-side, exactly the role Iceberg gives manifests.
+
+#: partition transforms usable for ORDER comparisons after rendering
+#: (rendered form is chronologically/numerically ordered)
+_ORDERED_TRANSFORMS = {"identity", "year", "month", "day", "hour"}
+
+
+def partition_field_name(column: str, transform: str) -> str:
+    """Iceberg-style partition field name: ``ts`` + ``day`` → ``ts_day``."""
+    if transform == "identity":
+        return column
+    base = transform.split("[")[0]
+    return f"{column}_{base}"
+
+
+def _partition_expr(column: str, transform: str):
+    """The Spark column rendering one spec entry as its partition value.
+
+    Time transforms render as sortable strings matching Iceberg's partition
+    path convention (day → yyyy-MM-dd, hour → yyyy-MM-dd-HH) so pruning can
+    compare them lexicographically; bucket/truncate delegate to the
+    spec-exact scalar transforms.
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.functions.transforms import (
+        iceberg_bucket,
+        iceberg_truncate,
+    )
+
+    c = F.col(column)
+    if transform == "identity":
+        return c.cast("string")
+    if transform == "year":
+        return F.year(c).cast("string")
+    if transform == "month":
+        return F.date_format(c, "yyyy-MM")
+    if transform == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if transform == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    m = re.match(r"^bucket\[(\d+)\]$", transform)
+    if m:
+        return iceberg_bucket(c, int(m.group(1)), "long").cast("string")
+    m = re.match(r"^truncate\[(\d+)\]$", transform)
+    if m:
+        return iceberg_truncate(c, int(m.group(1)), "string")
+    raise ValueError(f"Unknown partition transform: {transform!r}")
+
+
+def _coerce_ts(value) -> datetime:
+    if isinstance(value, datetime):
+        return value
+    if isinstance(value, date):
+        return datetime(value.year, value.month, value.day)
+    if isinstance(value, (int, float)):
+        return datetime.fromtimestamp(value, tz=timezone.utc).replace(tzinfo=None)
+    return datetime.fromisoformat(str(value))
+
+
+def transform_value(value, transform: str) -> str:
+    """Driver-side twin of :func:`_partition_expr` for PREDICATE bounds:
+    renders a filter value into the partition-value domain so directory
+    names can be compared against it without touching any data."""
+    if transform == "identity":
+        return str(value)
+    ts = _coerce_ts(value)
+    if transform == "year":
+        return str(ts.year)
+    if transform == "month":
+        return ts.strftime("%Y-%m")
+    if transform == "day":
+        return ts.strftime("%Y-%m-%d")
+    if transform == "hour":
+        return ts.strftime("%Y-%m-%d-%H")
+    raise ValueError(f"No driver-side rendering for transform {transform!r}")
+
+
+def _transform_bound(value, transform: str) -> str | None:
+    """Render a predicate bound into the partition-value domain, or None
+    when the transform has no driver-side ordered rendering (bucket)."""
+    m = re.match(r"^truncate\[(\d+)\]$", transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(value, str):
+            return value[:w]
+        v = int(value)
+        return str(v - (((v % w) + w) % w))
+    try:
+        return transform_value(value, transform)
+    except ValueError:
+        return None
+
+
+def _bucket_of(value, transform: str) -> str | None:
+    """Driver-side spec-exact bucket value for equality pruning."""
+    from iceberg_quickstart_iac_spark.functions.transforms import _murmur3_32_bytes
+
+    m = re.match(r"^bucket\[(\d+)\]$", transform)
+    if not m:
+        return None
+    n = int(m.group(1))
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+    else:
+        raw = struct.pack("<q", int(value))
+    return str((_murmur3_32_bytes(raw) & 0x7FFFFFFF) % n)
+
+
+def _cmp_vals(a: str, b: str) -> int:
+    """Numeric-aware comparison of two rendered partition values."""
+    try:
+        fa, fb = float(a), float(b)
+        return (fa > fb) - (fa < fb)
+    except ValueError:
+        return (a > b) - (a < b)
+
+
+def _footer_row_count(files: list[Path]) -> int:
+    """Sum of parquet footer row counts — metadata-only, no data read."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
 
 
 class SnapTable:
@@ -85,10 +228,19 @@ class SnapTable:
         table = cls(root)
         table.log_dir.mkdir(parents=True, exist_ok=True)
         table.data_dir.mkdir(parents=True, exist_ok=True)
+        # Iceberg-style field ids: every column gets a table-unique id at
+        # declaration time; a dropped-then-re-added name is a NEW id, so old
+        # data files never leak pre-drop values into the re-added column.
+        columns = [dict(c) for c in (template or {}).get("columns", [])]
+        for i, c in enumerate(columns):
+            c.setdefault("id", i + 1)
         meta = {
             "name": (template or {}).get("name", table.root.name),
             "namespace": (template or {}).get("namespace", "default"),
-            "columns": (template or {}).get("columns", []),
+            "columns": columns,
+            "next_field_id": len(columns) + 1,
+            "partition_spec": (template or {}).get("partition_spec", []) or [],
+            "sort_order": (template or {}).get("sort_order", []) or [],
             "properties": {**((template or {}).get("properties") or {}), **(properties or {})},
         }
         (table.root / "table.json").write_text(json.dumps(meta, indent=2))
@@ -167,12 +319,72 @@ class SnapTable:
 
     # -- writes ------------------------------------------------------------
 
+    #: partition directory levels are engine-managed derived columns; the
+    #: prefix keeps them from ever colliding with a declared data column
+    #: (identity transforms would otherwise shadow their source column and
+    #: partitionBy would strip it from the data files)
+    _PPREFIX = "__p_"
+
+    def _partition_cols(self) -> list[tuple[str, dict]]:
+        """(physical partition column name, spec entry) per spec level."""
+        return [
+            (self._PPREFIX + partition_field_name(p["column"], p["transform"]), p)
+            for p in (self.meta.get("partition_spec") or [])
+        ]
+
     def _write_data(self, df: DataFrame) -> tuple[str, int, int]:
+        """Write one immutable data directory; return (dir, rows, files).
+
+        Applies the template's physical layout: one Hive-style directory
+        level per partition_spec transform (hidden partitioning — reads
+        prune on the SOURCE column, see :meth:`read`) and
+        ``sortWithinPartitions`` for the declared sort_order (write-time
+        clustering for compression + min/max file skipping, the
+        ``WRITE ORDERED BY`` analog, ``docs/table-template-reference.md:
+        180-191``). Row count comes from the written parquet footers — a
+        driver-side metadata read, O(files), exactly what Iceberg stores in
+        manifests — NOT from ``df.count()``, which would re-execute the
+        entire input plan a second time.
+        """
         dir_name = uuid.uuid4().hex
         out = self.data_dir / dir_name
-        df.write.parquet(str(out))
-        n_files = len(list(out.glob("*.parquet")))
-        return dir_name, df.count(), n_files
+        # spec entries on absent columns only occur with schema enforcement
+        # disabled (declared columns cleared); write unpartitioned for those
+        pcols = [(n, p) for n, p in self._partition_cols() if p["column"] in df.columns]
+        wdf = df
+        if pcols:
+            wdf = wdf.select(
+                "*",
+                *[
+                    _partition_expr(p["column"], p["transform"]).alias(name)
+                    for name, p in pcols
+                ],
+            )
+        order = [
+            o for o in (self.meta.get("sort_order") or []) if o["column"] in df.columns
+        ]
+        if order or pcols:
+            from pyspark.sql import functions as F
+
+            sort_exprs = [F.col(name) for name, _ in pcols]
+            for item in order:
+                c = F.col(item["column"])
+                c = c.desc() if item.get("direction", "asc") == "desc" else c.asc()
+                if item.get("null_order") == "nulls_first":
+                    c = (
+                        F.col(item["column"]).desc_nulls_first()
+                        if item.get("direction") == "desc"
+                        else F.col(item["column"]).asc_nulls_first()
+                    )
+                sort_exprs.append(c)
+            wdf = wdf.sortWithinPartitions(*sort_exprs)
+        if pcols:
+            wdf.write.partitionBy(*[name for name, _ in pcols]).parquet(str(out))
+        else:
+            wdf.write.parquet(str(out))
+        files = list(out.rglob("*.parquet"))
+        rows = _footer_row_count(files)
+        return dir_name, rows, len(files)
 
     def _check_columns(self, df: DataFrame) -> None:
         declared = [c["name"] for c in self.meta.get("columns", [])]
@@ -193,6 +405,7 @@ class SnapTable:
                 "data_dirs": [dir_name],
                 "row_count": rows,
                 "file_count": files,
+                "column_ids": self._column_ids(),
             }
         )
         log_audit_event("table_write", self.fq_name, details={"row_count": rows, "mode": "overwrite"})
@@ -215,6 +428,7 @@ class SnapTable:
                 # TOTAL files in the snapshot, not just the new manifest's
                 "row_count": prev_rows + rows,
                 "file_count": prev_files + files,
+                "column_ids": self._column_ids(),
             }
 
         entry = self._commit(build)
@@ -239,44 +453,222 @@ class SnapTable:
             return eligible[-1]
         return entries[-1]
 
+    def _column_ids(self) -> dict[str, int | None]:
+        """Declared column name → field id (None on legacy tables created
+        before field ids existed)."""
+        return {c["name"]: c.get("id") for c in self.meta.get("columns", [])}
+
+    def _dir_column_ids(self) -> dict[str, dict | None]:
+        """Data dir → the {name: field_id} mapping it was WRITTEN under
+        (the first log entry referencing the dir; None for legacy entries)."""
+        seen: dict[str, dict | None] = {}
+        for e in self._entries():
+            ids = e.get("column_ids")
+            for d in e["data_dirs"]:
+                if d not in seen:
+                    seen[d] = ids
+        return seen
+
+    def _project_declared(self, df: DataFrame, written_ids: dict | None) -> DataFrame:
+        """Project a frame of raw data files to the declared table schema:
+        declared names, declared order, cast to declared types.
+
+        Always applied, never gated on a name-set comparison, and resolved
+        by FIELD ID, not name (``written_ids`` is the name→id mapping the
+        files were written under): Iceberg's field-id semantics make a
+        column that is dropped and later re-added a FRESH column — its
+        pre-drop bytes still sit in old data files, and a name-based
+        projection would silently resurrect them (a governance leak when
+        the drop removed PII). A declared column reads from a file only when
+        the file was written under the SAME field id; otherwise it reads as
+        typed NULL.
+        """
+        declared = self.meta.get("columns", [])
+        if not declared:
+            return df
+        from pyspark.sql import functions as F
+
+        from iceberg_quickstart_iac_spark.templates.loader import iceberg_type_to_spark
+
+        out = []
+        for c in declared:
+            typ = iceberg_type_to_spark(c["type"])
+            name = c["name"]
+            if written_ids is None:
+                readable = name in df.columns
+            else:
+                readable = (
+                    name in df.columns
+                    and name in written_ids
+                    and (
+                        written_ids[name] is None
+                        or c.get("id") is None
+                        or written_ids[name] == c.get("id")
+                    )
+                )
+            if readable:
+                out.append(F.col(name).cast(typ).alias(name))
+            else:
+                out.append(F.lit(None).cast(typ).alias(name))
+        return df.select(*out)
+
+    def _leaf_dirs(
+        self, roots: list[Path], filters: list[tuple] | None
+    ) -> list[str]:
+        """Enumerate data directories under ``roots``, pruning partition
+        levels that cannot match ``filters``.
+
+        ``filters`` are simple conjunctive predicates ``(column, op, value)``
+        with op in ``= >= > <= <`` on the partition SOURCE columns (hidden
+        partitioning: callers never name ``ts_day``, they constrain ``ts``).
+        Range ops relax to the transformed granularity (``ts > X`` keeps the
+        whole day-partition holding X); the residual row filter restores
+        exactness. Listing is driver-side and O(partition dirs) — the same
+        metadata-only role Iceberg gives manifest pruning.
+        """
+        pcols = self._partition_cols()
+        if not pcols:
+            return [str(r) for r in roots]
+        filters = filters or []
+
+        def matches(val: str, p: dict) -> bool:
+            for col, op, bound in filters:
+                if col != p["column"]:
+                    continue
+                t = p["transform"]
+                if op == "=" and t.startswith("bucket["):
+                    b = _bucket_of(bound, t)
+                    if b is not None and val != b:
+                        return False
+                    continue
+                rendered = _transform_bound(bound, t)
+                if rendered is None:
+                    continue
+                c = _cmp_vals(val, rendered)
+                if op == "=" and c != 0:
+                    return False
+                if op in (">=", ">") and c < 0:
+                    return False
+                if op in ("<=", "<") and c > 0:
+                    return False
+            return True
+
+        leaves: list[str] = []
+
+        def descend(path: Path, level: int) -> None:
+            if level == len(pcols):
+                leaves.append(str(path))
+                return
+            name, p = pcols[level]
+            prefix = name + "="
+            matched_any = False
+            for child in sorted(path.iterdir()):
+                if child.is_dir() and child.name.startswith(prefix):
+                    matched_any = True
+                    val = unquote(child.name[len(prefix):])
+                    if matches(val, p):
+                        descend(child, level + 1)
+            if not matched_any:
+                # dir written before this partition level existed (legacy /
+                # enforcement-disabled write) — unprunable, scan it whole
+                leaves.append(str(path))
+
+        for root in roots:
+            if root.exists():
+                descend(root, 0)
+        return leaves
+
+    def _empty_declared(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from iceberg_quickstart_iac_spark.templates.loader import iceberg_type_to_spark
+
+        schema = T.StructType(
+            [
+                T.StructField(c["name"], iceberg_type_to_spark(c["type"]))
+                for c in self.meta.get("columns", [])
+            ]
+        )
+        return spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _apply_row_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
+        if not filters:
+            return df
+        from pyspark.sql import functions as F
+
+        ops = {
+            "=": lambda c, v: c == v,
+            ">=": lambda c, v: c >= v,
+            ">": lambda c, v: c > v,
+            "<=": lambda c, v: c <= v,
+            "<": lambda c, v: c < v,
+        }
+        for col, op, value in filters:
+            df = df.filter(ops[op](F.col(col), F.lit(value)))
+        return df
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: str | None = None,
         as_of_ms: int | None = None,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the table — current state, or time-travel by id/timestamp.
 
+        ``filters`` — optional ``(column, op, value)`` conjuncts — prune
+        partition directories BEFORE Spark ever lists a file (hidden
+        partitioning: predicates on the source column skip non-matching
+        ``day(ts)``/``hour(ts)`` folders, the reference's headline read
+        optimization, ``docs/table-template-reference.md:133-168``), then
+        re-apply as row filters for exact semantics.
+
         After a schema evolution (:meth:`evolve_add_column`), directories
         written before the evolution lack the new columns; ``mergeSchema``
-        unions the file schemas and the declared-schema projection fills
-        the gaps with typed NULLs — Iceberg's read-time schema resolution.
+        unions the file schemas and the unconditional declared-schema
+        projection fills the gaps with typed NULLs — Iceberg's read-time
+        schema resolution.
         """
         snap = self._snapshot_for(snapshot_id, as_of_ms)
-        paths = [str(self.data_dir / d) for d in snap["data_dirs"]]
         log_audit_event(
             "table_read", self.fq_name, details={"snapshot_id": snap["snapshot_id"]}
         )
-        if not paths:
+        if not snap["data_dirs"]:
             raise ValueError(f"Snapshot {snap['snapshot_id']} has no data")
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        declared = self.meta.get("columns", [])
-        if declared and set(c["name"] for c in declared) != set(df.columns):
-            from pyspark.sql import functions as F
+        return self._read_dirs(spark, snap["data_dirs"], filters)
 
-            from iceberg_quickstart_iac_spark.templates.loader import (
-                iceberg_type_to_spark,
-            )
-
-            df = df.select(
-                *[
-                    F.col(c["name"])
-                    if c["name"] in df.columns
-                    else F.lit(None).cast(iceberg_type_to_spark(c["type"])).alias(c["name"])
-                    for c in declared
-                ]
-            )
-        return df
+    def _read_dirs(
+        self, spark: SparkSession, dirs: list[str], filters: list[tuple] | None
+    ) -> DataFrame:
+        """Scan ``dirs``, grouped by the schema epoch they were written
+        under (field-id projection per group — almost always one group, so
+        the plan stays a single parquet scan), partition-pruned by
+        ``filters``, row-filtered, projected to the declared schema."""
+        dir_ids = self._dir_column_ids()
+        groups: dict[tuple, tuple[dict | None, list[Path]]] = {}
+        for d in dirs:
+            ids = dir_ids.get(d)
+            key = tuple(sorted(ids.items())) if ids is not None else ("__legacy__",)
+            groups.setdefault(key, (ids, []))[1].append(self.data_dir / d)
+        parts: list[DataFrame] = []
+        for ids, roots in groups.values():
+            paths = self._leaf_dirs(roots, filters)
+            if not paths:
+                continue
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            if filters and any(col not in df.columns for col, _, _ in filters):
+                # a filtered column absent from this epoch's files reads as
+                # NULL — no comparison predicate can hold, skip the group
+                continue
+            df = self._apply_row_filters(df, filters)
+            parts.append(self._project_declared(df, ids))
+        if not parts:
+            return self._apply_row_filters(self._empty_declared(spark), filters)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def snapshots(self, spark: SparkSession) -> DataFrame:
         """The snapshot-metadata table (M1), like Iceberg's ``t.snapshots``."""
@@ -314,8 +706,10 @@ class SnapTable:
         cols = meta.get("columns", [])
         if any(c["name"] == name for c in cols):
             raise ValueError(f"Column {name!r} already exists on {self.fq_name}")
-        cols.append({"name": name, "type": col_type, "doc": doc})
+        fid = meta.get("next_field_id", max((c.get("id") or 0) for c in cols) + 1 if cols else 1)
+        cols.append({"name": name, "type": col_type, "doc": doc, "id": fid})
         meta["columns"] = cols
+        meta["next_field_id"] = fid + 1
         (self.root / "table.json").write_text(json.dumps(meta, indent=2))
         log_audit_event(
             "schema_evolution",
@@ -343,7 +737,12 @@ class SnapTable:
 
     # -- incremental reads -------------------------------------------------
 
-    def read_incremental(self, spark: SparkSession, from_snapshot_id: str) -> DataFrame:
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
         """Rows appended AFTER ``from_snapshot_id`` (Iceberg's incremental
         append scan — the consumer side of CDC-style pipelines: checkpoint a
         snapshot id, read only what arrived since).
@@ -351,6 +750,12 @@ class SnapTable:
         Valid only across an append-only chain: an overwrite or compact
         rewrites the visible set, so "new rows" is no longer the directory
         delta — those chains raise and the caller falls back to a full read.
+
+        Goes through the same scan path as :meth:`read` — partition pruning
+        from ``filters``, field-id declared-schema projection — so
+        incremental consumers see EXACTLY the schema a full read would give
+        (a dropped column stays dropped; appends that predate an
+        ``evolve_add_column`` carry the new column as typed NULLs).
         """
         entries = self._entries()
         ids = [e["snapshot_id"] for e in entries]
@@ -375,9 +780,7 @@ class SnapTable:
         )
         if not new_dirs:
             return self.read(spark).limit(0)
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.data_dir / d) for d in new_dirs]
-        )
+        return self._read_dirs(spark, new_dirs, filters)
 
     # -- maintenance -------------------------------------------------------
 
@@ -394,15 +797,16 @@ class SnapTable:
         df = self.read(spark)
         if target_files is not None:
             df = df.coalesce(target_files)
-        dir_name = uuid.uuid4().hex
-        df.write.parquet(str(self.data_dir / dir_name))
-        files = len(list((self.data_dir / dir_name).glob("*.parquet")))
+        # through _write_data so the compacted copy keeps the declared
+        # physical layout (partition dirs + within-partition sort order)
+        dir_name, rows, files = self._write_data(df)
         entry = self._commit(
             lambda entries: {
                 "operation": "compact",
                 "data_dirs": [dir_name],
-                "row_count": current["row_count"],
+                "row_count": rows,
                 "file_count": files,
+                "column_ids": self._column_ids(),
             }
         )
         log_audit_event(

@@ -280,3 +280,153 @@ def test_incremental_read_appends_only(spark, tmp_path):
         t.read_incremental(spark, second["snapshot_id"] if isinstance(second, str) else second["snapshot_id"])
     with pytest.raises(ValueError, match="No snapshot"):
         t.read_incremental(spark, "nope")
+
+
+# --- physical layout: hidden partitioning + sort order (round 3) -----------
+
+
+@pytest.fixture()
+def part_table(tmp_path):
+    template = {
+        "name": "pevents",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "ts", "type": "timestamp"},
+        ],
+        "partition_spec": [
+            {"column": "ts", "transform": "day"},
+            {"column": "ts", "transform": "hour"},
+        ],
+        "sort_order": [{"column": "ts", "direction": "asc"}],
+    }
+    return SnapTable.create(tmp_path / "p", template)
+
+
+def _hourly_events(spark, n=48):
+    from datetime import datetime
+
+    rows = [
+        (i, "click", datetime(2024, 1, 1 + (i % 3), (i * 5) % 24, i % 60))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "event_id LONG, event_type STRING, ts TIMESTAMP")
+
+
+def test_partitioned_write_creates_transform_dirs(spark, part_table):
+    part_table.overwrite(_hourly_events(spark))
+    days = {d.name for d in part_table.data_dir.glob("*/__p_ts_day=*")}
+    assert days == {
+        "__p_ts_day=2024-01-01",
+        "__p_ts_day=2024-01-02",
+        "__p_ts_day=2024-01-03",
+    }
+    hours = list(part_table.data_dir.glob("*/__p_ts_day=*/__p_ts_hour=*"))
+    assert hours, "expected nested hour-level partition dirs"
+    # data files keep ALL declared columns — partition levels are derived
+    # copies, so identity/source columns are never stripped from the files
+    import pyarrow.parquet as pq
+
+    f = next(part_table.data_dir.rglob("*.parquet"))
+    assert {"event_id", "event_type", "ts"} <= set(pq.ParquetFile(str(f)).schema_arrow.names)
+
+
+def test_day_filtered_read_prunes_partition_dirs(spark, part_table):
+    from datetime import datetime
+
+    part_table.overwrite(_hourly_events(spark))
+    full = part_table.read(spark)
+    lo, hi = datetime(2024, 1, 2), datetime(2024, 1, 3)
+    pruned = part_table.read(spark, filters=[("ts", ">=", lo), ("ts", "<", hi)])
+    files = pruned.inputFiles()
+    # the reference promise: a day filter only READS files in that day's
+    # folder (docs/table-template-reference.md:133-168)
+    assert files and all("__p_ts_day=2024-01-02" in f for f in files)
+    expected = full.filter((full.ts >= lo) & (full.ts < hi)).count()
+    assert pruned.count() == expected > 0
+    # out-of-range filter: nothing listed, empty frame with declared schema
+    none = part_table.read(spark, filters=[("ts", ">=", datetime(2030, 1, 1))])
+    assert none.count() == 0
+    assert none.columns == ["event_id", "event_type", "ts"]
+
+
+def test_sort_order_applied_within_files(spark, part_table):
+    import pyarrow.parquet as pq
+
+    part_table.overwrite(_hourly_events(spark))
+    checked = 0
+    for f in part_table.data_dir.rglob("*.parquet"):
+        ts = pq.read_table(str(f), columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts)
+        checked += 1
+    assert checked > 0
+
+
+def test_compact_preserves_partition_layout(spark, part_table):
+    from datetime import datetime
+
+    part_table.overwrite(_hourly_events(spark))
+    part_table.compact(spark)
+    snap = part_table.current_snapshot()
+    assert snap["operation"] == "compact"
+    pruned = part_table.read(spark, filters=[("ts", ">=", datetime(2024, 1, 3))])
+    assert pruned.inputFiles() and all(
+        "__p_ts_day=2024-01-03" in f for f in pruned.inputFiles()
+    )
+
+
+# --- field-id schema evolution (ADVICE r2: no resurrection) -----------------
+
+
+def test_drop_then_readd_reads_null_not_old_values(spark, table, events_df):
+    table.overwrite(events_df)
+    table.evolve_drop_column("event_type")
+    table.evolve_add_column("event_type", "string")
+    # old data files still hold the pre-drop bytes; the re-added column is a
+    # NEW field id, so they must read as typed NULLs (Iceberg semantics) —
+    # especially when drop was a governance action on sensitive data
+    vals = [r.event_type for r in table.read(spark).collect()]
+    assert vals == [None, None, None]
+    # new writes under the new field id DO read back
+    table.append(
+        spark.createDataFrame([(9, "fresh")], "event_id LONG, event_type STRING")
+    )
+    rows = {r.event_id: r.event_type for r in table.read(spark).collect()}
+    assert rows[9] == "fresh"
+    assert rows[1] is None
+
+
+def test_incremental_read_applies_declared_projection(spark, table, events_df):
+    s0 = table.append(events_df)
+    table.append(events_df)  # pre-evolution append
+    table.evolve_add_column("source", "string")
+    inc = table.read_incremental(spark, s0["snapshot_id"])
+    # appends predating the evolution carry the new column as typed NULLs —
+    # incremental consumers see the same schema as full reads (ADVICE r2)
+    assert inc.columns == ["event_id", "event_type", "source"]
+    assert [r.source for r in inc.collect()] == [None, None, None]
+    table.evolve_drop_column("source")
+    inc2 = table.read_incremental(spark, s0["snapshot_id"])
+    assert inc2.columns == ["event_id", "event_type"]
+
+
+# --- single-job writes ------------------------------------------------------
+
+
+def test_write_executes_input_plan_exactly_once(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    t = SnapTable.create(tmp_path / "once", {"name": "once", "namespace": "l", "columns": []})
+    entry = t.overwrite(spark.range(0, 100, 1, 4).select(bump(F.col("id")).alias("id")))
+    # row_count comes from parquet footers, not a second df.count() job —
+    # the input plan (and any expensive upstream) runs exactly once
+    assert entry["row_count"] == 100
+    assert acc.value == 100
