@@ -42,6 +42,20 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(target, id_col)
 
 
+def _has_unorderable(dtype) -> bool:
+    """True when a type cannot participate in a MIN/MAX aggregate (maps,
+    possibly nested inside arrays/structs)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _has_unorderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_has_unorderable(f.dataType) for f in dtype.fields)
+    return False
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row (smallest ``id_col``) per dedup key.
 
@@ -50,8 +64,22 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     partition pre-reduces to ≤1 row per local key before the exchange) and
     no per-partition sort — the shape that survives 100 TB. Ties on
     ``id_col`` break deterministically by the remaining columns.
+
+    Constraint: the struct-min requires every carried column to be of an
+    ORDERABLE type. A payload containing a map (at any nesting depth) falls
+    back to the row_number-window path automatically — one per-partition
+    sort instead of map-side combine, but no analysis error (ADVICE r2).
     """
     payload = [id_col, *[c for c in df.columns if c != id_col and c not in key_cols]]
+    if any(_has_unorderable(df.schema[c].dataType) for c in payload):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(F.col(id_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     kept = df.groupBy(*key_cols).agg(F.min(F.struct(*payload)).alias("__keep"))
     return kept.select(
         *[F.col(f"__keep.{c}").alias(c) if c not in key_cols else F.col(c) for c in df.columns]
@@ -116,17 +144,87 @@ def minhash_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket_df: int,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Self-join rows on shared bucket keys, with the standard LSH bucket-size
+    guard: a bucket holding m > ``max_bucket_df`` rows would emit m²/2 pairs
+    — and the duplicate-heavy corpora dedup targets are EXACTLY where such
+    buckets appear (a 1M-copy boilerplate cluster lands in one bucket).
+
+    Under-cap buckets self-join exactly as before. Over-cap buckets switch
+    to a STAR join against the bucket's min-id representative: every member
+    still pairs with the representative, so connected components (and thus
+    dedup clusters) are preserved, but the pair count is O(m) per bucket —
+    O(cap·m) overall instead of O(m²). Both the over-cap bucket list and the
+    per-bucket representative table are bounded by n/cap rows, so they
+    broadcast at any corpus size.
+
+    ``payload_cols``: columns carried through for both pair sides (e.g. the
+    simhash signature for hamming scoring).
+    """
+    payload_cols = payload_cols or []
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__m"))
+    big = sizes.filter(F.col("__m") > max_bucket_df).select(*bucket_cols)
+
+    small = keyed.join(F.broadcast(big), bucket_cols, "left_anti")
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs_small = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+
+    members = keyed.join(F.broadcast(big), bucket_cols)
+    reps = members.groupBy(*bucket_cols).agg(
+        F.min(F.struct(id_col, *payload_cols)).alias("__rep")
+    )
+    pairs_big = (
+        members.join(F.broadcast(reps), bucket_cols)
+        .filter(F.col(id_col) != F.col(f"__rep.{id_col}"))
+        .select(
+            F.least(F.col(id_col), F.col(f"__rep.{id_col}")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col(f"__rep.{id_col}")).alias("id_b"),
+            *[
+                F.when(F.col(id_col) < F.col(f"__rep.{id_col}"), F.col(c))
+                .otherwise(F.col(f"__rep.{c}"))
+                .alias(f"{c}_a")
+                for c in payload_cols
+            ],
+            *[
+                F.when(F.col(id_col) < F.col(f"__rep.{id_col}"), F.col(f"__rep.{c}"))
+                .otherwise(F.col(c))
+                .alias(f"{c}_b")
+                for c in payload_cols
+            ],
+        )
+    )
+    return pairs_small.unionByName(pairs_big)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     bands: int = 16,
     num_perm: int = 64,
+    max_bucket_df: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on at least one LSH band.
 
     Returns distinct (id_a, id_b) with id_a < id_b. With r = num_perm/bands
     rows per band, the usual S-curve applies (bands=16, r=4 → ~50% catch at
-    Jaccard ≈ 0.55).
+    Jaccard ≈ 0.55). Buckets larger than ``max_bucket_df`` are linked
+    through a representative instead of all-pairs (see
+    :func:`_capped_bucket_pairs`) — the guard that keeps a duplicate-heavy
+    corpus from emitting O(m²) candidates.
     """
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
@@ -144,16 +242,59 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    return _capped_bucket_pairs(
+        banded, id_col, ["band", "bucket"], max_bucket_df
+    ).distinct()
+
+
+def lsh_screened_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 21,
+    num_perm: int = 63,
+    min_est: float = 0.4,
+    max_bucket_df: int = 1000,
+) -> DataFrame:
+    """Banding + signature screening FUSED into one stage: the band
+    self-join carries both signatures as payload, estimated Jaccard is
+    computed inline (codegen ``element_at`` comparisons) on the join
+    output, and pairs below ``min_est`` die before the distinct shuffle.
+
+    Versus ``lsh_candidate_pairs`` + ``signature_similarity``, this removes
+    a full second join against the signature table — on a corpus whose
+    banding emits ~600k candidates the separate screen was the single
+    largest stage. Bucket caps apply as in :func:`_capped_bucket_pairs`.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    r = num_perm // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    pairs = _capped_bucket_pairs(
+        banded, id_col, ["band", "bucket"], max_bucket_df, payload_cols=["minhash"]
+    )
+    agree = sum(
+        F.when(
+            F.element_at("minhash_a", p + 1) == F.element_at("minhash_b", p + 1), 1
+        ).otherwise(0)
+        for p in range(num_perm)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        pairs.withColumn("est_jaccard", agree / num_perm)
+        .filter(F.col("est_jaccard") >= min_est)
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -181,6 +322,59 @@ def signature_similarity(
     )
 
 
+def verify_pairs_exact_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of CANDIDATE pairs — the second
+    stage of the standard LSH-then-verify dedup pipeline (candidates from
+    :func:`lsh_candidate_pairs`, exactness from raw shingle sets).
+
+    Shingles are computed only for docs that appear in a candidate pair
+    (semi-join first), so at 100 TB the verify cost follows the candidate
+    volume, not the corpus. The output (id_a, id_b, jaccard) is fully
+    engine-portable: with sensitive banding (e.g. bands=32, r=2 the miss
+    probability at j >= 0.7 is (1-0.49)^32 ~ 4e-10), the verified set
+    equals the exact all-pairs Jaccard join above ``threshold``.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_c = df.join(cand_ids, id_col, "left_semi")
+    sh = (
+        _exploded_shingles(docs_c, id_col, text_col, shingle_k)
+        .select(id_col, F.xxhash64("__sh").alias("__sh"))
+        .dropDuplicates([id_col, "__sh"])
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    shared = (
+        a.join(b, ["__sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(pairs.select("id_a", "id_b").distinct(), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard", F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 10
 ) -> DataFrame:
@@ -191,38 +385,56 @@ def near_dup_clusters(
     aggregate; label space halves fast (typical dup clusters converge in
     2-3 rounds).
     """
+    # Iterative algorithm on lazy frames: WITHOUT materialization each
+    # iteration's convergence check re-executes the ENTIRE upstream DAG
+    # (signatures + banding + verify) times the growing join lineage —
+    # measured minutes instead of seconds even at sf0.01. Cache the edge
+    # set once and each iteration's labels (unpersisting the previous),
+    # exactly what GraphX/GraphFrames do internally.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .cache()
     )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")).cache()
+    cached = [edges, labels]
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("src").alias(id_col), "cluster_id")
+            new_labels = (
+                labels.join(neighbor_min, "src", "left")
+                .select(
+                    "src",
+                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "src")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            if labels is not cached[0]:
+                labels.unpersist()
+            labels = new_labels
+            cached.append(new_labels)
+            if changed == 0:
+                break
+        # break lineage for the caller: the result is tiny (one row per id)
+        out = labels.select(F.col("src").alias(id_col), "cluster_id").localCheckpoint()
+    finally:
+        for df in cached:
+            df.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -253,9 +465,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return sig
 
 
-def simhash_candidate_pairs(sig: DataFrame, id_col: str, chunks: int = 4) -> DataFrame:
+def simhash_candidate_pairs(
+    sig: DataFrame, id_col: str, chunks: int = 4, max_bucket_df: int = 2000
+) -> DataFrame:
     """Candidate pairs whose simhashes agree on ≥1 of ``chunks`` 16-bit
-    chunks (catches hamming distance < chunks by pigeonhole)."""
+    chunks (catches hamming distance < chunks by pigeonhole). Over-cap
+    chunk buckets link through a representative (:func:`_capped_bucket_pairs`)
+    instead of all-pairs — same guard as the MinHash tier."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sig.select(
@@ -270,21 +486,14 @@ def simhash_candidate_pairs(sig: DataFrame, id_col: str, chunks: int = 4) -> Dat
             )
         ).alias("chunk", "val"),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            _hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .distinct()
+    pairs = _capped_bucket_pairs(
+        chunked, id_col, ["chunk", "val"], max_bucket_df, payload_cols=["simhash"]
     )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _hamming(F.col("simhash_a"), F.col("simhash_b")).alias("hamming"),
+    ).distinct()
 
 
 def _hamming(x, y):

@@ -63,6 +63,9 @@ class Check:
     threshold: int = 0
     max_age: str | None = None
     name: str | None = None
+    #: optional SodaCL warn clause, carried through verbatim (e.g.
+    #: "when missing_count(email) > 0") — informational, not evaluated
+    warn: str | None = None
 
     def label(self) -> str:
         if self.name:
@@ -96,6 +99,81 @@ class QualityReport:
 
     def failures(self) -> list[CheckResult]:
         return [r for r in self.results if not r.passed]
+
+
+#: SodaCL check expression: kind, optional (column), operator, value
+_SODACL_EXPR_RE = re.compile(
+    r"^(\w+)\s*(?:\(\s*([^)]+?)\s*\))?\s*(>=|<=|==|=|<|>)\s*(\S+)$"
+)
+
+
+def parse_sodacl(text: str) -> dict[str, list[Check]]:
+    """Parse a SodaCL-subset YAML document into per-table ``Check`` lists.
+
+    The subset is exactly what the reference's check files use
+    (``quality/soda_checks/*.yaml``, executed by Soda via
+    ``quality/runner.py:37-50``): ``checks for <table>:`` sections whose
+    items are either bare check expressions or expressions with a
+    ``name``/``warn`` attribute block. Supported expressions::
+
+        row_count > 0
+        missing_count(col) = 0
+        duplicate_count(col) = 0
+        freshness(col) < 1d
+
+    The YAML is the source of truth (reference parity); the Python
+    constants below are the compiled form of the same files. Parsing does
+    NOT validate columns — run :func:`validate_checks` against the target
+    schema afterwards, which is how the reference's email-on-event_stream
+    bug (``compliance_checks.yaml:7-9``) gets caught here.
+    """
+    import yaml
+
+    doc = yaml.safe_load(text)
+    if not isinstance(doc, dict):
+        raise ValueError("SodaCL document must be a mapping of 'checks for <table>'")
+    out: dict[str, list[Check]] = {}
+    for section, items in doc.items():
+        m = re.match(r"^checks\s+for\s+(\S+)$", str(section))
+        if not m:
+            raise ValueError(f"Unrecognized SodaCL section {section!r}")
+        table = m.group(1)
+        checks: list[Check] = []
+        for item in items or []:
+            if isinstance(item, str):
+                expr, attrs = item, {}
+            elif isinstance(item, dict) and len(item) == 1:
+                expr, attrs = next(iter(item.items()))
+                attrs = attrs or {}
+            else:
+                raise ValueError(f"Unparseable check item {item!r} in {section!r}")
+            em = _SODACL_EXPR_RE.match(expr.strip())
+            if not em:
+                raise ValueError(f"Unparseable check expression {expr!r}")
+            kind, column, op, value = em.groups()
+            if kind == "freshness":
+                checks.append(
+                    Check(
+                        "freshness",
+                        column,
+                        max_age=value,
+                        name=attrs.get("name"),
+                        warn=attrs.get("warn"),
+                    )
+                )
+            else:
+                checks.append(
+                    Check(
+                        kind,
+                        column,
+                        op=op,
+                        threshold=int(value),
+                        name=attrs.get("name"),
+                        warn=attrs.get("warn"),
+                    )
+                )
+        out[table] = checks
+    return out
 
 
 def validate_checks(checks: list[Check], columns: list[str]) -> list[str]:
@@ -191,6 +269,59 @@ def run_checks(
             detail = f"value {value} {check.op} {check.threshold}"
         report.results.append(CheckResult(check=check, value=value, passed=passed, detail=detail))
     return report
+
+
+def checks_report_df(
+    df: DataFrame,
+    checks: list[Check],
+    as_of: Column | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """The DataFrame twin of :func:`run_checks`: one row per check with
+    (check_name, value, passed) — everything stays JVM-side (one
+    aggregation job, then a literal explode of the metric row), so the
+    report composes into larger plans and driver oracles.
+
+    Freshness value is the age in whole seconds at ``as_of``; a NULL metric
+    (zero rows / all-null column) fails freshness and reads value NULL.
+    """
+    errors = validate_checks(checks, df.columns)
+    if errors:
+        raise ValueError("Invalid checks: " + "; ".join(errors))
+    as_of = as_of if as_of is not None else F.current_timestamp()
+    exprs = [_metric_expr(c, i, as_of, approx) for i, c in enumerate(checks)]
+    row_df = df.agg(*exprs)
+
+    col_ops = {
+        ">": lambda v, t: v > t,
+        ">=": lambda v, t: v >= t,
+        "=": lambda v, t: v == t,
+        "==": lambda v, t: v == t,
+        "<=": lambda v, t: v <= t,
+        "<": lambda v, t: v < t,
+    }
+    structs = []
+    for i, check in enumerate(checks):
+        v = F.col(f"m{i}").cast("long")
+        if check.kind == "freshness":
+            passed = F.when(v.isNull(), F.lit(False)).otherwise(
+                v < F.lit(parse_age(check.max_age))
+            )
+        else:
+            v = F.coalesce(v, F.lit(0)).cast("long")
+            passed = col_ops[check.op](v, F.lit(check.threshold))
+        structs.append(
+            F.struct(
+                F.lit(check.label()).alias("check_name"),
+                v.alias("value"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        row_df.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("check_name")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -172,8 +172,22 @@ def ivf_index(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    sample = corpus.select(corpus_vec).limit(fit_sample).collect()
-    mat = np.array([r[0] for r in sample], dtype="float64")  # S x d
+    # Deterministic, layout-independent fit sample: order by a content hash
+    # and take the lowest ``fit_sample`` (distributed partial top-k). A bare
+    # ``limit()`` takes whichever partitions answer first — on a corpus
+    # written sorted/clustered by any key the quantizer would fit on a
+    # biased slice (ADVICE r2), and the result could change between runs.
+    sample = (
+        corpus.select(F.col(corpus_vec).alias("__v"))
+        .withColumn("__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>"))))
+        .orderBy("__h")
+        .limit(fit_sample)
+        .collect()
+    )
+    mat = np.array([r["__v"] for r in sample], dtype="float64")  # S x d
+    if len(mat) == 0:
+        raise ValueError("ivf_index: corpus has no vectors to fit on")
+    n_cells = min(n_cells, len(mat))
 
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=n_cells, replace=False)]  # C x d

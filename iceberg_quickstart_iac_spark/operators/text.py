@@ -104,10 +104,15 @@ def language_id(col: Column | str, tokens: Column | None = None) -> Column:
 
 #: text-level PII patterns (applied in order). Kept to constructs shared by
 #: Java regex and RE2 (no lookaround) so DuckDB oracles can replay them.
+#: The phone pattern allows only SINGLE-character separators between digit
+#: groups, so a match can never bridge a sentence boundary ("in 2024. 555
+#: 123 4567" redacts only the number, not the year and everything between —
+#: ADVICE r2). Known, accepted collision: dash-separated dates
+#: (2024-01-02) are phone-shaped and get redacted.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+    ("phone", r"\+?(?:\d{7,15}|\(?\d{1,4}\)?(?:[\s.-]\(?\d{2,4}\)?){2,4})"),
 ]
 
 

@@ -192,6 +192,27 @@ def _bucket_of(value, transform: str) -> str | None:
     return str((_murmur3_32_bytes(raw) & 0x7FFFFFFF) % n)
 
 
+def _at_partition_floor(value, transform: str) -> bool:
+    """True when a predicate bound sits EXACTLY on the lower boundary of its
+    partition — then a strict ``<`` may exclude the boundary partition
+    entirely (the half-open time-range idiom: ``ts < '2024-01-12'`` must not
+    scan the 2024-01-12 folder)."""
+    try:
+        ts = _coerce_ts(value)
+    except (ValueError, TypeError):
+        return False
+    zero_time = ts.hour == ts.minute == ts.second == ts.microsecond == 0
+    if transform == "hour":
+        return ts.minute == ts.second == ts.microsecond == 0
+    if transform == "day":
+        return zero_time
+    if transform == "month":
+        return ts.day == 1 and zero_time
+    if transform == "year":
+        return ts.month == 1 and ts.day == 1 and zero_time
+    return False
+
+
 def _cmp_vals(a: str, b: str) -> int:
     """Numeric-aware comparison of two rendered partition values."""
     try:
@@ -550,6 +571,13 @@ class SnapTable:
                 if op in (">=", ">") and c < 0:
                     return False
                 if op in ("<=", "<") and c > 0:
+                    return False
+                # strict bounds are exact on injective transforms, and a
+                # strict upper bound at the exact partition floor excludes
+                # the boundary partition (half-open range idiom)
+                if c == 0 and op in ("<", ">") and t == "identity":
+                    return False
+                if c == 0 and op == "<" and _at_partition_floor(bound, t):
                     return False
             return True
 

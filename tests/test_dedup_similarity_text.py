@@ -103,6 +103,31 @@ def test_simhash_near_dups_close(planted_docs):
     assert ham[(0, 101)] <= 8  # small append stays hamming-close
 
 
+def test_lsh_bucket_cap_bounds_pairs(spark):
+    """A planted 5k-duplicate cluster (the scenario dedup exists for) must
+    complete with O(m) star pairs per bucket, not m^2/2 — VERDICT r2 #3."""
+    m = 5000
+    rows = [(i, [7] * 64) for i in range(m)] + [
+        (10_000 + i, [i * 1000 + j for j in range(64)]) for i in range(5)
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id LONG, minhash ARRAY<BIGINT>")
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16, num_perm=64, max_bucket_df=100)
+    got = pairs.collect()
+    assert len(got) == m - 1  # star to the min-id representative
+    assert all(r.id_a == 0 for r in got)  # connectivity preserved through doc 0
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark):
+    m = 5000
+    sig = spark.createDataFrame(
+        [(i, 123456789) for i in range(m)], "doc_id LONG, simhash LONG"
+    )
+    pairs = simhash_candidate_pairs(sig, "doc_id", max_bucket_df=100)
+    got = pairs.collect()
+    assert len(got) == m - 1
+    assert all(r.hamming == 0 and r.id_a == 0 for r in got)
+
+
 # --- similarity -----------------------------------------------------------
 
 
@@ -349,6 +374,7 @@ def test_redact_pii_planted(spark):
             (1, "contact alice@example.com or bob.smith+x@mail.co.uk today"),
             (2, "ssn 123-45-6789 on file, call +1 (555) 123-4567 x22"),
             (3, "no pii here at all"),
+            (4, "founded in 2024. 555 123 4567 is the line"),
         ],
         "doc_id LONG, text STRING",
     )
@@ -366,6 +392,9 @@ def test_redact_pii_planted(spark):
     assert out[2].n_ssn == 1 and "123-45-6789" not in out[2].red
     assert "555" not in out[2].red  # phone digits scrubbed
     assert out[3].red == "no pii here at all"
+    # single-char separator bound: the match cannot span the sentence
+    # boundary — year survives, phone goes (ADVICE r2)
+    assert out[4].red == "founded in 2024. [PII] is the line"
 
 
 def test_stratified_sample_exact_and_stable(spark, sf_dir):
@@ -396,3 +425,13 @@ def test_int8_quantization_bounds(spark, sf_dir):
         # per-component reconstruction error bounded by scale/2 (half-up)
         for x, qv in zip(r.embedding, r.qvec):
             assert abs(float(x) - qv * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_exact_dedup_map_payload_falls_back_to_window(spark):
+    df = spark.createDataFrame(
+        [(3, "a", {"k": "v3"}), (1, "a", {"k": "v1"}), (2, "b", {"k": "v2"})],
+        "id LONG, k STRING, payload MAP<STRING,STRING>",
+    )
+    out = exact_dedup(df, ["k"], "id").collect()
+    assert sorted((r.k, r.id) for r in out) == [("a", 1), ("b", 2)]
+    assert {r.id: dict(r.payload) for r in out}[1] == {"k": "v1"}

@@ -157,3 +157,44 @@ def test_row_policy_predicate_pushes_to_scan(spark, tmp_path):
     jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = out._jdf.queryExecution().explainString(jm)
     assert "EqualTo(region,EU)" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+# --- drift-sensor loop with persisted cursor (ST4, round 3) -----------------
+
+
+def test_drift_cycle_cursor_and_alert_dedup(tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_quickstart_iac_spark.governance.drift import run_drift_cycle
+    from iceberg_quickstart_iac_spark.templates import get_template
+
+    ev = get_template("event_stream")
+    drifted = T.StructType([T.StructField("event_id", T.StringType())])  # most cols missing
+    cursor = tmp_path / "cursor.json"
+    alerts = []
+    fn = lambda subject, message: alerts.append(message)
+
+    r1 = run_drift_cycle({"event_stream": ev and drifted}, {"event_stream": ev}, cursor, alert_fn=fn, now_ms=1000)
+    assert r1.alerted == ["lakehouse.event_stream"] and len(alerts) == 1
+    assert cursor.exists()
+    import json
+
+    c1 = json.loads(cursor.read_text())
+    assert c1["last_check_ms"] == 1000 and "lakehouse.event_stream" in c1["fingerprints"]
+
+    # cycle 2: SAME drift — cursor advances, no re-alert
+    r2 = run_drift_cycle({"event_stream": drifted}, {"event_stream": ev}, cursor, alert_fn=fn, now_ms=2000)
+    assert r2.alerted == [] and len(alerts) == 1
+    assert json.loads(cursor.read_text())["last_check_ms"] == 2000
+
+    # cycle 3: drift CHANGES (extra col appears) — alerts again
+    drifted2 = T.StructType(
+        [T.StructField("event_id", T.StringType()), T.StructField("rogue", T.StringType())]
+    )
+    r3 = run_drift_cycle({"event_stream": drifted2}, {"event_stream": ev}, cursor, alert_fn=fn, now_ms=3000)
+    assert r3.alerted == ["lakehouse.event_stream"] and len(alerts) == 2
+
+    # cycle 4: table not created yet — skipped, fingerprints cleared
+    r4 = run_drift_cycle({}, {"event_stream": ev}, cursor, alert_fn=fn, now_ms=4000)
+    assert r4.skipped == ["lakehouse.event_stream"]
+    assert json.loads(cursor.read_text())["fingerprints"] == {}
