@@ -19,7 +19,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish pretokenizer: word pieces or single non-space symbols
@@ -172,6 +172,84 @@ def chunk_text(
         (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(chunk_chars)
     )
     return exploded.select(id_col, "chunk_idx", chunk.alias("chunk"))
+
+
+def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-document repetition quality signals.
+
+    Returns one row per input document with:
+
+    - ``n_lines`` — non-empty (trimmed) line count;
+    - ``dup_line_frac`` — fraction of lines belonging to a line value that
+      occurs more than once in the document, the classic boilerplate
+      detector;
+    - ``dup_line_char_frac`` — fraction of line characters contained in
+      lines occurring more than once (catches a short nav-bar repeated 100×
+      that a line-count fraction underweights);
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over total bigrams (catches "buy now buy now buy now" spam).
+
+    These are the duplicate-line / duplicate-n-gram filters from the Gopher
+    (Rae et al. 2021, §A1.1) and C4 cleaning heuristics. Scale shape: two
+    explode→groupBy branches keyed by (doc, line) / (doc, bigram) — partial
+    aggregation collapses per-doc repeats map-side, the final shuffle is on
+    the document key only, and no per-doc state ever exceeds the doc's own
+    line/token count. Every emitted fraction is a SINGLE division of two
+    exact integers, so the values are bit-identical across engines.
+    """
+    did = F.col(id_col)
+    lines = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), "\n")).alias("raw_line"))
+        .select(id_col, F.trim(F.col("raw_line")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("c"),
+        (F.count(F.lit(1)) * F.length("line")).alias("ch"),
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("ch")).otherwise(F.lit(0))).alias("dup_chars"),
+        F.sum("ch").alias("tot_chars"),
+    )
+
+    toks = df.select(
+        id_col, F.posexplode(word_tokens(text_col)).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt = F.lead("tok").over(w)
+    bigrams = (
+        toks.select(
+            id_col,
+            F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt)).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+    )
+    bg_counts = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+
+    base = df.select(id_col)
+    zero = F.lit(0.0)
+    return (
+        base.join(line_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .select(
+            did,
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.when(
+                F.col("n_lines") > 0, F.col("dup_lines") / F.col("n_lines")
+            ).otherwise(zero).alias("dup_line_frac"),
+            F.when(
+                F.col("tot_chars") > 0, F.col("dup_chars") / F.col("tot_chars")
+            ).otherwise(zero).alias("dup_line_char_frac"),
+            F.when(
+                F.col("n_bigrams") > 0, F.col("top_c") / F.col("n_bigrams")
+            ).otherwise(zero).alias("top_bigram_frac"),
+        )
+    )
 
 
 def quality_score(col: Column | str) -> Column:

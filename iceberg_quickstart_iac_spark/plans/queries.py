@@ -101,6 +101,12 @@ _GATE_PRIORITY: list[str] = [
     "soda_yaml_checks",
     "drift_sensor_cycle",
     "near_dup_doc_clusters",
+    # round-3 wave 2: training-corpus analytics
+    "doc_repetition_signals",
+    "source_mixture_weights",
+    "corpus_filter_funnel",
+    "embedding_label_centroids",
+    "inter_source_overlap",
     # exact-verified oracles added round 3 (previously rows-only)
     "near_dup_minhash_pairs",
     "simhash_near_pairs_block2k",
@@ -3646,4 +3652,338 @@ def packed_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("win_chars"),
         )
         .orderBy("shard", "win_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals (SURVEY §2.13 X4 extension):
+# duplicate-line fraction, duplicate-line CHARACTER fraction, and
+# top-bigram fraction per document — the repetition filters of Gopher
+# (Rae et al. 2021 §A1.1) and the C4 cleaning pipeline. Every fraction is
+# one division of two exact integers, so values are bit-identical across
+# engines. Scale shape: two explode→groupBy branches keyed (doc, line) /
+# (doc, bigram) with map-side partial aggregation; the final joins are
+# keyed on doc_id only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_signals",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id, trim(u.l) AS line
+      FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+    ), per_line AS (
+      SELECT doc_id, line, COUNT(*) AS c, COUNT(*) * length(line) AS ch
+      FROM lines WHERE line <> '' GROUP BY doc_id, line
+    ), line_stats AS (
+      SELECT doc_id,
+             SUM(c) AS n_lines,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             SUM(CASE WHEN c > 1 THEN ch ELSE 0 END) AS dup_chars,
+             SUM(ch) AS tot_chars
+      FROM per_line GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, u.bg
+      FROM toks, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS u(bg)
+    ), bg_counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ), bg_stats AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bg_counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+           CASE WHEN ls.n_lines > 0
+                THEN CAST(ls.dup_lines AS DOUBLE) / ls.n_lines ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN ls.tot_chars > 0
+                THEN CAST(ls.dup_chars AS DOUBLE) / ls.tot_chars ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN bs.n_bigrams > 0
+                THEN CAST(bs.top_c AS DOUBLE) / bs.n_bigrams ELSE 0.0 END AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN bg_stats bs USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture weights (SURVEY §2.13 extension): the
+# multilingual-training sampling scheme (weight ∝ tokens^α, here α = 0.5)
+# that up-weights small sources. sqrt is IEEE-correctly-rounded in both
+# engines; the rounded sqrt is summed EXACTLY as decimal so the normalizer
+# is order-insensitive, and the final weight is one double division.
+# Post-aggregation cardinality is |sources| (a handful), so the scalar
+# total is a 1-row broadcast — no global window, no single-partition sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_mixture_weights",
+    oracle=r"""
+    WITH src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), wt AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS srt
+      FROM src
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(srt AS DOUBLE) / CAST((SELECT SUM(srt) FROM wt) AS DOUBLE) AS weight
+    FROM wt
+    ORDER BY source
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text", "whitespace")).cast("long").alias("n_tokens"),
+    )
+    wt = src.withColumn(
+        "srt", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(DEC)
+    )
+    total = wt.agg(F.sum("srt").alias("srt_total"))
+    return (
+        wt.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("srt").cast("double") / F.col("srt_total").cast("double")).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus filter funnel (SURVEY §2.13 extension): the per-stage survivor
+# accounting every production cleaning pipeline reports (how many docs /
+# tokens each filter removed). Stages cascade: length gate → token gate →
+# alphabetic-ratio gate → exact-dedup keep-first. All stage flags are
+# computed in ONE scan pass (plus the dedup window keyed on the content
+# hash); the funnel itself is a single aggregation over boolean masks, then
+# a constant-size unpivot — no per-stage re-scan of the corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle=r"""
+    WITH flagged AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             length(text) AS n_ch,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ) AS is_first
+      FROM documents
+    ), staged AS (
+      SELECT n_tok,
+             TRUE AS f0,
+             n_ch >= 100 AND n_ch <= 20000 AS f1,
+             n_ch >= 100 AND n_ch <= 20000 AND n_tok >= 20 AS f2,
+             n_ch >= 100 AND n_ch <= 20000 AND n_tok >= 20
+               AND CAST(n_alpha AS DOUBLE) / n_ch >= 0.5 AS f3,
+             n_ch >= 100 AND n_ch <= 20000 AND n_tok >= 20
+               AND CAST(n_alpha AS DOUBLE) / n_ch >= 0.5 AND is_first AS f4
+      FROM flagged
+    ), agg AS (
+      SELECT SUM(CASE WHEN f0 THEN 1 ELSE 0 END) AS s0,
+             SUM(CASE WHEN f0 THEN n_tok ELSE 0 END) AS t0,
+             SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
+             SUM(CASE WHEN f1 THEN n_tok ELSE 0 END) AS t1,
+             SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS s2,
+             SUM(CASE WHEN f2 THEN n_tok ELSE 0 END) AS t2,
+             SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS s3,
+             SUM(CASE WHEN f3 THEN n_tok ELSE 0 END) AS t3,
+             SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS s4,
+             SUM(CASE WHEN f4 THEN n_tok ELSE 0 END) AS t4
+      FROM staged
+    )
+    SELECT u.stage_idx, u.stage,
+           CAST(u.n_docs AS BIGINT) AS n_docs,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens
+    FROM agg, LATERAL (
+      SELECT * FROM (VALUES
+        (0, 'ingest', s0, t0),
+        (1, 'length_100_20k', s1, t1),
+        (2, 'min_20_tokens', s2, t2),
+        (3, 'alpha_ratio_50', s3, t3),
+        (4, 'exact_dedup_keep_first', s4, t4)
+      ) AS v(stage_idx, stage, n_docs, n_tokens)
+    ) u
+    ORDER BY stage_idx
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import content_md5, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_ch = F.length("text")
+    n_alpha = n_ch - F.length(F.regexp_replace(F.col("text"), "[A-Za-z]", ""))
+    is_first = F.col("doc_id") == F.min("doc_id").over(W.partitionBy(content_md5("text")))
+    flagged = docs.select(
+        token_count("text", "whitespace").alias("n_tok"),
+        n_ch.alias("n_ch"),
+        n_alpha.alias("n_alpha"),
+        is_first.alias("is_first"),
+    )
+    f1 = (F.col("n_ch") >= 100) & (F.col("n_ch") <= 20000)
+    f2 = f1 & (F.col("n_tok") >= 20)
+    f3 = f2 & (F.col("n_alpha").cast("double") / F.col("n_ch") >= 0.5)
+    f4 = f3 & F.col("is_first")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("n_tok").alias("t0"),
+        *[
+            e
+            for i, f in enumerate([f1, f2, f3, f4], start=1)
+            for e in (
+                F.sum(f.cast("long")).alias(f"s{i}"),
+                F.sum(F.when(f, F.col("n_tok")).otherwise(F.lit(0))).alias(f"t{i}"),
+            )
+        ],
+    )
+    names = ["ingest", "length_100_20k", "min_20_tokens", "alpha_ratio_50",
+             "exact_dedup_keep_first"]
+    stack_args = ", ".join(
+        f"{i}, '{n}', s{i}, t{i}" for i, n in enumerate(names)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (stage_idx, stage, n_docs, n_tokens)"
+        )
+    ).select(
+        "stage_idx",
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (SURVEY §2.13 X3 extension): the cluster
+# summary a semantic-dedup / curriculum pipeline maintains per label —
+# count and dimension-wise mean. posexplode keys the aggregation by
+# (label, dim): partial sums collapse map-side, the shuffle carries only
+# |labels| × dim rows, and the decimal-sum trick makes the double mean
+# bit-identical across engines (single division at the end).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(d.dim AS INTEGER) AS dim,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(CAST(embedding[CAST(d.dim AS INTEGER) + 1] AS DOUBLE)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM embeddings, unnest(range(0, len(embedding))) AS d(dim)
+    GROUP BY label, d.dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    n = F.count(F.lit(1))
+    return (
+        ex.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            n.alias("n_vecs"),
+            (F.sum(F.col("v").cast(DEC)).cast("double") / n).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-source contamination overlap (SURVEY §2.13 X1 extension): how much
+# of each source pair is the same content — distinct content fingerprints
+# per source, pairwise shared counts, Jaccard. The fingerprint is a
+# 64-char-prefix hash of the normalized text (snippet-level overlap: full
+# hashes only catch byte-identical mirrors; a prefix key also catches
+# same-lede syndication). The join runs on the fingerprint (already deduped
+# per source, so each key appears at most once per source — worst case
+# |sources| per key, never a quadratic bucket), and the per-source totals
+# are a broadcast-size dimension.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "inter_source_overlap",
+    oracle=r"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64)) AS fp
+      FROM documents
+    ), per_src AS (
+      SELECT source, COUNT(*) AS n FROM fp GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           CAST(s.n_shared AS DOUBLE) / (pa.n + pb.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN per_src pa ON pa.source = s.source_a
+    JOIN per_src pb ON pb.source = s.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def inter_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", F.md5(normalize_text("text").substr(1, 64)).alias("fp")
+    ).distinct()
+    per_src = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per_src.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    pb = per_src.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -435,3 +435,52 @@ def test_exact_dedup_map_payload_falls_back_to_window(spark):
     out = exact_dedup(df, ["k"], "id").collect()
     assert sorted((r.k, r.id) for r in out) == [("a", 1), ("b", 2)]
     assert {r.id: dict(r.payload) for r in out}[1] == {"k": "v1"}
+
+
+def test_repetition_signals_planted(spark):
+    from iceberg_quickstart_iac_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "nav" twice: dup_line_frac = 2/4,
+            # dup chars = 2*3 of total 3+10+3+11 = 27 -> 6/27
+            (1, "nav\nalpha beta\nnav\ngamma delta"),
+            # bigrams: "buy now" x3, "now buy" x2 -> top = 3/5
+            (2, "buy now buy now buy now"),
+            # whitespace-only doc: all-zero signals, still one output row
+            (3, "  \n  "),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert len(rows) == 3
+    assert rows[1].n_lines == 4
+    assert rows[1].dup_line_frac == 0.5
+    assert rows[1].dup_line_char_frac == 6 / 27
+    assert rows[2].top_bigram_frac == 3 / 5
+    assert rows[3].n_lines == 0
+    assert rows[3].dup_line_frac == 0.0
+    assert rows[3].top_bigram_frac == 0.0
+
+
+def test_source_mixture_weights_normalized(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.plans.queries import source_mixture_weights
+
+    pdf = source_mixture_weights(spark, sf_dir).toPandas()
+    assert abs(pdf.weight.sum() - 1.0) < 1e-9
+    assert (pdf.weight > 0).all()
+    # temperature alpha=0.5 up-weights small sources: weight/token-share
+    # ratio must be monotonically non-increasing in n_tokens
+    pdf = pdf.sort_values("n_tokens")
+    share = pdf.weight / (pdf.n_tokens / pdf.n_tokens.sum())
+    assert (share.diff().dropna() <= 1e-12).all()
+
+
+def test_corpus_filter_funnel_monotone(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.plans.queries import corpus_filter_funnel
+
+    pdf = corpus_filter_funnel(spark, sf_dir).toPandas().sort_values("stage_idx")
+    assert list(pdf.stage_idx) == [0, 1, 2, 3, 4]
+    assert (pdf.n_docs.diff().dropna() <= 0).all()  # survivors only shrink
+    assert (pdf.n_tokens.diff().dropna() <= 0).all()
+    assert pdf.n_docs.iloc[0] > 0
