@@ -229,6 +229,13 @@ def lsh_candidate_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     r = num_perm // bands
+    # Materialize the signature table first: the capped bucket join scans
+    # its input 3-5x (sizes, under-cap side, both self-join sides, over-cap
+    # members), and without the checkpoint each scan re-runs the FULL
+    # shingle-explode + num_perm-hash signature DAG. Signatures are 1 row x
+    # num_perm longs per doc (shuffle-scale data); re-deriving the banding
+    # from them per scan is a cheap element_at hash.
+    signatures = signatures.localCheckpoint()
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -255,22 +262,31 @@ def lsh_screened_pairs(
     min_est: float = 0.4,
     max_bucket_df: int = 1000,
 ) -> DataFrame:
-    """Banding + signature screening FUSED into one stage: the band
-    self-join carries both signatures as payload, estimated Jaccard is
-    computed inline (codegen ``element_at`` comparisons) on the join
-    output, and pairs below ``min_est`` die before the distinct shuffle.
+    """Banding then signature screening against FLAT signature columns.
 
-    Versus ``lsh_candidate_pairs`` + ``signature_similarity``, this removes
-    a full second join against the signature table — on a corpus whose
-    banding emits ~600k candidates the separate screen was the single
-    largest stage. Bucket caps apply as in :func:`_capped_bucket_pairs`.
+    The band self-join runs on skinny (id, band, bucket) rows only — no
+    signature payload rides through it (a 63-long array on each side of
+    600k+ raw band pairs is hundreds of MB of array churn; measured 2x
+    slower than screening after the fact). The screen then probes the
+    signature table exploded to one primitive LONG COLUMN per permutation:
+    element-wise array comparisons allocate per-row, flat column equals
+    stay in whole-stage codegen. When the signature table fits the
+    session's broadcast threshold the probe is an exchange-free broadcast
+    hash join; beyond it (billions of docs) it degrades to a plain
+    shuffle join on the pair ids — the shape that scales.
+
+    Bucket caps apply as in :func:`_capped_bucket_pairs`; ``min_est``
+    kills sub-threshold candidates before the distinct shuffle.
     """
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     r = num_perm // bands
+    # checkpoint before the multi-scan bucket join so the signature DAG
+    # (shingle explode + num_perm hash minima) runs once, not once per scan
+    # (measured 4x on the screened stage at sf0.1)
+    signatures = signatures.localCheckpoint()
     banded = signatures.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(
             F.array(
                 *[
@@ -282,17 +298,36 @@ def lsh_screened_pairs(
             )
         ).alias("band", "bucket"),
     )
-    pairs = _capped_bucket_pairs(
-        banded, id_col, ["band", "bucket"], max_bucket_df, payload_cols=["minhash"]
+    pairs = _capped_bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket_df)
+
+    flat = signatures.select(
+        id_col, *[F.element_at("minhash", p + 1).alias(f"__m{p}") for p in range(num_perm)]
     )
+    # post-checkpoint count() is a cached-partition sum — cheap — and lets
+    # us pin the broadcast decision to the session threshold instead of
+    # hoping the optimizer guesses the size of a derived projection
+    sig_bytes = signatures.count() * (num_perm * 8 + 16)
+    try:
+        threshold = int(
+            signatures.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (TypeError, ValueError):
+        threshold = 10 * 1024 * 1024
+    fa = flat.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"__m{p}").alias(f"__a{p}") for p in range(num_perm)]
+    )
+    fb = flat.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"__m{p}").alias(f"__b{p}") for p in range(num_perm)]
+    )
+    if 0 < sig_bytes <= max(threshold, 0):
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
     agree = sum(
-        F.when(
-            F.element_at("minhash_a", p + 1) == F.element_at("minhash_b", p + 1), 1
-        ).otherwise(0)
-        for p in range(num_perm)
+        F.when(F.col(f"__a{p}") == F.col(f"__b{p}"), 1).otherwise(0) for p in range(num_perm)
     )
     return (
-        pairs.withColumn("est_jaccard", agree / num_perm)
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("est_jaccard", agree / num_perm)
         .filter(F.col("est_jaccard") >= min_est)
         .select("id_a", "id_b")
         .distinct()
@@ -347,10 +382,14 @@ def verify_pairs_exact_jaccard(
         .distinct()
     )
     docs_c = df.join(cand_ids, id_col, "left_semi")
+    # referenced three times below (both join sides + sizes); candidate
+    # volume is funnel-bounded, so materializing is cheap — and without it
+    # each reference re-runs the semi-join + shingle explode
     sh = (
         _exploded_shingles(docs_c, id_col, text_col, shingle_k)
         .select(id_col, F.xxhash64("__sh").alias("__sh"))
         .dropDuplicates([id_col, "__sh"])
+        .localCheckpoint()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
@@ -474,6 +513,10 @@ def simhash_candidate_pairs(
     instead of all-pairs — same guard as the MinHash tier."""
     width = 64 // chunks
     mask = (1 << width) - 1
+    # same multi-scan guard as the MinHash tier: materialize the signature
+    # (1 row per doc) so the 64-per-bit-aggregate simhash DAG isn't re-run
+    # by every scan inside the capped bucket join
+    sig = sig.localCheckpoint()
     chunked = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -1031,9 +1031,12 @@ def _verified_near_dup_pairs(
     if block is not None:
         docs = docs.filter(F.col("doc_id") < block)
     fp = docs.select("doc_id", content_md5(F.col("text")).alias("__fp"))
-    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
-    # doc -> its group representative (tiny, reused by both expansion joins)
-    m = fp.join(reps, "__fp").select("doc_id", "rep").localCheckpoint()
+    # doc -> its group representative (tiny, reused by both expansion
+    # joins): min-over-window = ONE shuffle on the fingerprint, vs the
+    # groupBy+re-join form's two
+    m = fp.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("__fp")).alias("rep")
+    ).localCheckpoint()
     rep_docs = docs.join(
         m.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id", "left_semi"
     )
