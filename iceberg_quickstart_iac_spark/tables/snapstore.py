@@ -843,6 +843,40 @@ class SnapTable:
         return entry
 
 
+    def remove_orphan_files(
+        self, older_than_ms: int | None = None, grace_ms: int = 3 * 86400 * 1000
+    ) -> list[str]:
+        """Delete data directories referenced by NO snapshot — debris from
+        writes that crashed between data materialization and log commit
+        (the ``remove_orphan_files`` maintenance procedure; SURVEY §4 —
+        distinct from :meth:`expire_snapshots`, which prunes directories
+        that WERE referenced by now-expired history).
+
+        A grace window protects in-flight writes: a concurrent writer has
+        materialized its directory but not yet won the commit race, so only
+        directories last modified before ``older_than_ms`` (default
+        now − ``grace_ms``, Iceberg's 3-day default) are removed. Returns
+        the removed directory names.
+        """
+        if older_than_ms is None:
+            older_than_ms = _now_ms() - grace_ms
+        referenced = {d for e in self._entries() for d in e["data_dirs"]}
+        removed: list[str] = []
+        for child in sorted(self.data_dir.iterdir()):
+            if not child.is_dir() or child.name in referenced:
+                continue
+            if child.stat().st_mtime * 1000 > older_than_ms:
+                continue
+            shutil.rmtree(child)
+            removed.append(child.name)
+        if removed:
+            log_audit_event(
+                "table_write",
+                self.fq_name,
+                details={"mode": "remove_orphan_files", "removed_dirs": removed},
+            )
+        return removed
+
     def expire_snapshots(self, older_than_ms: int | None = None, max_age_ms: int | None = None) -> int:
         """Drop snapshots past the retention window; delete orphaned data.
 

@@ -430,3 +430,24 @@ def test_write_executes_input_plan_exactly_once(spark, tmp_path):
     # the input plan (and any expensive upstream) runs exactly once
     assert entry["row_count"] == 100
     assert acc.value == 100
+
+
+def test_remove_orphan_files(spark, table, events_df):
+    table.append(events_df)
+    table.append(events_df)
+    # debris: a data dir materialized by a write that never committed
+    orphan = table.data_dir / "orphan-never-committed"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_text("not really parquet")
+
+    # grace window protects a fresh (possibly in-flight) directory
+    assert table.remove_orphan_files() == []
+    assert orphan.exists()
+
+    # past the grace window it is debris -> removed; referenced dirs survive
+    removed = table.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 1000)
+    assert removed == ["orphan-never-committed"]
+    assert not orphan.exists()
+    assert table.read(spark).count() == 6
+    # idempotent
+    assert table.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 1000) == []
