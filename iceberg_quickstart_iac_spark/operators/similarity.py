@@ -147,48 +147,19 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def ivf_index(
-    corpus: DataFrame,
-    n_cells: int = 16,
-    max_iter: int = 20,
-    seed: int = 42,
-    corpus_vec: str = "embedding",
-    fit_sample: int = 100_000,
-) -> tuple[DataFrame, list[list[float]]]:
-    """Build an IVF coarse quantizer: (cell-tagged corpus, centroid list).
+def fit_centroids(mat, n_cells: int, max_iter: int, seed: int):
+    """Seeded numpy Lloyd's k-means over a driver-side sample matrix.
 
-    The quantizer is FIT on a driver-collected sample (≤ ``fit_sample``
-    vectors) with seeded numpy Lloyd's iterations — coarse-quantizer
-    fitting is O(sample · cells · dim) and needs no cluster; this is the
-    same sample-fit design FAISS and every production IVF index uses, and
-    it replaces a multi-job pyspark.ml KMeans fit whose per-iteration job
-    overhead dwarfs the math at any sample size. The full corpus is never
-    collected: cell ASSIGNMENT is a distributed, Arrow-batched pandas UDF
-    (one GEMM per batch, map-only). At 100 TB, writing the corpus
-    partitioned/bucketed BY cell makes every later probe a partition-pruned
-    scan instead of a full-corpus filter.
+    Factored out of :func:`ivf_index` so an oracle harness can reproduce
+    the EXACT centroids by feeding it the same sample rows in the same
+    order — the fit is pure, seeded numpy, so the output is bit-identical
+    across callers. ``n_cells`` is clamped to the sample size.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    # Deterministic, layout-independent fit sample: order by a content hash
-    # and take the lowest ``fit_sample`` (distributed partial top-k). A bare
-    # ``limit()`` takes whichever partitions answer first — on a corpus
-    # written sorted/clustered by any key the quantizer would fit on a
-    # biased slice (ADVICE r2), and the result could change between runs.
-    sample = (
-        corpus.select(F.col(corpus_vec).alias("__v"))
-        .withColumn("__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>"))))
-        .orderBy("__h")
-        .limit(fit_sample)
-        .collect()
-    )
-    mat = np.array([r["__v"] for r in sample], dtype="float64")  # S x d
     if len(mat) == 0:
-        raise ValueError("ivf_index: corpus has no vectors to fit on")
+        raise ValueError("fit_centroids: no vectors to fit on")
     n_cells = min(n_cells, len(mat))
-
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=n_cells, replace=False)]  # C x d
     for _ in range(max_iter):
@@ -202,6 +173,127 @@ def ivf_index(
             cent = new
             break
         cent = new
+    return cent
+
+
+def centroid_sq_norms(centroids: list[list[float]]) -> list[float]:
+    """Left-fold ‖c‖² per centroid — plain python floats so the SAME
+    double literals can be embedded in both the Spark plan and a SQL
+    oracle replay."""
+    out = []
+    for cvec in centroids:
+        acc = 0.0
+        for x in cvec:
+            acc += float(x) * float(x)
+        out.append(acc)
+    return out
+
+
+def nearest_cell_expr(vec, centroids: list[list[float]], vnorm2=None):
+    """Engine-portable nearest-centroid assignment as a pure column
+    expression. Per-cell d² uses the expansion ‖v‖² − 2·v·c + ‖c‖² with
+    the dot product folded in ELEMENT ORDER (`zip_with` + `aggregate`) and
+    ‖c‖² a shared python-float literal — one fold per cell instead of a
+    subtract-square fold, and ‖v‖² (pass a precomputed column via
+    ``vnorm2`` to fold it once per row, not once per cell). argmin via
+    ``array_min`` over (d², cell) structs (tie → lowest cell id).
+    Bit-identical to a SQL replay that folds the same literals in the same
+    order — the property the GEMM pandas-UDF path cannot give (BLAS
+    accumulation order differs from a left fold)."""
+    if vnorm2 is None:
+        vnorm2 = F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    structs = []
+    for c, (cvec, c2) in enumerate(zip(centroids, centroid_sq_norms(centroids))):
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d2 = vnorm2 - F.lit(2.0) * dot + F.lit(c2)
+        structs.append(F.struct(d2.alias("d2"), F.lit(c).alias("cell")))
+    return F.array_min(F.array(*structs)).cell
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    max_iter: int = 20,
+    seed: int = 42,
+    corpus_vec: str = "embedding",
+    fit_sample: int = 100_000,
+    order_col: str | None = None,
+    assign: str = "gemm",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF coarse quantizer: (cell-tagged corpus, centroid list).
+
+    The quantizer is FIT on a driver-collected sample (≤ ``fit_sample``
+    vectors) with seeded numpy Lloyd's iterations — coarse-quantizer
+    fitting is O(sample · cells · dim) and needs no cluster; this is the
+    same sample-fit design FAISS and every production IVF index uses, and
+    it replaces a multi-job pyspark.ml KMeans fit whose per-iteration job
+    overhead dwarfs the math at any sample size. The full corpus is never
+    collected: cell ASSIGNMENT is distributed and map-only. At 100 TB,
+    writing the corpus partitioned/bucketed BY cell makes every later
+    probe a partition-pruned scan instead of a full-corpus filter.
+
+    ``order_col``: when given, the fit sample is the first ``fit_sample``
+    rows by that (unique) column — deterministic AND replayable by an
+    external oracle (plain ``ORDER BY col LIMIT n``). Default orders by a
+    content hash: layout-independent without needing any id column.
+
+    ``assign``: 'gemm' (default) tags cells with an Arrow-batched pandas
+    UDF, one numpy GEMM per batch — the production path. 'fold' uses
+    :func:`nearest_cell_expr` — pure column expressions whose float
+    accumulation order an external SQL engine can replay bit-exactly;
+    prefer it when the assignment itself must be verifiable.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # Deterministic fit sample (ADVICE r2: a bare limit() takes whichever
+    # partitions answer first — biased on clustered layouts, unstable
+    # between runs). Both forms are distributed partial top-k sorts.
+    sample_src = corpus.select(F.col(corpus_vec).alias("__v"), *( [F.col(order_col)] if order_col else [] ))
+    if order_col is not None:
+        sample = sample_src.orderBy(order_col).limit(fit_sample).collect()
+    else:
+        sample = (
+            sample_src
+            .withColumn("__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>"))))
+            .orderBy("__h")
+            .limit(fit_sample)
+            .collect()
+        )
+    mat = np.array([r["__v"] for r in sample], dtype="float64")  # S x d
+    if len(mat) == 0:
+        raise ValueError("ivf_index: corpus has no vectors to fit on")
+    cent = fit_centroids(mat, n_cells, max_iter, seed)
+    n_cells = len(cent)
+
+    if assign == "fold":
+        # ‖v‖² in its own projection so the 16 per-cell d² expressions
+        # reference one computed column (CollapseProject keeps non-cheap
+        # aliases referenced many times out-of-line)
+        vn2 = F.aggregate(
+            F.transform(F.col(corpus_vec), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        tagged = (
+            corpus.withColumn("__vn2", vn2)
+            .withColumn(
+                "cell",
+                nearest_cell_expr(F.col(corpus_vec), cent.tolist(), vnorm2=F.col("__vn2")),
+            )
+            .drop("__vn2")
+        )
+        return tagged, cent.tolist()
 
     cent_sq = (cent * cent).sum(1)
 

@@ -107,6 +107,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_filter_funnel",
     "embedding_label_centroids",
     "inter_source_overlap",
+    "semantic_dedup_cells",
     # exact-verified oracles added round 3 (previously rows-only)
     "near_dup_minhash_pairs",
     "simhash_near_pairs_block2k",
@@ -2744,14 +2745,135 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF approximate nearest neighbor (SURVEY §2.13 X3 scale path). The
-# k-means quantizer is engine-specific (seeded JVM KMeans), so the driver
-# records a rows-only check; recall vs the exact top-k is pinned in
+# IVF approximate nearest neighbor (SURVEY §2.13 X3 scale path), FULLY
+# oracle-verified. The coarse quantizer is pure seeded numpy over a
+# deterministic ORDER BY vec_id sample, so the oracle generator refits the
+# IDENTICAL centroids (same shared fit_centroids, same sample rows, same
+# order) by reading the gate's parquet with DuckDB — and embeds them as
+# literals, exactly like the hyperplane-LSH oracle embeds its planes. Cell
+# assignment, probe routing, and cosine scoring all fold in element order
+# on both engines (the bit-identical pattern proven by
+# embedding_cosine_topk), so the whole ANN pipeline hash-matches. Recall
+# vs the exact top-k is additionally pinned in
 # tests/test_dedup_similarity_text.py.
 # ---------------------------------------------------------------------------
 
+_IVF_CONF = {"n_cells": 16, "max_iter": 8, "seed": 42, "fit_sample": 100_000,
+             "k": 10, "nprobe": 6}
 
-@query("embedding_ann_ivf")
+
+def _ivf_oracle_centroids() -> list[list[float]]:
+    """Refit the query's centroids from the correctness-gate parquet.
+
+    Reads the SAME rows in the SAME order the Spark query samples
+    (ORDER BY vec_id LIMIT fit_sample) and runs the SAME pure-numpy
+    Lloyd's — bit-identical output. The gate scale factor is pinned by
+    SPARK_GRAFT_TEST_SF_DIR (default sf0.01, the driver's compare scale).
+    """
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.similarity import fit_centroids
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT {_IVF_CONF['fit_sample']}"
+        ).fetchall()
+    finally:
+        con.close()
+    mat = np.array([r[0] for r in rows], dtype="float64")
+    return fit_centroids(
+        mat, _IVF_CONF["n_cells"], _IVF_CONF["max_iter"], _IVF_CONF["seed"]
+    ).tolist()
+
+
+_IVF_CENT_CACHE: list | None = None
+
+
+def _ivf_oracle_parts() -> tuple[str, "Callable[[str, str], str]"]:
+    """Shared oracle fragments for every IVF-centroid-based query: the
+    `cells` + `corpus` CTE text (cell-tagged embeddings, identical bits to
+    the Spark `assign='fold'` plan) and a cosine-expression builder."""
+    from iceberg_quickstart_iac_spark.operators.similarity import centroid_sq_norms
+
+    global _IVF_CENT_CACHE
+    if _IVF_CENT_CACHE is None:
+        _IVF_CENT_CACHE = _ivf_oracle_centroids()
+    cents = _IVF_CENT_CACHE
+    sq = centroid_sq_norms(cents)
+
+    def arr(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    cell_structs = ", ".join(
+        "{'cell': %d, 'cv': %s, 'c2': %s}" % (i, arr(c), repr(float(s)))
+        for i, (c, s) in enumerate(zip(cents, sq))
+    )
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"{dot.format(a=a, b=b)} / (sqrt({dot.format(a=a, b=a)}) "
+            f"* sqrt({dot.format(a=b, b=b)}))"
+        )
+
+    # d² via the same ‖v‖² − 2·v·c + ‖c‖² expansion the Spark plan folds:
+    # vn2 computed once per row, dot folded in element order, ‖c‖² a
+    # shared literal — identical expression tree, identical bits
+    d2 = (
+        "vn2 - 2.0 * list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), u.cv), "
+        "p -> p[1] * p[2])) + u.c2"
+    )
+    corpus_cte = f"""cells(u) AS (SELECT unnest([{cell_structs}])),
+    corpus AS (
+      SELECT vec_id, embedding,
+             (SELECT u.cell FROM cells ORDER BY {d2}, u.cell LIMIT 1) AS cell
+      FROM (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS vn2
+        FROM embeddings
+      )
+    )"""
+    return corpus_cte, cos
+
+
+def _ivf_oracle_sql() -> str:
+    corpus_cte, cos = _ivf_oracle_parts()
+    return f"""
+    WITH {corpus_cte}, q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), routed AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, u.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {cos("qv", "u.cv")} DESC, u.cell
+               ) AS cr
+        FROM q, cells
+      ) WHERE cr <= {_IVF_CONF["nprobe"]}
+    ), scored AS (
+      SELECT r.query_id, c.vec_id,
+             {cos("c.embedding", "r.qv")} AS cosine
+      FROM corpus c JOIN routed r ON c.cell = r.cell
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_CONF["k"]}
+    ORDER BY query_id, rank
+    """
+
+
+@query("embedding_ann_ivf", oracle=_ivf_oracle_sql())
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.similarity import ivf_index, ivf_topk
 
@@ -2759,10 +2881,18 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    tagged, centroids = ivf_index(emb, n_cells=16, max_iter=8, seed=42)  # recall flat past ~8 iters
-    return ivf_topk(tagged, centroids, queries_df, k=10, nprobe=6).orderBy(
-        "query_id", "rank"
+    tagged, centroids = ivf_index(
+        emb,
+        n_cells=_IVF_CONF["n_cells"],
+        max_iter=_IVF_CONF["max_iter"],  # recall flat past ~8 iters
+        seed=_IVF_CONF["seed"],
+        fit_sample=_IVF_CONF["fit_sample"],
+        order_col="vec_id",   # replayable fit sample (ORDER BY vec_id LIMIT n)
+        assign="fold",        # element-order assignment an oracle can replay
     )
+    return ivf_topk(
+        tagged, centroids, queries_df, k=_IVF_CONF["k"], nprobe=_IVF_CONF["nprobe"]
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -3989,4 +4119,75 @@ def inter_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup over embedding clusters (SemDeDup, Abbas et al. 2023;
+# SURVEY §2.13 X2/X3 fusion): reuse the IVF coarse quantizer to bound the
+# pairwise cosine comparison to WITHIN-cell pairs (the n² never
+# materializes — cells cap the quadratic, which is the entire SemDeDup
+# point), then drop every vector that is ≥ τ-similar to a lower-id vector
+# in its cell. The oracle replays the identical centroid literals, cell
+# assignment, and element-order cosine folds (same machinery as
+# embedding_ann_ivf's generated oracle).
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    corpus_cte, cos = _ivf_oracle_parts()
+    return f"""
+    WITH {corpus_cte}, blk AS (
+      SELECT * FROM corpus WHERE vec_id < 2000
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM blk a JOIN blk b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos("a.embedding", "b.embedding")} >= 0.4
+    )
+    SELECT c.vec_id, c.cell, d.vec_id IS NULL AS is_kept
+    FROM blk c LEFT JOIN drops d ON d.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@query("semantic_dedup_cells", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import _dot, _norm, ivf_index
+
+    full = load_table(spark, sf_dir, "embeddings")
+    tagged, _ = ivf_index(
+        full,
+        n_cells=_IVF_CONF["n_cells"],
+        max_iter=_IVF_CONF["max_iter"],
+        seed=_IVF_CONF["seed"],
+        fit_sample=_IVF_CONF["fit_sample"],
+        order_col="vec_id",
+        assign="fold",
+    )
+    # norms hoisted to one fold per ROW (vs three per pair); identical
+    # expression tree per value keeps bits equal to the oracle formula
+    block = tagged.filter(F.col("vec_id") < 2000).select(
+        "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("__n")
+    )
+    a = block.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("cell").alias("cell_a"), F.col("__n").alias("na"),
+    )
+    b = block.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("cell").alias("cell_b"), F.col("__n").alias("nb"),
+    )
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    drops = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        block.select("vec_id", "cell")
+        .join(drops, "vec_id", "left")
+        .select("vec_id", "cell", F.col("__dropped").isNull().alias("is_kept"))
+        .orderBy("vec_id")
     )

@@ -484,3 +484,26 @@ def test_corpus_filter_funnel_monotone(spark, sf_dir):
     assert (pdf.n_docs.diff().dropna() <= 0).all()  # survivors only shrink
     assert (pdf.n_tokens.diff().dropna() <= 0).all()
     assert pdf.n_docs.iloc[0] > 0
+
+
+def test_semantic_dedup_kept_set_pairwise_dissimilar(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.plans.queries import semantic_dedup_cells
+
+    pdf = semantic_dedup_cells(spark, sf_dir).toPandas()
+    assert len(pdf) > 0 and pdf.is_kept.any()
+    # rule: b is dropped iff some lower-id a in the same cell has
+    # cos(a,b) >= tau -> the kept set contains NO within-cell pair >= tau
+    import numpy as np
+
+    emb = {r.vec_id: r.embedding for r in
+           load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000).collect()}
+    kept = pdf[pdf.is_kept]
+    for cell, grp in kept.groupby("cell"):
+        ids = sorted(grp.vec_id)
+        M = np.array([emb[i] for i in ids], dtype="float64")
+        if len(M) < 2:
+            continue
+        n = np.linalg.norm(M, axis=1)
+        cos = (M @ M.T) / np.outer(n, n)
+        np.fill_diagonal(cos, 0.0)
+        assert cos.max() < 0.4 + 1e-9, f"cell {cell} kept a >=tau pair"
