@@ -91,3 +91,27 @@ def test_q2_aggregates_only_filtered_parts(spark, sf_dir_small):
     agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
     assert semi_ids and agg_ids
     assert max(semi_ids) < min(agg_ids), (semi_ids, agg_ids)
+
+
+def test_semantic_dedup_pairs_join_is_equi_on_cell(spark, sf_dir_small):
+    """The SemDeDup pairwise comparison must plan as a hash/sort-merge
+    equi-join keyed on the cell (the quadratic is bounded per cell); a
+    NestedLoop would mean the cell condition degenerated to a filter."""
+    p = _plan(spark, queries()["semantic_dedup_cells"](spark, sf_dir_small))
+    assert "CartesianProduct" not in p
+    # at least one non-broadcast-nested-loop join keyed on the cell
+    assert "cell" in p and ("SortMergeJoin" in p or "BroadcastHashJoin" in p)
+
+
+def test_repetition_signals_aggregates_are_partial(spark, sf_dir_small):
+    """Both explode->groupBy branches must plan map-side partial
+    aggregation (per-doc repeats collapse before the shuffle)."""
+    p = _plan(spark, queries()["doc_repetition_signals"](spark, sf_dir_small))
+    assert p.count("HashAggregate") >= 4  # 2 branches x partial+final
+
+
+def test_filter_funnel_is_single_scan(spark, sf_dir_small):
+    """All five funnel stages derive from ONE pass over documents (plus
+    the dedup window): exactly one parquet scan of documents in the plan."""
+    p = _plan(spark, queries()["corpus_filter_funnel"](spark, sf_dir_small))
+    assert p.count("documents.parquet") == 1
