@@ -108,6 +108,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_label_centroids",
     "inter_source_overlap",
     "semantic_dedup_cells",
+    "branch_lifecycle",
     # exact-verified oracles added round 3 (previously rows-only)
     "near_dup_minhash_pairs",
     "simhash_near_pairs_block2k",
@@ -4191,3 +4192,70 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", F.col("__dropped").isNull().alias("is_kept"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Branch lifecycle (SURVEY §2.10 + Nessie parity, deep-dive.md:262-303):
+# fork a branch, evolve + write on it in isolation, verify main is
+# untouched, merge, verify main adopted data + schema. Deterministic
+# end-state summary pinned against a VALUES oracle, like the snapshot
+# lifecycle query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "branch_lifecycle",
+    oracle="""
+    SELECT stage,
+           CAST(main_rows AS BIGINT) AS main_rows,
+           CAST(branch_rows AS BIGINT) AS branch_rows,
+           main_has_col, branch_has_col
+    FROM (VALUES ('forked',      5,  5, false, false),
+                 ('branch_write', 5, 10, false, true),
+                 ('merged',      10, 10, true,  true))
+         t(stage, main_rows, branch_rows, main_has_col, branch_has_col)
+    ORDER BY stage
+    """,
+)
+def branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="branchdemo_") + "/t",
+        {
+            "name": "branch_demo",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "r_regionkey", "type": "int"},
+                {"name": "r_name", "type": "string"},
+            ],
+            "partition_spec": [],
+        },
+    )
+    region = load_table(spark, sf_dir, "region")
+    t.overwrite(region)
+    br = t.create_branch("feature/add-note")
+
+    def snap(stage: str) -> tuple:
+        main_df, br_df = t.read(spark), br.read(spark)
+        return (
+            stage,
+            main_df.count(),
+            br_df.count(),
+            "note" in main_df.columns,
+            "note" in br_df.columns,
+        )
+
+    rows = [snap("forked")]
+    br.evolve_add_column("note", "string")
+    br.append(region.withColumn("note", F.lit("on-branch")))
+    rows.append(snap("branch_write"))
+    t.merge_branch("feature/add-note")
+    rows.append(snap("merged"))
+    return spark.createDataFrame(
+        rows,
+        "stage STRING, main_rows LONG, branch_rows LONG, "
+        "main_has_col BOOLEAN, branch_has_col BOOLEAN",
+    ).orderBy("stage")

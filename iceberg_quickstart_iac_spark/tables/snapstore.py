@@ -289,11 +289,18 @@ class SnapTable:
 
     # -- log ---------------------------------------------------------------
 
-    def _entries(self) -> list[dict]:
+    @staticmethod
+    def _read_log(log_dir: Path) -> list[dict]:
         entries = []
-        for path in sorted(self.log_dir.glob("*.json")):
+        for path in sorted(log_dir.glob("*.json")):
             entries.append(json.loads(path.read_text()))
         return entries
+
+    def _entries(self) -> list[dict]:
+        return self._read_log(self.log_dir)
+
+    def _write_meta(self, meta: dict) -> None:
+        (self.root / "table.json").write_text(json.dumps(meta, indent=2))
 
     def current_snapshot(self) -> dict | None:
         entries = self._entries()
@@ -738,7 +745,7 @@ class SnapTable:
         cols.append({"name": name, "type": col_type, "doc": doc, "id": fid})
         meta["columns"] = cols
         meta["next_field_id"] = fid + 1
-        (self.root / "table.json").write_text(json.dumps(meta, indent=2))
+        self._write_meta(meta)
         log_audit_event(
             "schema_evolution",
             self.fq_name,
@@ -755,7 +762,7 @@ class SnapTable:
         if not any(c["name"] == name for c in cols):
             raise ValueError(f"Column {name!r} does not exist on {self.fq_name}")
         meta["columns"] = [c for c in cols if c["name"] != name]
-        (self.root / "table.json").write_text(json.dumps(meta, indent=2))
+        self._write_meta(meta)
         log_audit_event(
             "schema_evolution",
             self.fq_name,
@@ -861,6 +868,8 @@ class SnapTable:
         if older_than_ms is None:
             older_than_ms = _now_ms() - grace_ms
         referenced = {d for e in self._entries() for d in e["data_dirs"]}
+        # branch commits reference dirs main never will — protect them
+        referenced |= {d for e in self._all_branch_entries() for d in e["data_dirs"]}
         removed: list[str] = []
         for child in sorted(self.data_dir.iterdir()):
             if not child.is_dir() or child.name in referenced:
@@ -899,12 +908,270 @@ class SnapTable:
         keep = [e for e in entries if e["committed_at_ms"] > older_than_ms]
         if not keep or keep[-1]["sequence"] != entries[-1]["sequence"]:
             keep = keep + [entries[-1]] if entries[-1] not in keep else keep
+        # a branch's merged view needs its fork entry (its base data_dirs
+        # live there) — fork entries survive retention while the branch does
+        forks = {b["fork_sequence"] for b in self.list_branches()}
+        for e in entries:
+            if e["sequence"] in forks and e not in keep:
+                keep.append(e)
         drop = [e for e in entries if e not in keep]
 
         referenced = {d for e in keep for d in e["data_dirs"]}
+        referenced |= {d for e in self._all_branch_entries() for d in e["data_dirs"]}
         for e in drop:
             (self.log_dir / f"{e['sequence']:012d}.json").unlink(missing_ok=True)
         for child in self.data_dir.iterdir():
             if child.is_dir() and child.name not in referenced:
                 shutil.rmtree(child)
         return len(drop)
+
+    # -- branches (Nessie-style data branching) ----------------------------
+    #
+    # The reference's Nessie catalog module exists FOR git-like data
+    # branching (docs/deep-dive.md:262-303: test a schema migration on an
+    # isolated branch while "readers on main see the old schema", merge
+    # when ready, roll back by resetting the pointer). catalog_conf.py
+    # carries the Nessie config; this gives the local snapstore the same
+    # semantics: a branch is a lightweight ref — its own commit log + an
+    # optional copy-on-evolve schema — sharing the main table's immutable
+    # data directories, exactly how Nessie/Iceberg refs work (a branch is
+    # metadata; data files are never copied).
+
+    _BRANCHES = "_branches"
+
+    def _branch_root(self, name: str) -> Path:
+        from urllib.parse import quote
+
+        return self.root / self._BRANCHES / quote(name, safe="")
+
+    def _all_branch_entries(self) -> list[dict]:
+        out: list[dict] = []
+        bdir = self.root / self._BRANCHES
+        if bdir.exists():
+            for child in sorted(bdir.iterdir()):
+                log = child / "_log"
+                if log.exists():
+                    out.extend(self._read_log(log))
+        return out
+
+    def list_branches(self) -> list[dict]:
+        bdir = self.root / self._BRANCHES
+        out = []
+        if bdir.exists():
+            for child in sorted(bdir.iterdir()):
+                ref = child / "branch.json"
+                if ref.exists():
+                    out.append(json.loads(ref.read_text()))
+        return out
+
+    def create_branch(self, name: str, at_snapshot_id: str | None = None) -> "SnapTable":
+        """Fork a branch at the current (or given) snapshot; returns the
+        branch view — a full SnapTable interface whose writes, schema
+        evolutions, time-travel, and snapshot listing are isolated from
+        main. Data directories are shared (refs are metadata-only)."""
+        broot = self._branch_root(name)
+        if (broot / "branch.json").exists():
+            raise ValueError(f"Branch {name!r} already exists on {self.fq_name}")
+        entries = self._entries()
+        if at_snapshot_id is None:
+            fork_seq = entries[-1]["sequence"] if entries else -1
+        else:
+            fork_seq = self._snapshot_for(at_snapshot_id, None)["sequence"]
+        (broot / "_log").mkdir(parents=True, exist_ok=True)
+        ref = {
+            "name": name,
+            "fork_sequence": fork_seq,
+            # schema at fork time, for merge conflict detection
+            "base_columns": self.meta.get("columns", []),
+            "created_at_ms": _now_ms(),
+        }
+        (broot / "branch.json").write_text(json.dumps(ref, indent=2))
+        return _BranchView(self.root, name)
+
+    def branch(self, name: str) -> "SnapTable":
+        if not (self._branch_root(name) / "branch.json").exists():
+            raise ValueError(f"No branch {name!r} on {self.fq_name}")
+        return _BranchView(self.root, name)
+
+    def delete_branch(self, name: str) -> None:
+        broot = self._branch_root(name)
+        if not (broot / "branch.json").exists():
+            raise ValueError(f"No branch {name!r} on {self.fq_name}")
+        shutil.rmtree(broot)
+
+    def merge_branch(self, name: str) -> dict:
+        """Merge a branch into main.
+
+        Fast-forward when main has not advanced past the fork: branch
+        commits are adopted verbatim (atomic per-slot link claims — a
+        concurrent main writer surfaces as CommitConflictError), and a
+        branch schema evolution is applied to the main table. When main HAS
+        advanced, append-only histories on both sides rebase — each branch
+        append replays as a fresh main commit (appends commute) — while
+        overwrites/compactions or a branch schema change against a
+        moved main raise CommitConflictError (resolve by hand, exactly
+        Nessie's conflict model). After a successful merge the branch ref
+        fast-forwards to the new main head and keeps working.
+        """
+        bv = _BranchView(self.root, name)
+        ref = bv._ref
+        fork = ref["fork_sequence"]
+        branch_entries = self._read_log(bv.log_dir)
+        main_entries = self._entries()
+        head = main_entries[-1]["sequence"] if main_entries else -1
+        schema_override = "columns" in ref
+
+        if head == fork:
+            # fast-forward
+            if schema_override:
+                if self.meta.get("columns", []) != ref["base_columns"]:
+                    raise CommitConflictError(
+                        f"Branch {name!r} evolved the schema but main's schema "
+                        f"also changed since the fork — manual resolution required"
+                    )
+                meta = self.meta
+                meta["columns"] = ref["columns"]
+                meta["next_field_id"] = ref["next_field_id"]
+                self._write_meta(meta)
+            last = main_entries[-1] if main_entries else None
+            for e in branch_entries:
+                tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
+                tmp.write_text(json.dumps(e))
+                target = self.log_dir / f"{e['sequence']:012d}.json"
+                try:
+                    os.link(tmp, target)
+                    tmp.unlink()
+                except FileExistsError:
+                    tmp.unlink(missing_ok=True)
+                    raise CommitConflictError(
+                        f"Merge of branch {name!r} lost a race on sequence "
+                        f"{e['sequence']} — main advanced during the merge"
+                    ) from None
+                last = e
+        else:
+            if schema_override:
+                raise CommitConflictError(
+                    f"Branch {name!r} carries a schema change but main advanced "
+                    f"past the fork — manual resolution required"
+                )
+            advanced = [e for e in main_entries if e["sequence"] > fork]
+            if any(e["operation"] != "append" for e in advanced) or any(
+                e["operation"] != "append" for e in branch_entries
+            ):
+                raise CommitConflictError(
+                    f"Cannot auto-merge branch {name!r}: non-append commits on "
+                    f"a diverged history (appends commute; rewrites do not)"
+                )
+            # replay each branch append's directory delta as a fresh commit
+            merged = [e for e in main_entries if e["sequence"] <= fork]
+            prev_view = merged[-1] if merged else None
+            last = main_entries[-1]
+            for e in branch_entries:
+                prev_dirs = prev_view["data_dirs"] if prev_view else []
+                prev_rows = prev_view["row_count"] if prev_view else 0
+                prev_files = prev_view["file_count"] if prev_view else 0
+                delta_dirs = [d for d in e["data_dirs"] if d not in prev_dirs]
+                delta_rows = e["row_count"] - prev_rows
+                delta_files = e["file_count"] - prev_files
+
+                def build(entries: list[dict], _dd=delta_dirs, _dr=delta_rows, _df=delta_files, _e=e) -> dict:
+                    current = entries[-1] if entries else None
+                    return {
+                        "operation": "append",
+                        "data_dirs": (current["data_dirs"] if current else []) + _dd,
+                        "row_count": (current["row_count"] if current else 0) + _dr,
+                        "file_count": (current["file_count"] if current else 0) + _df,
+                        "column_ids": _e.get("column_ids"),
+                    }
+
+                last = self._commit(build)
+                prev_view = e
+
+        # fast-forward the branch ref to the merged head; branch keeps working
+        new_head = last["sequence"] if last else -1
+        for p in bv.log_dir.glob("*.json"):
+            p.unlink()
+        new_ref = {
+            "name": name,
+            "fork_sequence": new_head,
+            "base_columns": self.meta.get("columns", []),
+            "created_at_ms": ref["created_at_ms"],
+        }
+        (self._branch_root(name) / "branch.json").write_text(json.dumps(new_ref, indent=2))
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={"mode": "merge_branch", "branch": name, "head_sequence": new_head},
+        )
+        return last if last else {}
+
+
+class _BranchView(SnapTable):
+    """A branch of a :class:`SnapTable` — the full table interface with the
+    commit log and (after an evolution) the schema scoped to the branch.
+    Inherits reads, writes, time-travel, snapshot listing, incremental
+    scans, and schema evolution; only the log location, the merged entry
+    view, and the meta source differ. Table-wide maintenance
+    (expire/orphan removal) stays on the main table."""
+
+    def __init__(self, root: str | Path, name: str):
+        super().__init__(root)
+        self.branch_name = name
+        self._broot = self._branch_root(name)
+        self.log_dir = self._broot / "_log"
+
+    @property
+    def _ref(self) -> dict:
+        return json.loads((self._broot / "branch.json").read_text())
+
+    @property
+    def meta(self) -> dict:
+        main = json.loads((self.root / "table.json").read_text())
+        ref = self._ref
+        if "columns" in ref:
+            main["columns"] = ref["columns"]
+            main["next_field_id"] = ref["next_field_id"]
+        return main
+
+    def _write_meta(self, meta: dict) -> None:
+        # copy-on-evolve: schema changes land in the branch ref only —
+        # "readers on main see the old schema" (deep-dive.md:267-272)
+        ref = self._ref
+        ref["columns"] = meta.get("columns", [])
+        ref["next_field_id"] = meta.get("next_field_id")
+        (self._broot / "branch.json").write_text(json.dumps(ref, indent=2))
+
+    @property
+    def fq_name(self) -> str:
+        return f"{super().fq_name}@{self.branch_name}"
+
+    def _entries(self) -> list[dict]:
+        fork = self._ref["fork_sequence"]
+        main = [
+            e for e in self._read_log(self.root / "_log") if e["sequence"] <= fork
+        ]
+        return main + self._read_log(self.log_dir)
+
+    def reset(self, snapshot_id: str) -> None:
+        """Move the branch pointer back to ``snapshot_id`` (rolling back bad
+        changes by resetting the ref — deep-dive.md:279). Branch commits
+        after the target are discarded; main is untouched."""
+        target = self._snapshot_for(snapshot_id, None)
+        for p in self.log_dir.glob("*.json"):
+            if int(p.stem) > target["sequence"]:
+                p.unlink()
+
+    def _maintenance_unsupported(self, op: str):
+        raise RuntimeError(
+            f"{op} operates on shared data directories — run it on the main "
+            f"table, not branch {self.branch_name!r}"
+        )
+
+    def expire_snapshots(self, older_than_ms: int | None = None, max_age_ms: int | None = None) -> int:
+        self._maintenance_unsupported("expire_snapshots")
+
+    def remove_orphan_files(self, older_than_ms: int | None = None, grace_ms: int = 3 * 86400 * 1000) -> list[str]:
+        self._maintenance_unsupported("remove_orphan_files")
+
+    def create_branch(self, name: str, at_snapshot_id: str | None = None) -> "SnapTable":
+        raise RuntimeError("Branch a branch from the main table instead")

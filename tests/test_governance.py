@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import types as T
 
 from iceberg_quickstart_iac_spark.governance import (
@@ -198,3 +200,96 @@ def test_drift_cycle_cursor_and_alert_dedup(tmp_path):
     r4 = run_drift_cycle({}, {"event_stream": ev}, cursor, alert_fn=fn, now_ms=4000)
     assert r4.skipped == ["lakehouse.event_stream"]
     assert json.loads(cursor.read_text())["fingerprints"] == {}
+
+
+# --- multi-tenancy (docs/multi-tenancy.md) ---------------------------------
+
+
+TEAMS_YAML = {
+    # the reference's own example team files, verbatim semantics
+    "analytics": """
+name: analytics
+description: BI dashboards and ad-hoc analysis
+tables:
+  event_stream: reader
+  scd_type2: reader
+  feature_table: none
+""",
+    "customer-data": """
+name: customer-data
+tables:
+  scd_type2: writer
+""",
+    "platform": """
+name: platform
+tables:
+  event_stream: admin
+  scd_type2: admin
+  feature_table: admin
+""",
+}
+
+
+def _teams(tmp_path):
+    from iceberg_quickstart_iac_spark.governance.tenancy import load_teams
+
+    d = tmp_path / "teams"
+    d.mkdir()
+    for k, v in TEAMS_YAML.items():
+        (d / f"{k}.yaml").write_text(v)
+    return load_teams(d)
+
+
+def test_team_access_matrix(tmp_path, spark):
+    from iceberg_quickstart_iac_spark.governance.tenancy import (
+        authorize_alter,
+        authorize_write,
+        read_table_for_team,
+    )
+    from iceberg_quickstart_iac_spark.templates import get_template
+
+    teams = _teams(tmp_path)
+    tpl = get_template("scd_type2")
+    restricted = [c["name"] for c in tpl["columns"] if c.get("access_level") == "restricted"]
+    assert restricted, "scd_type2 must declare restricted (PII) columns"
+    df = spark.createDataFrame(
+        [tuple("x" for _ in tpl["columns"])], ", ".join(f"{c['name']} STRING" for c in tpl["columns"])
+    )
+
+    # reader: PII excluded, cannot write
+    seen = read_table_for_team(df, tpl, teams["analytics"]).columns
+    assert not set(restricted) & set(seen)
+    with pytest.raises(PermissionError, match="cannot write"):
+        authorize_write(teams["analytics"], "scd_type2")
+
+    # writer (owner): sees PII, can write, cannot alter
+    assert set(restricted) <= set(read_table_for_team(df, tpl, teams["customer-data"]).columns)
+    authorize_write(teams["customer-data"], "scd_type2")
+    with pytest.raises(PermissionError, match="cannot alter"):
+        authorize_alter(teams["customer-data"], "scd_type2")
+
+    # admin: everything
+    authorize_write(teams["platform"], "scd_type2")
+    authorize_alter(teams["platform"], "scd_type2")
+
+    # none (explicit) and missing (default) both deny
+    with pytest.raises(PermissionError, match="no access"):
+        read_table_for_team(df, get_template("feature_table"), teams["analytics"])
+    with pytest.raises(PermissionError, match="no access"):
+        read_table_for_team(df, get_template("event_stream"), teams["customer-data"])
+
+
+def test_team_grants_flatten_skips_none(tmp_path):
+    from iceberg_quickstart_iac_spark.governance.tenancy import team_grants
+
+    grants = team_grants(_teams(tmp_path))
+    assert {"team": "analytics", "table": "event_stream", "access": "reader"} in grants
+    assert not any(g["access"] == "none" for g in grants)
+    assert len([g for g in grants if g["team"] == "platform"]) == 3
+
+
+def test_team_yaml_rejects_bad_level():
+    from iceberg_quickstart_iac_spark.governance.tenancy import parse_team_yaml
+
+    with pytest.raises(ValueError, match="Unknown access level"):
+        parse_team_yaml("name: t\ntables:\n  x: superuser\n")

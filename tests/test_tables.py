@@ -9,6 +9,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from iceberg_quickstart_iac_spark.tables import SnapTable, TableNotFoundError, spark_catalog_conf
 from iceberg_quickstart_iac_spark.templates import get_template
@@ -451,3 +452,96 @@ def test_remove_orphan_files(spark, table, events_df):
     assert table.read(spark).count() == 6
     # idempotent
     assert table.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 1000) == []
+
+
+# --- branches (Nessie-style) ----------------------------------------------
+
+
+def test_branch_write_isolation(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/x")
+    br.append(events_df)
+    assert table.read(spark).count() == 3      # main untouched
+    assert br.read(spark).count() == 6         # branch sees fork + its append
+    # branch snapshot listing includes main history up to the fork
+    assert br.snapshots(spark).count() == 2
+    assert table.snapshots(spark).count() == 1
+
+
+def test_branch_schema_evolution_isolated(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/add-col")
+    br.evolve_add_column("device_id", "string")
+    # main schema unchanged; branch read carries the new column as NULLs
+    assert "device_id" not in [c["name"] for c in table.meta["columns"]]
+    assert "device_id" in br.read(spark).columns
+    assert "device_id" not in table.read(spark).columns
+    # write-side enforcement is branch-scoped
+    with_col = events_df.withColumn("device_id", F.lit("d1"))
+    br.append(with_col)
+    with pytest.raises(ValueError, match="Schema mismatch"):
+        table.append(with_col)
+    assert br.read(spark).filter("device_id = 'd1'").count() == 3
+
+
+def test_branch_fast_forward_merge(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/ff")
+    br.evolve_add_column("device_id", "string")
+    br.append(events_df.withColumn("device_id", F.lit("d1")))
+    table.merge_branch("feature/ff")
+    out = table.read(spark)
+    assert out.count() == 6
+    assert "device_id" in out.columns
+    # merged branch ref fast-forwards and keeps working
+    br2 = table.branch("feature/ff")
+    assert br2.read(spark).count() == 6
+
+
+def test_branch_rebase_merge_appends_commute(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/rebase")
+    br.append(events_df)                        # branch +3
+    table.append(events_df.limit(2))            # main +2 (diverged)
+    table.merge_branch("feature/rebase")
+    assert table.read(spark).count() == 8       # 3 + 2 + 3
+
+
+def test_branch_merge_conflicts_raise(spark, table, events_df):
+    from iceberg_quickstart_iac_spark.tables.snapstore import CommitConflictError
+
+    table.overwrite(events_df)
+    br = table.create_branch("feature/conflict")
+    br.overwrite(events_df.limit(1))            # rewrite on the branch
+    table.append(events_df)                     # main advanced
+    with pytest.raises(CommitConflictError, match="non-append"):
+        table.merge_branch("feature/conflict")
+    # schema change against a moved main also conflicts
+    br2 = table.create_branch("feature/schema-conflict")
+    br2.evolve_add_column("device_id", "string")
+    table.append(events_df)
+    with pytest.raises(CommitConflictError, match="schema"):
+        table.merge_branch("feature/schema-conflict")
+
+
+def test_branch_reset_rolls_back(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/reset")
+    fork_snap = table.current_snapshot()["snapshot_id"]
+    br.append(events_df)
+    br.append(events_df)
+    assert br.read(spark).count() == 9
+    br.reset(fork_snap)
+    assert br.read(spark).count() == 3          # back to the fork state
+
+
+def test_branch_dirs_protected_from_maintenance(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/keep")
+    br.append(events_df)
+    future = int(time.time() * 1000) + 10_000
+    # branch-only data dirs are NOT orphans
+    assert table.remove_orphan_files(older_than_ms=future) == []
+    assert br.read(spark).count() == 6
+    with pytest.raises(RuntimeError, match="main table"):
+        br.remove_orphan_files()
