@@ -119,6 +119,84 @@ def materialize(
     )
 
 
+def materialize_wap(
+    spark: SparkSession,
+    template: dict,
+    warehouse_root: str | Path,
+    df: DataFrame | None = None,
+    mode: str = "overwrite",
+    checks: list[Check] | None = None,
+    audit_branch_prefix: str = "audit",
+) -> Materialization:
+    """Write-Audit-Publish: the Iceberg staging pattern, built on the
+    snapstore's Nessie-style branches.
+
+    The plain :func:`materialize` gate audits the INPUT frame before the
+    write; WAP audits the COMMITTED data as consumers would read it — the
+    staged commit lands on an isolated branch, the checks run against the
+    branch READ-BACK (catching write-path defects a pre-write gate cannot
+    see: casts, declared-schema projection, partition layout), and only a
+    passing audit merges the branch into main. A failing audit deletes the
+    branch; main never referenced the bad data. Branch mechanics are
+    metadata-only (the data is written once, directories are shared), so
+    WAP costs one extra read-side aggregation — not a second write — at
+    any scale.
+    """
+    import uuid as _uuid
+
+    name = template["name"]
+    fq = f"{template.get('namespace', 'default')}.{name}"
+    schema = spark_schema(template)
+
+    if df is None:
+        source = template.get("source")
+        if not source:
+            raise ValueError(f"Template '{name}' has no source block and no DataFrame was given")
+        df = read_source(spark, source, schema)
+        log_audit_event(
+            "source_ingest",
+            fq,
+            details={"source_path": source["path"], "format": source.get("format", "parquet")},
+        )
+    else:
+        df = project_to_schema(df, schema)
+
+    root = Path(warehouse_root) / template.get("namespace", "default") / name
+    try:
+        table = SnapTable.load(root)
+    except Exception:
+        table = SnapTable.create(root, template)
+
+    branch_name = f"{audit_branch_prefix}-{_uuid.uuid4().hex[:8]}"
+    br = table.create_branch(branch_name)
+    try:
+        br.append(df) if mode == "append" else br.overwrite(df)
+
+        if checks is None:
+            checks = DEFAULT_CHECKS.get(name, [])
+        report = (
+            run_checks(br.read(spark), checks, table=f"{fq}@{branch_name}")
+            if checks
+            else None
+        )
+        if report is not None and not report.passed:
+            raise QualityGateError(report)
+        merged = table.merge_branch(branch_name)
+    finally:
+        # published or blocked, the staging branch is transient
+        table.delete_branch(branch_name)
+
+    return Materialization(
+        table=fq,
+        operation=merged["operation"],
+        snapshot_id=merged["snapshot_id"],
+        num_rows=merged["row_count"],
+        num_columns=len(df.columns),
+        quality=report,
+        details={"wap_branch": branch_name},
+    )
+
+
 def read_table(
     spark: SparkSession,
     template: dict,

@@ -102,3 +102,63 @@ def test_append_mode_and_time_travel(spark, tmp_path, batch):
 def test_missing_source_is_actionable(spark, tmp_path):
     with pytest.raises(ValueError, match="no source block"):
         materialize(spark, TEMPLATE, tmp_path)
+
+
+# --- write-audit-publish ---------------------------------------------------
+
+
+def test_wap_publishes_on_passing_audit(spark, tmp_path, batch):
+    from iceberg_quickstart_iac_spark.pipeline import materialize_wap
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+    m = materialize_wap(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS)
+    assert m.num_rows == 2 and m.quality.passed
+    assert m.details["wap_branch"].startswith("audit-")
+    out = read_table(spark, TEMPLATE, tmp_path)
+    assert out.count() == 2
+    # transient staging branch is gone after publish
+    t = SnapTable.load(tmp_path / "lakehouse" / "mini_events")
+    assert t.list_branches() == []
+
+
+def test_wap_blocks_and_leaves_main_untouched(spark, tmp_path, batch):
+    from iceberg_quickstart_iac_spark.pipeline import materialize_wap
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+    materialize_wap(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS)
+    dup = batch.union(batch)  # duplicate_count check will fail
+    with pytest.raises(QualityGateError):
+        materialize_wap(spark, TEMPLATE, tmp_path, df=dup, checks=CHECKS)
+    t = SnapTable.load(tmp_path / "lakehouse" / "mini_events")
+    # main never referenced the bad commit; staging branch cleaned up
+    assert read_table(spark, TEMPLATE, tmp_path).count() == 2
+    assert t.list_branches() == []
+    # the staged-but-unpublished data dir is debris remove_orphan_files owns
+    import time as _t
+
+    removed = t.remove_orphan_files(older_than_ms=int(_t.time() * 1000) + 1000)
+    assert len(removed) == 1
+    assert read_table(spark, TEMPLATE, tmp_path).count() == 2
+
+
+def test_wap_audits_committed_readback_not_input(spark, tmp_path, batch):
+    """The WAP gate audits the staged TABLE STATE, not the input frame: in
+    append mode a row_count threshold above the batch size but below the
+    post-append total passes — a pre-write input gate would fail it."""
+    from iceberg_quickstart_iac_spark.operators.quality import Check
+    from iceberg_quickstart_iac_spark.pipeline import materialize, materialize_wap
+
+    materialize_wap(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS)
+    total_gt_3 = [Check("row_count", op=">", threshold=3)]
+    second = batch.withColumn("event_id", F.concat(F.lit("b-"), F.col("event_id")))
+    # pre-write gate sees only the 2-row input -> blocks
+    with pytest.raises(QualityGateError):
+        materialize(
+            spark, TEMPLATE, tmp_path, df=second, mode="append", checks=total_gt_3
+        )
+    # WAP audits the staged 4-row table state -> publishes
+    m = materialize_wap(
+        spark, TEMPLATE, tmp_path, df=second, mode="append", checks=total_gt_3
+    )
+    assert m.quality.passed
+    assert read_table(spark, TEMPLATE, tmp_path).count() == 4
