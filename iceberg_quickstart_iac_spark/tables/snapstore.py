@@ -522,20 +522,30 @@ class SnapTable:
         for c in declared:
             typ = iceberg_type_to_spark(c["type"])
             name = c["name"]
+            source = None
             if written_ids is None:
-                readable = name in df.columns
+                source = name if name in df.columns else None
+            elif c.get("id") is not None:
+                # id-first resolution: the declared field reads from WHATEVER
+                # file column carries its id — this is what makes RENAME safe
+                # (old files keep serving the renamed column) while a
+                # dropped-then-re-added name (fresh id) correctly reads NULL
+                for fname, fid in written_ids.items():
+                    if fid == c["id"] and fname in df.columns:
+                        source = fname
+                        break
+                if (
+                    source is None
+                    and name in df.columns
+                    and written_ids.get(name, "∅") is None
+                ):
+                    source = name  # legacy files written before field ids
             else:
-                readable = (
-                    name in df.columns
-                    and name in written_ids
-                    and (
-                        written_ids[name] is None
-                        or c.get("id") is None
-                        or written_ids[name] == c.get("id")
-                    )
-                )
-            if readable:
-                out.append(F.col(name).cast(typ).alias(name))
+                # legacy declared column (no id): name-based
+                if name in df.columns and name in written_ids:
+                    source = name
+            if source is not None:
+                out.append(F.col(source).cast(typ).alias(name))
             else:
                 out.append(F.lit(None).cast(typ).alias(name))
         return df.select(*out)
@@ -767,6 +777,67 @@ class SnapTable:
             "schema_evolution",
             self.fq_name,
             details={"change": "drop_column", "column": name},
+        )
+        return meta
+
+    #: Iceberg-safe type promotions (spec §Schema Evolution): widening only,
+    #: so every already-written value remains exactly representable
+    _SAFE_PROMOTIONS = {
+        ("int", "long"),
+        ("int", "bigint"),
+        ("integer", "long"),
+        ("integer", "bigint"),
+        ("float", "double"),
+    }
+
+    def evolve_rename_column(self, old: str, new: str) -> dict:
+        """RENAME COLUMN — metadata-only and SAFE under field ids: the
+        declared column keeps its id, and reads resolve file columns BY ID,
+        so data written under the old name keeps serving the renamed
+        column (Iceberg rename semantics — no rewrite, no data loss,
+        unlike Hive-style name-based tables where a rename orphans every
+        old file's values)."""
+        meta = self.meta
+        cols = meta.get("columns", [])
+        if not any(c["name"] == old for c in cols):
+            raise ValueError(f"Column {old!r} does not exist on {self.fq_name}")
+        if any(c["name"] == new for c in cols):
+            raise ValueError(f"Column {new!r} already exists on {self.fq_name}")
+        for c in cols:
+            if c["name"] == old:
+                c["name"] = new
+        meta["columns"] = cols
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "rename_column", "from": old, "to": new},
+        )
+        return meta
+
+    def evolve_widen_column(self, name: str, new_type: str) -> dict:
+        """Widen a column's type (int→long, float→double) — the promotions
+        the Iceberg spec allows because every written value stays exactly
+        representable. Metadata-only: the declared-schema projection casts
+        old files up on read. Narrowing or cross-family changes raise."""
+        meta = self.meta
+        cols = meta.get("columns", [])
+        target = next((c for c in cols if c["name"] == name), None)
+        if target is None:
+            raise ValueError(f"Column {name!r} does not exist on {self.fq_name}")
+        if (target["type"], new_type) not in self._SAFE_PROMOTIONS:
+            raise ValueError(
+                f"Unsafe type change {target['type']!r} -> {new_type!r} on "
+                f"{self.fq_name}.{name}: only widening promotions "
+                f"{sorted(self._SAFE_PROMOTIONS)} preserve written values"
+            )
+        target["type"] = new_type
+        meta["columns"] = cols
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "widen_column", "column": name, "type": new_type},
         )
         return meta
 

@@ -545,3 +545,62 @@ def test_branch_dirs_protected_from_maintenance(spark, table, events_df):
     assert br.read(spark).count() == 6
     with pytest.raises(RuntimeError, match="main table"):
         br.remove_orphan_files()
+
+
+# --- rename / widen evolution ---------------------------------------------
+
+
+def test_rename_column_keeps_old_file_data(spark, table, events_df):
+    table.overwrite(events_df)
+    table.evolve_rename_column("event_type", "kind")
+    out = table.read(spark)
+    # id-based resolution: pre-rename files keep serving the renamed column
+    assert "kind" in out.columns and "event_type" not in out.columns
+    assert out.filter("kind = 'click'").count() == 1
+    # write side now requires the new name
+    renamed = events_df.withColumnRenamed("event_type", "kind")
+    table.append(renamed)
+    assert table.read(spark).filter("kind IS NOT NULL").count() == 6
+    with pytest.raises(ValueError, match="Schema mismatch"):
+        table.append(events_df)
+
+
+def test_rename_differs_from_drop_and_readd(spark, table, events_df):
+    """Rename preserves data (same field id); drop+re-add nulls it (new
+    id) — the distinction field ids exist to make."""
+    table.overwrite(events_df)
+    table.evolve_drop_column("event_type")
+    table.evolve_add_column("event_type", "string")
+    assert table.read(spark).filter("event_type IS NOT NULL").count() == 0
+
+
+def test_widen_column_casts_old_files_up(spark, tmp_path):
+    t = SnapTable.create(
+        tmp_path / "w",
+        {
+            "name": "widen_demo",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "id", "type": "int"},
+                {"name": "score", "type": "float"},
+            ],
+            "partition_spec": [],
+        },
+    )
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "id INT, score FLOAT")
+    t.overwrite(df)
+    t.evolve_widen_column("id", "long")
+    t.evolve_widen_column("score", "double")
+    out = t.read(spark)
+    assert dict(out.dtypes) == {"id": "bigint", "score": "double"}
+    assert out.filter("id = 2 AND score = 2.5").count() == 1
+    with pytest.raises(ValueError, match="Unsafe type change"):
+        t.evolve_widen_column("id", "int")
+
+
+def test_rename_on_branch_is_isolated(spark, table, events_df):
+    table.overwrite(events_df)
+    br = table.create_branch("feature/rename")
+    br.evolve_rename_column("event_type", "kind")
+    assert "kind" in br.read(spark).columns
+    assert "event_type" in table.read(spark).columns
