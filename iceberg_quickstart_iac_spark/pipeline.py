@@ -70,15 +70,22 @@ def materialize(
     checks: list[Check] | None = None,
     enforce_quality: bool = True,
     allowed_schemes: tuple[str, ...] = ALLOWED_SCHEMES,
+    team=None,
 ) -> Materialization:
     """Materialize one table from its template (the "asset run").
 
     ``df=None`` requires a ``source`` block in the template (declarative
     ingest); passing a DataFrame is the custom-asset path. ``mode`` is
     'overwrite' (reference's full-refresh model) or 'append' (event-stream
-    pattern). ``checks`` default to the template's registered set.
+    pattern). ``checks`` default to the template's registered set. A
+    ``team`` (tenancy matrix) gates the write up front: only
+    writer/admin teams may materialize the table.
     """
     name = template["name"]
+    if team is not None:
+        from iceberg_quickstart_iac_spark.governance.tenancy import authorize_write
+
+        authorize_write(team, name)
     fq = f"{template.get('namespace', 'default')}.{name}"
     schema = spark_schema(template)
 
@@ -204,11 +211,19 @@ def read_table(
     access_level: str = "admin",
     snapshot_id: str | None = None,
     as_of_ms: int | None = None,
+    team=None,
 ) -> DataFrame:
     """Governed read of a materialized table (the IO-manager load path,
     ``resources/iceberg.py:107-153``): time-travel-aware, access-level
-    column governance applied before the scan."""
+    column governance applied before the scan. Pass a
+    :class:`~iceberg_quickstart_iac_spark.governance.tenancy.Team` to
+    resolve the level from the team's per-table matrix instead
+    (``docs/multi-tenancy.md``) — 'none' denies, 'reader' excludes PII."""
     root = Path(warehouse_root) / template.get("namespace", "default") / template["name"]
     table = SnapTable.load(root)
     df = table.read(spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    if team is not None:
+        from iceberg_quickstart_iac_spark.governance.tenancy import read_table_for_team
+
+        return read_table_for_team(df, template, team)
     return read_with_access_level(df, template, access_level, table=table.fq_name)

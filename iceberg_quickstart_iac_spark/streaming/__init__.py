@@ -3,6 +3,7 @@
 from iceberg_quickstart_iac_spark.streaming.ingest import (
     freshness_monitor,
     incremental_file_ingest,
+    incremental_wap_ingest,
     read_file_stream,
     session_windows,
     windowed_event_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "followup_join_stream",
     "freshness_monitor",
     "incremental_file_ingest",
+    "incremental_wap_ingest",
     "read_file_stream",
     "running_user_stats",
     "session_windows",

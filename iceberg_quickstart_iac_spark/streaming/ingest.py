@@ -78,6 +78,61 @@ def incremental_file_ingest(
     return writer.start()
 
 
+def incremental_wap_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    table: SnapTable,
+    checkpoint_dir: str,
+    checks: list | None = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+    on_blocked=None,
+) -> StreamingQuery:
+    """Streaming write-audit-publish: every micro-batch stages on an
+    isolated snapstore branch, the quality checks run against the staged
+    READ-BACK, and only a passing audit merges into main — a bad
+    micro-batch is quarantined (branch deleted, main untouched,
+    ``on_blocked(batch_id, report)`` notified) instead of poisoning the
+    table. Continuous ingest keeps exactly-once file tracking via the
+    checkpoint; a blocked batch does not advance main, and the staged
+    debris is ``remove_orphan_files`` territory.
+
+    At scale this is the standard Iceberg WAP cadence for streams: the
+    audit is one aggregation over the staged state per micro-batch; data
+    is written once (branches are refs, not copies).
+    """
+    import uuid
+
+    from iceberg_quickstart_iac_spark.operators.quality import run_checks
+
+    stream = read_file_stream(spark, source_path, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        branch_name = f"audit-{batch_id}-{uuid.uuid4().hex[:6]}"
+        br = table.create_branch(branch_name)
+        try:
+            br.append(batch_df)
+            if checks:
+                report = run_checks(
+                    br.read(spark), checks, table=f"{table.fq_name}@{branch_name}"
+                )
+                if not report.passed:
+                    if on_blocked is not None:
+                        on_blocked(batch_id, report)
+                    return  # quarantine: branch dropped in finally, main untouched
+            table.merge_branch(branch_name)
+        finally:
+            table.delete_branch(branch_name)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -162,3 +162,22 @@ def test_wap_audits_committed_readback_not_input(spark, tmp_path, batch):
     )
     assert m.quality.passed
     assert read_table(spark, TEMPLATE, tmp_path).count() == 4
+
+
+def test_pipeline_team_gates(spark, tmp_path, batch):
+    from iceberg_quickstart_iac_spark.governance.tenancy import Team
+
+    owner = Team("eng", tables={"mini_events": "writer"})
+    reader = Team("bi", tables={"mini_events": "reader"})
+    outsider = Team("other", tables={})
+
+    materialize(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS, team=owner)
+    with pytest.raises(PermissionError, match="cannot write"):
+        materialize(spark, TEMPLATE, tmp_path, df=batch, checks=CHECKS, team=reader)
+
+    # reader team sees no restricted columns; outsider team sees nothing
+    out = read_table(spark, TEMPLATE, tmp_path, team=reader)
+    assert "user_id" not in out.columns and out.count() == 2
+    assert "user_id" in read_table(spark, TEMPLATE, tmp_path, team=owner).columns
+    with pytest.raises(PermissionError, match="no access"):
+        read_table(spark, TEMPLATE, tmp_path, team=outsider)

@@ -189,3 +189,46 @@ def test_map_only_corpus_ops_run_on_streams(spark, tmp_path):
         "append",
     ).collect()
     assert all("@" not in r.t for r in full)
+
+
+def test_streaming_wap_quarantines_bad_batches(spark, tmp_path):
+    """Streaming write-audit-publish: a failing micro-batch is staged,
+    audited, and dropped — main only ever contains audited commits."""
+    from iceberg_quickstart_iac_spark.operators.quality import Check
+    from iceberg_quickstart_iac_spark.streaming import incremental_wap_ingest
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapTable.create(
+        tmp_path / "tbl",
+        {"name": "wap_events", "namespace": "lakehouse", "columns": [], "partition_spec": []},
+    )
+    checks = [Check("row_count", op="<", threshold=15)]  # blocks once total >= 15
+    blocked = []
+
+    _write_batch(spark, src, 0, 10)
+    q = incremental_wap_ingest(
+        spark, src, SCHEMA, table, ckpt, checks=checks,
+        on_blocked=lambda bid, rep: blocked.append(bid),
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 10 and blocked == []
+
+    # next batch takes the staged state to 30 -> audit fails -> quarantined
+    _write_batch(spark, src, 100, 20)
+    q = incremental_wap_ingest(
+        spark, src, SCHEMA, table, ckpt, checks=checks,
+        on_blocked=lambda bid, rep: blocked.append(bid),
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 10    # main untouched by the bad batch
+    assert len(blocked) == 1
+    assert table.list_branches() == []        # staging branch cleaned up
+    # a small good batch (10 + 4 = 14 < 15) publishes
+    _write_batch(spark, src, 500, 4)
+    q = incremental_wap_ingest(
+        spark, src, SCHEMA, table, ckpt, checks=checks,
+        on_blocked=lambda bid, rep: blocked.append(bid),
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 14
