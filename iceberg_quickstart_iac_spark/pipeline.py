@@ -188,10 +188,15 @@ def materialize_wap(
         )
         if report is not None and not report.passed:
             raise QualityGateError(report)
-        merged = table.merge_branch(branch_name)
-    finally:
-        # published or blocked, the staging branch is transient
+    except Exception:
+        # blocked or failed before publish: main never saw the data, drop it
         table.delete_branch(branch_name)
+        raise
+    # publish; the staging branch is deleted only after a FULLY successful
+    # merge — on a merge conflict it survives, still holding the complete
+    # unmerged history for manual resolution (no partial publish is lost)
+    merged = table.merge_branch(branch_name)
+    table.delete_branch(branch_name)
 
     return Materialization(
         table=fq,

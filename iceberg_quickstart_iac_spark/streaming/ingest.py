@@ -122,10 +122,15 @@ def incremental_wap_ingest(
                 if not report.passed:
                     if on_blocked is not None:
                         on_blocked(batch_id, report)
-                    return  # quarantine: branch dropped in finally, main untouched
-            table.merge_branch(branch_name)
-        finally:
+                    table.delete_branch(branch_name)
+                    return  # quarantine: branch dropped, main untouched
+        except Exception:
             table.delete_branch(branch_name)
+            raise
+        # delete only after a fully successful merge — a conflicted merge
+        # leaves the branch holding the complete unmerged batch
+        table.merge_branch(branch_name)
+        table.delete_branch(branch_name)
 
     writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

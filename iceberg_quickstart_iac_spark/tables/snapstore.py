@@ -289,10 +289,15 @@ class SnapTable:
 
     # -- log ---------------------------------------------------------------
 
-    @staticmethod
-    def _read_log(log_dir: Path) -> list[dict]:
+    #: committed log entries only — pathlib's glob matches dot-prefixed
+    #: names, so a bare ``*.json`` would read in-flight ``.tmp-…`` commit
+    #: temp files as committed snapshots
+    _LOG_GLOB = "[0-9]*.json"
+
+    @classmethod
+    def _read_log(cls, log_dir: Path) -> list[dict]:
         entries = []
-        for path in sorted(log_dir.glob("*.json")):
+        for path in sorted(log_dir.glob(cls._LOG_GLOB)):
             entries.append(json.loads(path.read_text()))
         return entries
 
@@ -318,7 +323,8 @@ class SnapTable:
         """
         if retries is None:
             retries = int(self.meta.get("properties", {}).get("commit_num_retries", 3))
-        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
+        # no .json suffix: temp files must never match the log glob
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         for attempt in range(retries + 1):
             entries = self._entries()
             seq = entries[-1]["sequence"] + 1 if entries else 0
@@ -353,11 +359,15 @@ class SnapTable:
     #: partitionBy would strip it from the data files)
     _PPREFIX = "__p_"
 
-    def _partition_cols(self) -> list[tuple[str, dict]]:
-        """(physical partition column name, spec entry) per spec level."""
+    def _partition_cols(self, spec: list[dict] | None = None) -> list[tuple[str, dict]]:
+        """(physical partition column name, spec entry) per spec level.
+        ``spec`` defaults to the table's CURRENT spec (the write path); reads
+        pass each data directory's recorded write-time spec instead."""
+        if spec is None:
+            spec = self.meta.get("partition_spec") or []
         return [
             (self._PPREFIX + partition_field_name(p["column"], p["transform"]), p)
-            for p in (self.meta.get("partition_spec") or [])
+            for p in spec
         ]
 
     def _write_data(self, df: DataFrame) -> tuple[str, int, int]:
@@ -433,7 +443,7 @@ class SnapTable:
                 "data_dirs": [dir_name],
                 "row_count": rows,
                 "file_count": files,
-                "column_ids": self._column_ids(),
+                **self._write_epoch(),
             }
         )
         log_audit_event("table_write", self.fq_name, details={"row_count": rows, "mode": "overwrite"})
@@ -456,7 +466,7 @@ class SnapTable:
                 # TOTAL files in the snapshot, not just the new manifest's
                 "row_count": prev_rows + rows,
                 "file_count": prev_files + files,
-                "column_ids": self._column_ids(),
+                **self._write_epoch(),
             }
 
         entry = self._commit(build)
@@ -486,15 +496,46 @@ class SnapTable:
         before field ids existed)."""
         return {c["name"]: c.get("id") for c in self.meta.get("columns", [])}
 
-    def _dir_column_ids(self) -> dict[str, dict | None]:
-        """Data dir → the {name: field_id} mapping it was WRITTEN under
-        (the first log entry referencing the dir; None for legacy entries)."""
+    def _write_epoch(self) -> dict:
+        """The write-time metadata stamped on every commit entry, so reads
+        can reconstruct how each data directory was PHYSICALLY written long
+        after the declared schema/layout has evolved:
+
+        - ``column_ids``: name → field id (field-id projection; rename /
+          drop+re-add safety);
+        - ``column_types``: name → declared type at write time — a widened
+          column (int→long) leaves pre-widen files as int; grouping reads
+          by type epoch keeps Spark's parquet schema merge from seeing
+          int and long for one column in one scan (CANNOT_MERGE_SCHEMAS)
+          and lets each epoch cast up to the declared type independently;
+        - ``partition_spec``: the layout this directory was written under —
+          partition-spec evolution means new writes use the new layout
+          while old dirs keep (and are pruned by) their own.
+        """
+        meta = self.meta
+        return {
+            "column_ids": {c["name"]: c.get("id") for c in meta.get("columns", [])},
+            "column_types": {c["name"]: c["type"] for c in meta.get("columns", [])},
+            "partition_spec": meta.get("partition_spec") or [],
+        }
+
+    def _dir_epochs(self) -> dict[str, dict | None]:
+        """Data dir → the write-epoch metadata it was WRITTEN under
+        (the first log entry referencing the dir; None for legacy entries
+        without ``column_ids``)."""
         seen: dict[str, dict | None] = {}
         for e in self._entries():
             ids = e.get("column_ids")
+            epoch = None
+            if ids is not None:
+                epoch = {
+                    "column_ids": ids,
+                    "column_types": e.get("column_types"),
+                    "partition_spec": e.get("partition_spec"),
+                }
             for d in e["data_dirs"]:
                 if d not in seen:
-                    seen[d] = ids
+                    seen[d] = epoch
         return seen
 
     def _project_declared(self, df: DataFrame, written_ids: dict | None) -> DataFrame:
@@ -551,7 +592,10 @@ class SnapTable:
         return df.select(*out)
 
     def _leaf_dirs(
-        self, roots: list[Path], filters: list[tuple] | None
+        self,
+        roots: list[Path],
+        filters: list[tuple] | None,
+        spec: list[dict] | None = None,
     ) -> list[str]:
         """Enumerate data directories under ``roots``, pruning partition
         levels that cannot match ``filters``.
@@ -562,9 +606,10 @@ class SnapTable:
         Range ops relax to the transformed granularity (``ts > X`` keeps the
         whole day-partition holding X); the residual row filter restores
         exactness. Listing is driver-side and O(partition dirs) — the same
-        metadata-only role Iceberg gives manifest pruning.
+        metadata-only role Iceberg gives manifest pruning. ``spec`` is the
+        layout the dirs were written under (defaults to the current spec).
         """
-        pcols = self._partition_cols()
+        pcols = self._partition_cols(spec)
         if not pcols:
             return [str(r) for r in roots]
         filters = filters or []
@@ -683,30 +728,80 @@ class SnapTable:
             raise ValueError(f"Snapshot {snap['snapshot_id']} has no data")
         return self._read_dirs(spark, snap["data_dirs"], filters)
 
+    def _written_name(self, name: str, written_ids: dict | None) -> str | None:
+        """The file-column name serving declared column ``name`` in a dir
+        epoch written under ``written_ids`` — field-id resolution, the same
+        rules as :meth:`_project_declared` (rename-safe; a dropped-then-
+        re-added name resolves to None against pre-drop files). None means
+        the column has no source in that epoch (reads as NULL)."""
+        declared = next(
+            (c for c in self.meta.get("columns", []) if c["name"] == name), None
+        )
+        if written_ids is None or declared is None:
+            return name
+        if declared.get("id") is not None:
+            for fname, fid in written_ids.items():
+                if fid == declared["id"]:
+                    return fname
+            if written_ids.get(name, "∅") is None:
+                return name  # legacy files written before field ids
+            return None
+        return name if name in written_ids else None
+
+    def _translate_filters(
+        self, filters: list[tuple], written_ids: dict | None
+    ) -> list[tuple] | None:
+        """Rewrite filter column names into one dir epoch's WRITTEN names
+        (a filter on a renamed column must compare against the old file
+        column in pre-rename dirs). None = some filtered column does not
+        exist in this epoch — it reads as typed NULL, no comparison can
+        hold, the whole epoch is prunable."""
+        out = []
+        for col, op, value in filters:
+            wname = self._written_name(col, written_ids)
+            if wname is None:
+                return None
+            out.append((wname, op, value))
+        return out
+
     def _read_dirs(
         self, spark: SparkSession, dirs: list[str], filters: list[tuple] | None
     ) -> DataFrame:
-        """Scan ``dirs``, grouped by the schema epoch they were written
-        under (field-id projection per group — almost always one group, so
-        the plan stays a single parquet scan), partition-pruned by
-        ``filters``, row-filtered, projected to the declared schema."""
-        dir_ids = self._dir_column_ids()
-        groups: dict[tuple, tuple[dict | None, list[Path]]] = {}
+        """Scan ``dirs``, grouped by the write epoch (field ids + declared
+        types + partition spec) they were written under — almost always one
+        group, so the plan stays a single parquet scan. Per group: filters
+        are translated to the epoch's written column names, partition dirs
+        are pruned against the epoch's own recorded layout, rows are
+        filtered, and the result is field-id-projected (and cast) to the
+        declared schema before ``unionByName`` across epochs. Separate
+        type epochs keep a widened column (int files + long files) out of a
+        single ``mergeSchema`` scan, which Spark cannot merge."""
+        dir_epochs = self._dir_epochs()
+        groups: dict[str, tuple[dict | None, list[Path]]] = {}
         for d in dirs:
-            ids = dir_ids.get(d)
-            key = tuple(sorted(ids.items())) if ids is not None else ("__legacy__",)
-            groups.setdefault(key, (ids, []))[1].append(self.data_dir / d)
+            epoch = dir_epochs.get(d)
+            key = (
+                json.dumps(epoch, sort_keys=True) if epoch is not None else "__legacy__"
+            )
+            groups.setdefault(key, (epoch, []))[1].append(self.data_dir / d)
         parts: list[DataFrame] = []
-        for ids, roots in groups.values():
-            paths = self._leaf_dirs(roots, filters)
+        for epoch, roots in groups.values():
+            ids = epoch["column_ids"] if epoch is not None else None
+            spec = epoch.get("partition_spec") if epoch is not None else None
+            gfilters = filters or []
+            if filters:
+                gfilters = self._translate_filters(filters, ids)
+                if gfilters is None:
+                    # a filtered column absent from this epoch's files reads
+                    # as NULL — no comparison predicate can hold, skip
+                    continue
+            paths = self._leaf_dirs(roots, gfilters, spec)
             if not paths:
                 continue
             df = spark.read.option("mergeSchema", "true").parquet(*paths)
-            if filters and any(col not in df.columns for col, _, _ in filters):
-                # a filtered column absent from this epoch's files reads as
-                # NULL — no comparison predicate can hold, skip the group
+            if gfilters and any(col not in df.columns for col, _, _ in gfilters):
                 continue
-            df = self._apply_row_filters(df, filters)
+            df = self._apply_row_filters(df, gfilters)
             parts.append(self._project_declared(df, ids))
         if not parts:
             return self._apply_row_filters(self._empty_declared(spark), filters)
@@ -807,6 +902,16 @@ class SnapTable:
             if c["name"] == old:
                 c["name"] = new
         meta["columns"] = cols
+        # partition_spec / sort_order entries are keyed by NAME here (unlike
+        # Iceberg's id-based specs) — rename them too, or subsequent writes
+        # silently become unpartitioned/unsorted (the spec filter drops
+        # entries whose column is absent from the frame)
+        for p in meta.get("partition_spec") or []:
+            if p.get("column") == old:
+                p["column"] = new
+        for o in meta.get("sort_order") or []:
+            if o.get("column") == old:
+                o["column"] = new
         self._write_meta(meta)
         log_audit_event(
             "schema_evolution",
@@ -838,6 +943,47 @@ class SnapTable:
             "schema_evolution",
             self.fq_name,
             details={"change": "widen_column", "column": name, "type": new_type},
+        )
+        return meta
+
+    _TRANSFORM_RE = re.compile(
+        r"^(identity|year|month|day|hour|bucket\[\d+\]|truncate\[\d+\])$"
+    )
+
+    def evolve_partition_spec(self, new_spec: list[dict]) -> dict:
+        """Change how the table is partitioned WITHOUT rewriting any data —
+        the partition-spec evolution the reference advertises as a core
+        Iceberg capability (``docs/architecture.md:11``,
+        ``docs/deep-dive.md:66-72``) but never implements.
+
+        Metadata-only, like Iceberg: every commit entry records the spec it
+        was written under, so existing data directories keep their physical
+        layout and are pruned by their OWN recorded spec, while writes from
+        now on lay out (and prune) under the new spec. A query filtering on
+        a newly added transform column prunes the new epoch's directories
+        and falls back to scan-plus-row-filter on the old ones — exactly
+        Iceberg's split-planning across specs.
+        """
+        declared = {c["name"] for c in self.meta.get("columns", [])}
+        for p in new_spec:
+            if "column" not in p or "transform" not in p:
+                raise ValueError(
+                    f"Partition spec entries need 'column' and 'transform': {p!r}"
+                )
+            if declared and p["column"] not in declared:
+                raise ValueError(
+                    f"Partition column {p['column']!r} is not declared on {self.fq_name}"
+                )
+            if not self._TRANSFORM_RE.match(p["transform"]):
+                raise ValueError(f"Unknown partition transform: {p['transform']!r}")
+        meta = self.meta
+        old_spec = meta.get("partition_spec") or []
+        meta["partition_spec"] = list(new_spec)
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "partition_spec", "from": old_spec, "to": new_spec},
         )
         return meta
 
@@ -912,7 +1058,7 @@ class SnapTable:
                 "data_dirs": [dir_name],
                 "row_count": rows,
                 "file_count": files,
-                "column_ids": self._column_ids(),
+                **self._write_epoch(),
             }
         )
         log_audit_event(
@@ -1092,52 +1238,21 @@ class SnapTable:
         head = main_entries[-1]["sequence"] if main_entries else -1
         schema_override = "columns" in ref
 
-        if head == fork:
-            # fast-forward
-            if schema_override:
-                if self.meta.get("columns", []) != ref["base_columns"]:
-                    raise CommitConflictError(
-                        f"Branch {name!r} evolved the schema but main's schema "
-                        f"also changed since the fork — manual resolution required"
-                    )
-                meta = self.meta
-                meta["columns"] = ref["columns"]
-                meta["next_field_id"] = ref["next_field_id"]
-                self._write_meta(meta)
-            last = main_entries[-1] if main_entries else None
-            for e in branch_entries:
-                tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
-                tmp.write_text(json.dumps(e))
-                target = self.log_dir / f"{e['sequence']:012d}.json"
-                try:
-                    os.link(tmp, target)
-                    tmp.unlink()
-                except FileExistsError:
-                    tmp.unlink(missing_ok=True)
-                    raise CommitConflictError(
-                        f"Merge of branch {name!r} lost a race on sequence "
-                        f"{e['sequence']} — main advanced during the merge"
-                    ) from None
-                last = e
-        else:
-            if schema_override:
+        def check_schema_mergeable():
+            if schema_override and self.meta.get("columns", []) != ref["base_columns"]:
                 raise CommitConflictError(
-                    f"Branch {name!r} carries a schema change but main advanced "
-                    f"past the fork — manual resolution required"
+                    f"Branch {name!r} evolved the schema but main's schema "
+                    f"also changed since the fork — manual resolution required"
                 )
-            advanced = [e for e in main_entries if e["sequence"] > fork]
-            if any(e["operation"] != "append" for e in advanced) or any(
-                e["operation"] != "append" for e in branch_entries
-            ):
-                raise CommitConflictError(
-                    f"Cannot auto-merge branch {name!r}: non-append commits on "
-                    f"a diverged history (appends commute; rewrites do not)"
-                )
-            # replay each branch append's directory delta as a fresh commit
-            merged = [e for e in main_entries if e["sequence"] <= fork]
-            prev_view = merged[-1] if merged else None
-            last = main_entries[-1]
-            for e in branch_entries:
+
+        def replay_appends(entries_to_replay: list[dict], prev_view: dict | None) -> dict:
+            """Re-commit each branch append's directory delta as a fresh
+            main commit via the optimistic-retry path (appends commute, so
+            a rebase is safe). The branch entry's write epoch rides along —
+            the dirs keep the schema/layout they were physically written
+            under."""
+            last = None
+            for e in entries_to_replay:
                 prev_dirs = prev_view["data_dirs"] if prev_view else []
                 prev_rows = prev_view["row_count"] if prev_view else 0
                 prev_files = prev_view["file_count"] if prev_view else 0
@@ -1153,14 +1268,83 @@ class SnapTable:
                         "row_count": (current["row_count"] if current else 0) + _dr,
                         "file_count": (current["file_count"] if current else 0) + _df,
                         "column_ids": _e.get("column_ids"),
+                        "column_types": _e.get("column_types"),
+                        "partition_spec": _e.get("partition_spec"),
                     }
 
                 last = self._commit(build)
                 prev_view = e
+            return last
+
+        if head == fork:
+            # fast-forward: adopt branch entries verbatim, slot by slot. The
+            # schema override is deferred until every entry has landed — a
+            # half-failed merge must not leave main's schema changed.
+            check_schema_mergeable()
+            last = main_entries[-1] if main_entries else None
+            raced_at: int | None = None
+            for i, e in enumerate(branch_entries):
+                tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+                tmp.write_text(json.dumps(e))
+                target = self.log_dir / f"{e['sequence']:012d}.json"
+                try:
+                    os.link(tmp, target)
+                    tmp.unlink()
+                except FileExistsError:
+                    tmp.unlink(missing_ok=True)
+                    raced_at = i
+                    break
+                last = e
+            if raced_at is not None:
+                # a concurrent main writer claimed a slot mid-merge. Fall
+                # back to rebasing the unmerged remainder instead of raising
+                # with a partial publish: appends commute, so replaying them
+                # after the racer's commit is exactly the diverged-merge
+                # semantics. Non-append remainders are a genuine conflict.
+                remaining = branch_entries[raced_at:]
+                if any(e["operation"] != "append" for e in remaining):
+                    raise CommitConflictError(
+                        f"Merge of branch {name!r} lost a race on sequence "
+                        f"{remaining[0]['sequence']} and the remainder holds "
+                        f"non-append commits (rewrites do not commute) — "
+                        f"{raced_at} leading commit(s) already merged; the "
+                        f"branch still holds the full history for manual "
+                        f"resolution"
+                    )
+                if raced_at > 0:
+                    prev_view = branch_entries[raced_at - 1]
+                else:
+                    at_fork = [e for e in main_entries if e["sequence"] <= fork]
+                    prev_view = at_fork[-1] if at_fork else None
+                last = replay_appends(remaining, prev_view)
+                check_schema_mergeable()  # racer may have evolved the schema
+            if schema_override:
+                meta = self.meta
+                meta["columns"] = ref["columns"]
+                meta["next_field_id"] = ref["next_field_id"]
+                self._write_meta(meta)
+        else:
+            if schema_override:
+                raise CommitConflictError(
+                    f"Branch {name!r} carries a schema change but main advanced "
+                    f"past the fork — manual resolution required"
+                )
+            advanced = [e for e in main_entries if e["sequence"] > fork]
+            if any(e["operation"] != "append" for e in advanced) or any(
+                e["operation"] != "append" for e in branch_entries
+            ):
+                raise CommitConflictError(
+                    f"Cannot auto-merge branch {name!r}: non-append commits on "
+                    f"a diverged history (appends commute; rewrites do not)"
+                )
+            merged = [e for e in main_entries if e["sequence"] <= fork]
+            last = replay_appends(branch_entries, merged[-1] if merged else None)
+            if last is None:
+                last = main_entries[-1]
 
         # fast-forward the branch ref to the merged head; branch keeps working
         new_head = last["sequence"] if last else -1
-        for p in bv.log_dir.glob("*.json"):
+        for p in bv.log_dir.glob(self._LOG_GLOB):
             p.unlink()
         new_ref = {
             "name": name,
@@ -1228,7 +1412,7 @@ class _BranchView(SnapTable):
         changes by resetting the ref — deep-dive.md:279). Branch commits
         after the target are discarded; main is untouched."""
         target = self._snapshot_for(snapshot_id, None)
-        for p in self.log_dir.glob("*.json"):
+        for p in self.log_dir.glob(self._LOG_GLOB):
             if int(p.stem) > target["sequence"]:
                 p.unlink()
 
@@ -1246,3 +1430,11 @@ class _BranchView(SnapTable):
 
     def create_branch(self, name: str, at_snapshot_id: str | None = None) -> "SnapTable":
         raise RuntimeError("Branch a branch from the main table instead")
+
+    def evolve_partition_spec(self, new_spec: list[dict]) -> dict:
+        # branch refs carry only a columns override; a branch-scoped layout
+        # change would be silently dropped at merge — require it on main
+        raise RuntimeError(
+            "Partition-spec evolution is table-wide metadata — run it on the "
+            f"main table, not branch {self.branch_name!r}"
+        )

@@ -604,3 +604,220 @@ def test_rename_on_branch_is_isolated(spark, table, events_df):
     br.evolve_rename_column("event_type", "kind")
     assert "kind" in br.read(spark).columns
     assert "event_type" in table.read(spark).columns
+
+
+# --- round-4: type epochs, spec evolution, merge atomicity ------------------
+
+
+def test_widen_then_append_then_read(spark, tmp_path):
+    """ADVICE r3 (high): a post-widen append must not break reads — int
+    files and long files for one column cannot share a mergeSchema scan
+    (CANNOT_MERGE_SCHEMAS); type epochs scan them separately and cast up."""
+    t = SnapTable.create(
+        tmp_path / "w2",
+        {
+            "name": "widen_live",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "id", "type": "int"},
+                {"name": "score", "type": "float"},
+            ],
+            "partition_spec": [],
+        },
+    )
+    t.overwrite(spark.createDataFrame([(1, 1.5), (2, 2.5)], "id INT, score FLOAT"))
+    t.evolve_widen_column("id", "long")
+    t.evolve_widen_column("score", "double")
+    t.append(
+        spark.createDataFrame([(3_000_000_000, 3.5)], "id LONG, score DOUBLE")
+    )
+    out = t.read(spark)
+    assert dict(out.dtypes) == {"id": "bigint", "score": "double"}
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows == {1: 1.5, 2: 2.5, 3_000_000_000: 3.5}
+    # incremental reads cross the type epoch too
+    first = t.snapshots(spark).orderBy("sequence").collect()[0]
+    inc = t.read_incremental(spark, first.snapshot_id)
+    assert [r.id for r in inc.collect()] == [3_000_000_000]
+
+
+def test_rename_updates_partition_spec_and_sort_order(spark, tmp_path):
+    """ADVICE r3 (medium): renaming a column referenced by partition_spec /
+    sort_order must keep partitioning + sorting on subsequent writes."""
+    t = SnapTable.create(
+        tmp_path / "rn",
+        {
+            "name": "renamed_part",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+            "sort_order": [{"column": "ts", "direction": "asc"}],
+        },
+    )
+    t.overwrite(_hourly_events(spark, 12).select("event_id", "ts"))
+    t.evolve_rename_column("ts", "occurred_at")
+    assert t.meta["partition_spec"] == [{"column": "occurred_at", "transform": "day"}]
+    assert t.meta["sort_order"] == [{"column": "occurred_at", "direction": "asc"}]
+    t.append(
+        _hourly_events(spark, 12).select(
+            "event_id", F.col("ts").alias("occurred_at")
+        )
+    )
+    # new data dirs are laid out under the renamed partition column
+    new_dirs = list(t.data_dir.glob("*/__p_occurred_at_day=*"))
+    assert new_dirs, "post-rename write lost its partition layout"
+    assert t.read(spark).count() == 24
+
+
+def test_filtered_read_spans_rename_epochs(spark, tmp_path):
+    """A filter on a renamed column must still apply to PRE-rename data
+    dirs (translated by field id to the old written name) — not silently
+    drop them."""
+    from datetime import datetime
+
+    t = SnapTable.create(
+        tmp_path / "rnf",
+        {
+            "name": "rename_filter",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+        },
+    )
+    t.overwrite(_hourly_events(spark, 24).select("event_id", "ts"))
+    pre_count = t.read(
+        spark, filters=[("ts", ">=", datetime(2024, 1, 2))]
+    ).count()
+    assert pre_count > 0
+    t.evolve_rename_column("ts", "occurred_at")
+    t.append(
+        _hourly_events(spark, 24).select("event_id", F.col("ts").alias("occurred_at"))
+    )
+    got = t.read(spark, filters=[("occurred_at", ">=", datetime(2024, 1, 2))])
+    # both epochs contribute: pre-rename rows via the old file column name
+    assert got.count() == 2 * pre_count
+    # pruning still works on the old epoch's own layout (old dir names)
+    files = got.inputFiles()
+    assert files and not any("_day=2024-01-01" in f for f in files)
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Reference promise (docs/architecture.md:11): change partitioning
+    without rewriting files. Old dirs keep (and prune by) their recorded
+    layout; new writes use the new spec."""
+    from datetime import datetime
+
+    t = SnapTable.create(
+        tmp_path / "pse",
+        {
+            "name": "spec_evolve",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "ts", "type": "timestamp"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+        },
+    )
+    t.append(_hourly_events(spark, 24))
+    t.evolve_partition_spec(
+        [{"column": "ts", "transform": "day"}, {"column": "ts", "transform": "hour"}]
+    )
+    t.append(_hourly_events(spark, 24))
+    # old epoch: day-only layout; new epoch: day/hour layout
+    assert list(t.data_dir.glob("*/__p_ts_day=*/__p_ts_hour=*"))
+    day_only = [
+        d
+        for d in t.data_dir.glob("*/__p_ts_day=*")
+        if not list(d.glob("__p_ts_hour=*"))
+    ]
+    assert day_only, "pre-evolution dirs must keep their old layout"
+    # correctness across both layouts
+    lo = datetime(2024, 1, 2)
+    full = t.read(spark)
+    assert full.count() == 48
+    got = t.read(spark, filters=[("ts", ">=", lo)])
+    assert got.count() == full.filter(full.ts >= lo).count() > 0
+    # both epochs prune at day level: no 2024-01-01 file is ever read
+    assert got.inputFiles() and not any(
+        "__p_ts_day=2024-01-01" in f for f in got.inputFiles()
+    )
+    # validation
+    with pytest.raises(ValueError, match="not declared"):
+        t.evolve_partition_spec([{"column": "nope", "transform": "day"}])
+    with pytest.raises(ValueError, match="Unknown partition transform"):
+        t.evolve_partition_spec([{"column": "ts", "transform": "fortnight"}])
+    br = t.create_branch("feature/spec")
+    with pytest.raises(RuntimeError, match="main table"):
+        br.evolve_partition_spec([])
+
+
+def test_merge_race_mid_loop_falls_back_to_replay(spark, table, events_df, monkeypatch):
+    """ADVICE r3 (medium): a commit race in the middle of a fast-forward
+    merge must rebase the unmerged remainder (appends commute), not raise
+    after a partial publish; the schema override lands only after every
+    branch commit has."""
+    import json as _json
+    import os as _os
+
+    from iceberg_quickstart_iac_spark.tables import snapstore as ss
+
+    table.overwrite(events_df)                       # main seq 0
+    br = table.create_branch("feature/race")
+    br.evolve_add_column("device_id", "string")
+    with_dev = events_df.withColumn("device_id", F.lit("d1"))
+    br.append(with_dev)                              # branch seq 1
+    br.append(with_dev)                              # branch seq 2
+
+    real_link = _os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        d = str(dst)
+        if not state["raced"] and d.endswith("000000000002.json") and "_branches" not in d:
+            state["raced"] = True
+            # a concurrent plain append wins the slot first (old schema)
+            seq1 = _json.loads((table.log_dir / "000000000001.json").read_text())
+            racer = {
+                **seq1,
+                "sequence": 2,
+                "snapshot_id": "racer000racer000",
+                "parent_id": seq1["snapshot_id"],
+                "operation": "append",
+            }
+            (table.log_dir / "000000000002.json").write_text(_json.dumps(racer))
+        return real_link(src, dst)
+
+    monkeypatch.setattr(ss.os, "link", racing_link)
+    table.merge_branch("feature/race")
+    assert state["raced"], "test did not exercise the race"
+    out = table.read(spark)
+    # fork(3) + branch append 1 (3, adopted) + racer (0 new dirs) + branch
+    # append 2 (3, replayed) = 9; schema override applied after the merge
+    assert out.count() == 9
+    assert "device_id" in out.columns
+    assert out.filter("device_id = 'd1'").count() == 6
+    seqs = [s.sequence for s in table.snapshots(spark).orderBy("sequence").collect()]
+    assert seqs == [0, 1, 2, 3]
+
+
+def test_inflight_tmp_commit_files_ignored(spark, table, events_df):
+    """ADVICE r3 (low): an in-flight temp commit file must never be read as
+    a committed snapshot (pathlib glob matches dot-prefixed names)."""
+    table.append(events_df)
+    (table.log_dir / ".tmp-deadbeef.json").write_text("{not json at all")
+    assert table.snapshots(spark).count() == 1
+    assert table.read(spark).count() == 3
+    br = table.create_branch("feature/tmp")
+    br.append(events_df)
+    (br.log_dir / ".tmp-cafebabe.json").write_text("{garbage")
+    snap = table.current_snapshot()["snapshot_id"]
+    br.reset(snap)  # int(p.stem) over the log glob must not see tmp files
+    assert br.read(spark).count() == 3
