@@ -35,9 +35,18 @@ def write_bucketed(
 
     Sorting within buckets additionally removes the per-task Sort from
     sort-merge joins on ``bucket_col`` — the join becomes a pure streaming
-    merge of pre-sorted bucket files.
+    merge of pre-sorted bucket files. That elision requires ONE file per
+    bucket (with several, a bucket's rows are only sorted per file), so the
+    frame is first shuffled onto the bucket key: Spark's repartition hash
+    and its bucket hash are both Murmur3 pmod n, giving exactly one task —
+    one file — per bucket, which also avoids the many-small-files problem
+    of writing B buckets from every task.
     """
-    writer = df.write.bucketBy(n_buckets, bucket_col)
+    from pyspark.sql import functions as F
+
+    writer = df.repartition(n_buckets, F.col(bucket_col)).write.bucketBy(
+        n_buckets, bucket_col
+    )
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").mode(mode).saveAsTable(table)
@@ -47,17 +56,29 @@ def bucketed_join(
     spark: SparkSession,
     left_table: str,
     right_table: str,
-    on: str,
+    on,
     how: str = "inner",
 ) -> DataFrame:
     """Join two co-bucketed tables on their bucket key.
 
     Catalyst detects the matching bucket specs and plans a sort-merge join
-    with no Exchange (verify with :func:`join_exchange_count` — asserted in
-    tests/test_bucketing.py so a refactor can't silently regress the
-    layout).
+    with no Exchange on either side (verify with
+    :func:`join_exchange_count` — asserted in tests/test_bucketing.py so a
+    refactor can't silently regress the layout). Two deliberate settings
+    complete the zero-work read:
+
+    - ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` lets the
+      scan REPORT the ``sortBy`` ordering, eliding the per-side Sorts too
+      (off by default since Spark 3.0; sound here because
+      :func:`write_bucketed` guarantees one file per bucket, the case the
+      ordering claim requires);
+    - a ``merge`` hint pins the sort-merge strategy, so a broadcast-small
+      side at test scale can't hide the layout the plan test pins.
     """
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), on, how
+    )
 
 
 def join_exchange_count(df: DataFrame) -> int:

@@ -43,21 +43,63 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
+#: oracles GENERATED from the gate data (centroid/plane literals) register
+#: as callables and render lazily at :func:`oracle_sql` call time, keyed to
+#: the sf_dir in effect THEN — an import-time render would pin literals from
+#: whatever SPARK_GRAFT_TEST_SF_DIR held at import and report spurious
+#: mismatches when the run later targets a different scale
+_LAZY_ORACLE: dict[str, Callable[[], str]] = {}
+_LAZY_CACHE: dict[tuple[str, str], str] = {}
+#: why a generated oracle degraded to a rows-only check, by query name —
+#: keeps a future rows-only CORRECTNESS regression diagnosable
+_ORACLE_SKIPPED: dict[str, str] = {}
 
 #: exact intermediate type for order-insensitive money/value sums
 DEC = "decimal(18,6)"
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a catalog query (and optionally its DuckDB oracle SQL)."""
+def query(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query (and optionally its DuckDB oracle SQL —
+    a string, or a zero-arg generator rendered lazily per sf_dir)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = fn
-        if oracle is not None:
+        if callable(oracle):
+            _LAZY_ORACLE[name] = oracle
+        elif oracle is not None:
             _ORACLE[name] = textwrap.dedent(oracle).strip()
         return fn
 
     return deco
+
+
+def _gate_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _resolved_oracles() -> dict[str, str]:
+    """Static oracles plus lazy ones rendered against the CURRENT gate
+    sf_dir (cached per sf_dir). A generator that fails — e.g. the gate
+    parquet is unreachable in some harness — degrades that query to a
+    rows-only check, never breaks the call, and records WHY in
+    :data:`_ORACLE_SKIPPED`."""
+    out = dict(_ORACLE)
+    sf_dir = _gate_sf_dir()
+    for name, gen in _LAZY_ORACLE.items():
+        key = (name, sf_dir)
+        if key not in _LAZY_CACHE:
+            try:
+                _LAZY_CACHE[key] = textwrap.dedent(gen()).strip()
+                _ORACLE_SKIPPED.pop(name, None)
+            except Exception as exc:
+                _ORACLE_SKIPPED[name] = f"{type(exc).__name__}: {exc}"
+                continue
+        out[name] = _LAZY_CACHE[key]
+    return out
 
 
 #: Names surfaced FIRST by :func:`queries` — the driver's correctness gate
@@ -69,49 +111,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-2 additions that had no CORRECTNESS row (queries registered 50-74)
-    "q16_supplier_variety",
-    "q17_small_qty_avg_yearly",
-    "q20_heavy_shippers",
-    "q21_sole_late_shippers",
-    "q2_min_cost_supplier",
-    "embedding_ann_ivf",
-    "event_followup_pairs",
-    "event_time_hierarchy_rollup",
-    "row_policy_events",
-    "q11_top_nation_share",
-    "multimodal_media_stats",
-    "cohort_retention",
-    "funnel_click_to_purchase",
-    "latest_event_per_user",
-    "q12_shipmode_priority",
-    "doc_chunks",
-    "doc_hash_split",
-    "doc_benchmark_contamination",
-    "token_vocabulary",
-    "stratified_doc_sample",
-    "doc_pii_redaction",
-    "doc_bpe_token_stats",
-    "embedding_int8_audit",
-    "pseudonymized_user_activity",
-    "packed_context_windows",
-    # round-3 additions
-    "embedding_lsh_topk",
-    "partitioned_table_pruning",
-    "soda_yaml_checks",
-    "drift_sensor_cycle",
-    "near_dup_doc_clusters",
-    # round-3 wave 2: training-corpus analytics
-    "doc_repetition_signals",
-    "source_mixture_weights",
-    "corpus_filter_funnel",
-    "embedding_label_centroids",
-    "inter_source_overlap",
-    "semantic_dedup_cells",
-    "branch_lifecycle",
-    # exact-verified oracles added round 3 (previously rows-only)
-    "near_dup_minhash_pairs",
-    "simhash_near_pairs_block2k",
+    # round-4 additions: need their FIRST driver row
+    "bucketed_join_orders_lineitem",
+    "partition_evolution_lifecycle",
+    # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
+    # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
+    # The 50 r3-certified queries stay covered by the pytest oracle replay
+    # and fill the gate's remaining slots in registry order.
+    "json_props_rollup",
+    "monthly_order_stats",
+    "pii_safe_events",
+    "dedup_docs_by_key",
+    "doc_token_stats",
+    "asof_last_click_before_purchase",
+    "scd2_chain_from_orders",
+    "doc_fingerprint_dedup",
+    "doc_quality_scores",
+    "embedding_cosine_topk",
+    "doc_language_id",
+    "user_sessions",
+    "event_minute_windows",
+    "q13_customer_order_histogram",
+    "above_customer_avg_orders",
+    "q18_large_orders",
+    "distinct_customers_per_priority",
+    "rollup_order_status",
+    "pivot_segment_status",
+    "embedding_near_dup_pairs",
+    "event_value_by_nation",
+    "q10_returned_item_customers",
+    "q14_promo_revenue_pct",
+    "cube_status_year",
+    "brand_size_stats",
+    "ngram_jaccard_dups_block1k",
+    "snapshot_metadata_lifecycle",
+    "order_price_stats",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q19_disjunctive_revenue",
+    "q22_dormant_rich_customers",
+    "customer_running_totals",
+    "customer_spend_quartiles",
+    "q6_flat_revenue",
+    "q15_top_supplier",
 ]
 
 
@@ -125,7 +168,7 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _gate_ordered(_ORACLE)
+    return _gate_ordered(_resolved_oracles())
 
 
 def dsum(col: F.Column | str, alias: str) -> F.Column:
@@ -1879,6 +1922,140 @@ def partitioned_table_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Partition-spec evolution lifecycle (SURVEY §2.10 M7+; reference promise
+# "change how data is partitioned without rewriting files",
+# docs/architecture.md:11, docs/deep-dive.md:66-72). Writes events under
+# day(ts), evolves the spec to day(ts)+hour(ts), appends the rest, then
+# reads an hour window: the new epoch prunes at HOUR granularity while the
+# old dirs keep (and are pruned by) their day-only layout — no rewrite. The
+# oracle derives the same facts from pure data semantics; the physical
+# day-only/old vs hour/new layout split is emitted as a pinned boolean.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partition_evolution_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(*) FILTER (
+             WHERE ts >= TIMESTAMP '2024-01-20 06:00:00'
+               AND ts <  TIMESTAMP '2024-01-20 12:00:00') AS BIGINT) AS window_rows,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) FILTER (
+             WHERE ts >= TIMESTAMP '2024-01-20 06:00:00'
+               AND ts <  TIMESTAMP '2024-01-20 12:00:00') AS BIGINT) AS scanned_hour_dirs,
+           TRUE AS old_dirs_kept_day_layout
+    FROM events
+    """,
+)
+def partition_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    ev = load_table(spark, sf_dir, "events")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="specevo_") + "/events_evo",
+        {
+            "name": "events_spec_evolved",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+                {"name": "props", "type": "string"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+        },
+    )
+    split = "2024-01-16 00:00:00"
+    t.append(ev.filter(F.col("ts") < split))
+    t.evolve_partition_spec(
+        [{"column": "ts", "transform": "day"}, {"column": "ts", "transform": "hour"}]
+    )
+    t.append(ev.filter(F.col("ts") >= split))
+    lo, hi = "2024-01-20 06:00:00", "2024-01-20 12:00:00"
+    window = t.read(spark, filters=[("ts", ">=", lo), ("ts", "<", hi)])
+    scanned_hours = {
+        m.group(1)
+        for f in window.inputFiles()
+        for m in [_re.search(r"__p_ts_hour=([0-9-]+)", f)]
+        if m
+    }
+    day_dirs = list(t.data_dir.glob("*/__p_ts_day=*"))
+    day_only = [d for d in day_dirs if not list(d.glob("__p_ts_hour=*"))]
+    hour_dirs = list(t.data_dir.glob("*/__p_ts_day=*/__p_ts_hour=*"))
+    old_kept = bool(day_only) and bool(hour_dirs)
+    return spark.createDataFrame(
+        [(t.read(spark).count(), window.count(), len(scanned_hours), old_kept)],
+        "total_rows LONG, window_rows LONG, scanned_hour_dirs LONG, "
+        "old_dirs_kept_day_layout BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-located bucketed join (SURVEY §4 shuffle control; J7). The reference
+# pitches bucket[N] for "high-cardinality columns you join on"
+# (docs/table-template-reference.md:144) but never exploits it; here both
+# fact tables are written bucketBy(16) + sortBy on the join key, so the
+# orders⋈lineitem sort-merge join runs with ZERO Exchange and ZERO Sort on
+# either side — each task streams bucket i of both tables. Write-once
+# layout cost, amortized over every later join on the key; at 100 TB this
+# removes the recurring fact-table shuffle entirely. Plan shape pinned in
+# tests/test_plans.py (no Exchange hashpartitioning on the join key).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_join_orders_lineitem",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from iceberg_quickstart_iac_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name in ("bkt_orders", "bkt_lineitem"):
+        # a managed-table location can survive from an earlier session whose
+        # (ephemeral) catalog is gone — drop both the entry and the dir
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(f"{loc.removeprefix('file:')}/{name}", ignore_errors=True)
+    write_bucketed(orders, "bkt_orders", "o_orderkey", 16, sort_col="o_orderkey")
+    write_bucketed(li, "bkt_lineitem", "l_orderkey", 16, sort_col="l_orderkey")
+    joined = bucketed_join(
+        spark,
+        "bkt_orders",
+        "bkt_lineitem",
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Drift-sensor loop as a driver-visible query (SURVEY §2.9 ST4; parity:
 # sensors/schema_drift.py:36-110): two sensor cycles over a deterministic
 # drift scenario — cycle 1 detects drift on event_stream (one missing, one
@@ -2398,13 +2575,18 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE tiering (SURVEY §2.5 extension): customers ranked into spend
     quartiles (deterministic tie-break on c_custkey), then re-aggregated per
-    segment. The per-customer aggregate and the NTILE reuse one
-    customer-keyed shuffle; the global NTILE is a single-partition sort of
-    the already-aggregated (small) customer list.
+    segment.
 
-    Scale note: a global NTILE over raw rows would bottleneck on one
-    partition; here it runs over ~1 row per customer post-aggregation. At
-    100 TB swap in percent_rank over bucketed boundaries."""
+    Scale design — two-phase distributed NTILE, no single-partition sort
+    (Spark's ``ntile`` over an unpartitioned window moves EVERY row through
+    one task): range-repartition on the rank order, ``row_number`` within
+    each range partition, then global rank = local rank + the partition's
+    cumulative offset. The offsets come from the per-partition counts (one
+    row per partition, broadcast back), and the NTILE bucket is computed
+    arithmetically from (rank, total) with standard NTILE remainder
+    semantics — bit-identical to the oracle's NTILE(4). The range exchange
+    feeding both the counts branch and the final join is one ReusedExchange,
+    so the per-customer aggregate is computed once."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -2412,13 +2594,40 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"))
     )
-    w = W.orderBy(F.desc("total_spend"), "c_custkey")
-    return (
-        per_cust.select(
-            "c_mktsegment",
-            "total_spend",
-            F.ntile(4).over(w).cast("long").alias("quartile"),
+    parts = per_cust.repartitionByRange(
+        F.desc("total_spend"), F.col("c_custkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    wp = W.partitionBy("_pid").orderBy(F.desc("total_spend"), "c_custkey")
+    local = parts.withColumn("_rn", F.row_number().over(wp))
+    # per-partition counts: ~one row per shuffle partition — the tiny frame
+    # the cumulative-offset window runs over (partitioned by a literal, so
+    # no unpartitioned-window fallback)
+    pc = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # single-group window over the ~32 count rows; the key is constant-valued
+    # but not constant-FOLDABLE, so Catalyst keeps a real partition spec
+    # (a literal would fold to an unpartitioned window and its warning)
+    grp = F.col("_pid") % F.lit(1)
+    w0 = W.partitionBy(grp).orderBy("_pid")
+    off = pc.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(w0.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_off"),
+        F.sum("_cnt").over(W.partitionBy(grp)).alias("_n"),
+    )
+    r = F.col("_rn") + F.col("_off") - 1  # 0-based global rank
+    n, k = F.col("_n"), F.lit(4)
+    base, rem = F.floor(n / k), n % k
+    cut = rem * (base + 1)
+    quartile = (
+        F.when(r < cut, F.floor(r / (base + 1))).otherwise(
+            rem + F.floor((r - cut) / F.greatest(base, F.lit(1)))
         )
+        + 1
+    ).cast("long")
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .select("c_mktsegment", "total_spend", quartile.alias("quartile"))
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -2778,7 +2987,7 @@ def _ivf_oracle_centroids() -> list[list[float]]:
 
     from iceberg_quickstart_iac_spark.operators.similarity import fit_centroids
 
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = _gate_sf_dir()
     con = duckdb.connect()
     try:
         rows = con.sql(
@@ -2793,19 +3002,21 @@ def _ivf_oracle_centroids() -> list[list[float]]:
     ).tolist()
 
 
-_IVF_CENT_CACHE: list | None = None
+_IVF_CENT_CACHE: dict[str, list] = {}
 
 
 def _ivf_oracle_parts() -> tuple[str, "Callable[[str, str], str]"]:
     """Shared oracle fragments for every IVF-centroid-based query: the
     `cells` + `corpus` CTE text (cell-tagged embeddings, identical bits to
-    the Spark `assign='fold'` plan) and a cosine-expression builder."""
+    the Spark `assign='fold'` plan) and a cosine-expression builder.
+    Centroids are refit (and cached) PER gate sf_dir — the literals must
+    come from the same scale the comparison runs at."""
     from iceberg_quickstart_iac_spark.operators.similarity import centroid_sq_norms
 
-    global _IVF_CENT_CACHE
-    if _IVF_CENT_CACHE is None:
-        _IVF_CENT_CACHE = _ivf_oracle_centroids()
-    cents = _IVF_CENT_CACHE
+    sf_dir = _gate_sf_dir()
+    if sf_dir not in _IVF_CENT_CACHE:
+        _IVF_CENT_CACHE[sf_dir] = _ivf_oracle_centroids()
+    cents = _IVF_CENT_CACHE[sf_dir]
     sq = centroid_sq_norms(cents)
 
     def arr(c: list[float]) -> str:
@@ -2846,16 +3057,6 @@ def _ivf_oracle_parts() -> tuple[str, "Callable[[str, str], str]"]:
     return corpus_cte, cos
 
 
-def _try_oracle(gen) -> str | None:
-    """Generated oracles read the gate's parquet at import time (to refit
-    centroid literals). If that data is unavailable in some harness, the
-    query must degrade to a rows-only check — never break module import."""
-    try:
-        return gen()
-    except Exception:
-        return None
-
-
 def _ivf_oracle_sql() -> str:
     corpus_cte, cos = _ivf_oracle_parts()
     return f"""
@@ -2884,7 +3085,7 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-@query("embedding_ann_ivf", oracle=_try_oracle(_ivf_oracle_sql))
+@query("embedding_ann_ivf", oracle=_ivf_oracle_sql)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.similarity import ivf_index, ivf_topk
 
@@ -4161,7 +4362,7 @@ def _semantic_dedup_oracle_sql() -> str:
     """
 
 
-@query("semantic_dedup_cells", oracle=_try_oracle(_semantic_dedup_oracle_sql))
+@query("semantic_dedup_cells", oracle=_semantic_dedup_oracle_sql)
 def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.similarity import _dot, _norm, ivf_index
 

@@ -115,3 +115,63 @@ def test_filter_funnel_is_single_scan(spark, sf_dir_small):
     the dedup window): exactly one parquet scan of documents in the plan."""
     p = _plan(spark, queries()["corpus_filter_funnel"](spark, sf_dir_small))
     assert p.count("documents.parquet") == 1
+
+
+def test_bucketed_join_has_no_exchange_or_sort_on_key(spark, sf_dir_small):
+    """J7: both sides bucketBy(16)+sortBy on the join key — the sort-merge
+    join must plan with NO Exchange and NO Sort on either side (each task
+    streams bucket i of both tables)."""
+    p = _plan(spark, queries()["bucketed_join_orders_lineitem"](spark, sf_dir_small))
+    assert "SortMergeJoin" in p
+    key_exchanges = [
+        line
+        for line in p.splitlines()
+        if "Exchange hashpartitioning" in line and "orderkey" in line
+    ]
+    assert key_exchanges == []
+    # the join consumes pre-sorted buckets (sortBy metadata satisfies its
+    # ordering requirement): the ONLY Sort in the plan is the final
+    # presentation orderBy — per-side join sorts would make it 3
+    import re
+
+    assert len(re.findall(r"\bSort \(\d+\)", p)) == 1, p
+
+
+def test_ntile_has_no_unpartitioned_window(spark, sf_dir_small):
+    """customer_spend_quartiles runs the two-phase distributed NTILE: the
+    plan must contain no unpartitioned Window (single-partition sort) and
+    must reuse the range exchange across the counts/join branches."""
+    df = queries()["customer_spend_quartiles"](spark, sf_dir_small)
+    p = _plan(spark, df)
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            inner = line.split("windowspecdefinition(")[1]
+            # first argument list = partition spec; must not be empty
+            assert not inner.startswith("specifiedwindowframe"), line
+    # the range exchange feeds both the counts branch and the final join —
+    # exchange/stage reuse means the per-customer aggregate computes once.
+    # AQE decides reuse at runtime, so execute first, then read the final
+    # adaptive plan.
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+def test_generated_oracle_degradation_records_reason(monkeypatch):
+    """When the gate parquet is unreachable, generated oracles degrade to
+    rows-only AND the reason is recorded (VERDICT r3: a silent swallow made
+    a future rows-only regression undiagnosable). With real data present,
+    the oracle resolves and the skip record clears."""
+    from iceberg_quickstart_iac_spark.plans.queries import _ORACLE_SKIPPED, oracle_sql
+
+    monkeypatch.setenv("SPARK_GRAFT_TEST_SF_DIR", "/nonexistent/sfX")
+    out = oracle_sql()
+    assert "embedding_ann_ivf" not in out
+    assert "embedding_ann_ivf" in _ORACLE_SKIPPED
+    assert "semantic_dedup_cells" in _ORACLE_SKIPPED
+    assert _ORACLE_SKIPPED["embedding_ann_ivf"]  # non-empty reason string
+
+    monkeypatch.setenv("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    out = oracle_sql()
+    assert "embedding_ann_ivf" in out and "semantic_dedup_cells" in out
+    assert "embedding_ann_ivf" not in _ORACLE_SKIPPED
