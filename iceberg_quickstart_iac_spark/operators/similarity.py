@@ -154,6 +154,15 @@ def fit_centroids(mat, n_cells: int, max_iter: int, seed: int):
     the EXACT centroids by feeding it the same sample rows in the same
     order — the fit is pure, seeded numpy, so the output is bit-identical
     across callers. ``n_cells`` is clamped to the sample size.
+
+    Init is k-means++ (D² sampling, Arthur & Vassilvitskii 2007): uniform
+    random init left well-separated planted clusters unsplit on ~half the
+    seeds (two seeds land in one blob → Lloyd's never escapes the local
+    minimum), and at IVF scale an unsplit cluster is a mega-cell that
+    turns the probe-side equi-join into a skew hotspot. D² seeding picks
+    each next center proportional to squared distance from the chosen
+    set, so dense far-apart regions each get a center; pinned by the
+    planted-truth recovery test across seeds.
     """
     import numpy as np
 
@@ -161,7 +170,18 @@ def fit_centroids(mat, n_cells: int, max_iter: int, seed: int):
         raise ValueError("fit_centroids: no vectors to fit on")
     n_cells = min(n_cells, len(mat))
     rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=n_cells, replace=False)]  # C x d
+    first = int(rng.integers(len(mat)))
+    chosen = [first]
+    d2min = ((mat - mat[first]) ** 2).sum(1)
+    for _ in range(1, n_cells):
+        total = d2min.sum()
+        if total <= 0.0:  # all remaining points coincide with a center
+            nxt = int(rng.integers(len(mat)))
+        else:
+            nxt = int(rng.choice(len(mat), p=d2min / total))
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((mat - mat[nxt]) ** 2).sum(1))
+    cent = mat[chosen]  # C x d
     for _ in range(max_iter):
         # squared L2 via the expansion — one GEMM per iteration
         d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cent.T) + (cent * cent).sum(1)[None, :]

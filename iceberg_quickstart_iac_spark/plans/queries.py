@@ -94,10 +94,13 @@ def _resolved_oracles() -> dict[str, str]:
         if key not in _LAZY_CACHE:
             try:
                 _LAZY_CACHE[key] = textwrap.dedent(gen()).strip()
-                _ORACLE_SKIPPED.pop(name, None)
             except Exception as exc:
                 _ORACLE_SKIPPED[name] = f"{type(exc).__name__}: {exc}"
                 continue
+        # clear any stale skip record even on a cache hit: a prior call
+        # against an unreachable sf_dir must not leave this (now resolved)
+        # oracle marked degraded
+        _ORACLE_SKIPPED.pop(name, None)
         out[name] = _LAZY_CACHE[key]
     return out
 

@@ -1,0 +1,271 @@
+"""Scale sweep for the dedup/ANN family (VERDICT r3 next-round #1).
+
+Every 100 TB claim in PERFORMANCE.md was, until this script, a design
+argument measured at one scale. This sweep generates a deterministic
+N-times-larger documents/embeddings corpus (replicated sf0.1 fixtures with
+planted exact-dup and near-dup clusters so duplicate DENSITY stays
+constant while volume grows), runs the four funnel-shaped workloads at
+each factor, and reports the measured scaling exponent
+
+    alpha = slope of log(wall_time) vs log(factor)
+
+A funnel whose candidate volume is linear in corpus size should land at
+alpha <= ~1.2 on fixed hardware; an all-pairs bug shows up as alpha -> 2.
+
+Generated corpora live under spark-warehouse/scale_sweep/x{F}/ (NEVER
+/root/testdata, which is read-only). The IVF workloads scale n_cells with
+the factor — constant expected cell occupancy is the documented IVF scale
+path (cells ~ sqrt(n) to n/occupancy; here occupancy is pinned so the
+within-cell quadratic stays bounded).
+
+Usage:  python scale_sweep.py [--factors 1,10] [--runs 2]
+Output: one JSON line + a markdown table suitable for PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SWEEP_ROOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "scale_sweep"
+)
+# replica id offset: keeps doc_id/vec_id unique and lets a reader recover
+# (base_id, replica) without extra columns
+OFFSET = 1_000_000
+BASE_N_CELLS = 16
+IVF_QUERIES = 50  # fixed query set size at every factor (probe cost constant)
+
+
+# ---------------------------------------------------------------------------
+# Corpus generation — pure numpy/pyarrow, fully deterministic.
+# ---------------------------------------------------------------------------
+
+
+def _mutate_tokens(rng, toks: list[str], mode: str, replica: int) -> list[str]:
+    if mode == "exact":
+        return toks
+    if mode == "near":
+        # flip ONE token: corrupts ~2*k shingles of ~len(text) -> jaccard
+        # stays well above the 0.7 near-dup threshold
+        out = list(toks)
+        i = int(rng.integers(0, len(out)))
+        out[i] = f"mut{replica}x{i}"
+        return out
+    # distinct: salt every third token with the replica id — shingle
+    # overlap with the base (and with other replicas) collapses below any
+    # near-dup threshold, so these add VOLUME without adding dup pairs
+    return [
+        t if j % 3 else f"r{replica}s{j}{t}" for j, t in enumerate(toks)
+    ]
+
+
+def build_corpus(factor: int) -> str:
+    """Write documents.parquet + embeddings.parquet at `factor` x sf0.1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(SWEEP_ROOT, f"x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    docs = pq.read_table(os.path.join(BASE_SF_DIR, "documents.parquet"))
+    d = docs.to_pydict()
+    n = len(d["doc_id"])
+    rng = np.random.default_rng(1234 + factor)
+    out = {k: [] for k in d}
+    for k_rep in range(factor):
+        for i in range(n):
+            base_id = d["doc_id"][i]
+            if k_rep == 0:
+                mode = "base"
+                text = d["text"][i]
+            else:
+                # 5% exact copies, 5% near-dups, 90% distinct filler —
+                # dup DENSITY constant across factors => pair volume linear
+                slot = base_id % 20
+                mode = "exact" if slot == 0 else "near" if slot == 1 else "distinct"
+                toks = d["text"][i].split(" ")
+                text = " ".join(_mutate_tokens(rng, toks, mode, k_rep))
+            out["doc_id"].append(base_id + k_rep * OFFSET)
+            out["text"].append(text)
+            out["lang"].append(d["lang"][i])
+            out["source"].append(d["source"][i])
+            out["n_chars"].append(len(text))
+    pq.write_table(
+        pa.table(out, schema=docs.schema), os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = pq.read_table(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+    e = emb.to_pydict()
+    m = len(e["vec_id"])
+    dim = len(e["embedding"][0])
+    base = np.asarray(e["embedding"], dtype=np.float32)
+    ids, vecs, labels = [], [], []
+    for k_rep in range(factor):
+        if k_rep == 0:
+            rep = base
+        else:
+            # small jitter keeps the label-cluster structure (vectors stay
+            # near their base cell) while making replicas distinct
+            rep = base + rng.normal(0.0, 0.02, size=(m, dim)).astype(np.float32)
+        ids.extend(int(v) + k_rep * OFFSET for v in e["vec_id"])
+        vecs.extend(rep.tolist())
+        labels.extend(e["label"])
+    pq.write_table(
+        pa.table({"vec_id": ids, "embedding": vecs, "label": labels},
+                 schema=emb.schema),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Workloads — the four funnels, run UNBLOCKED over the full corpus (the
+# catalog queries cap some inputs for oracle-replay cost; a scale sweep of
+# a capped input would measure nothing).
+# ---------------------------------------------------------------------------
+
+
+def wl_minhash_pairs(spark, sf_dir: str, factor: int) -> int:
+    from iceberg_quickstart_iac_spark.plans.queries import _verified_near_dup_pairs
+
+    return _verified_near_dup_pairs(spark, sf_dir).count()
+
+
+def wl_doc_clusters(spark, sf_dir: str, factor: int) -> int:
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.dedup import near_dup_clusters
+    from iceberg_quickstart_iac_spark.plans.queries import _verified_near_dup_pairs
+
+    pairs = _verified_near_dup_pairs(spark, sf_dir).localCheckpoint()
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return near_dup_clusters(pairs, members, "doc_id").count()
+
+
+def _load_emb(spark, sf_dir: str):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def wl_ann_ivf(spark, sf_dir: str, factor: int) -> int:
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _load_emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tagged, centroids = ivf_index(
+        emb, n_cells=BASE_N_CELLS * factor, max_iter=8, seed=42,
+        fit_sample=100_000, assign="gemm",
+    )
+    return ivf_topk(tagged, centroids, queries_df, k=10, nprobe=6).count()
+
+
+def wl_semantic_dedup(spark, sf_dir: str, factor: int) -> int:
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        _dot, _norm, ivf_index,
+    )
+
+    emb = _load_emb(spark, sf_dir)
+    tagged, _ = ivf_index(
+        emb, n_cells=BASE_N_CELLS * factor, max_iter=8, seed=42,
+        fit_sample=100_000, assign="gemm",
+    )
+    block = tagged.select(
+        "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("__n")
+    )
+    a = block.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("cell").alias("cell_a"), F.col("__n").alias("na"),
+    )
+    b = block.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("cell").alias("cell_b"), F.col("__n").alias("nb"),
+    )
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    drops = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return block.select("vec_id").join(drops, "vec_id", "left_anti").count()
+
+
+WORKLOADS = {
+    "near_dup_minhash_pairs": wl_minhash_pairs,
+    "near_dup_doc_clusters": wl_doc_clusters,
+    "embedding_ann_ivf": wl_ann_ivf,
+    "semantic_dedup_cells": wl_semantic_dedup,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,10")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    factors = sorted(int(f) for f in args.factors.split(","))
+
+    from iceberg_quickstart_iac_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_sweep")
+
+    dirs = {f: build_corpus(f) for f in factors}
+    times: dict[str, dict[int, float]] = {w: {} for w in WORKLOADS}
+    rows: dict[str, dict[int, int]] = {w: {} for w in WORKLOADS}
+    for factor in factors:
+        for name, fn in WORKLOADS.items():
+            best = math.inf
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n = fn(spark, dirs[factor], factor)
+                best = min(best, time.perf_counter() - t0)
+            times[name][factor] = round(best, 3)
+            rows[name][factor] = n
+            print(f"  x{factor} {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+
+    lo, hi = factors[0], factors[-1]
+    exponents = {
+        w: round(
+            math.log(times[w][hi] / times[w][lo]) / math.log(hi / lo), 3
+        )
+        for w in WORKLOADS
+    }
+    print(json.dumps({
+        "metric": "scale_sweep", "factors": factors, "runs": args.runs,
+        "sec": times, "rows": rows, "alpha": exponents,
+    }))
+    print("\n| workload | " + " | ".join(f"{f}x sec" for f in factors)
+          + " | rows@max | alpha |")
+    print("|---|" + "---|" * (len(factors) + 2))
+    for w in WORKLOADS:
+        cells = " | ".join(str(times[w][f]) for f in factors)
+        print(f"| {w} | {cells} | {rows[w][hi]} | {exponents[w]} |")
+
+
+if __name__ == "__main__":
+    main()
