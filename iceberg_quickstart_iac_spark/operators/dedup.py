@@ -370,15 +370,27 @@ def verify_pairs_exact_jaccard(
     :func:`lsh_candidate_pairs`, exactness from raw shingle sets).
 
     Shingles are computed only for docs that appear in a candidate pair
-    (semi-join first), so at 100 TB the verify cost follows the candidate
-    volume, not the corpus. The output (id_a, id_b, jaccard) is fully
-    engine-portable: with sensitive banding (e.g. bands=32, r=2 the miss
-    probability at j >= 0.7 is (1-0.49)^32 ~ 4e-10), the verified set
-    equals the exact all-pairs Jaccard join above ``threshold``.
+    (semi-join first), and shared-shingle counts are PAIR-DRIVEN: each
+    candidate pair expands to side-a's shingles, which then probe side-b
+    on the composite (id_b, shingle) key — total work is
+    sum over pairs of |shingles(a)|, i.e. linear in candidate volume.
+    The first cut here joined the two shingle tables globally on the
+    shingle value and only then semi-filtered to candidate pairs; on a
+    low-entropy corpus that is sum over shingles of df² — the 10x scale
+    sweep caught it going quadratic (a shingle shared by m candidate docs
+    emits m² rows before the filter, and small-vocabulary corpora have
+    shingles with df ~ corpus size). The composite probe key is also
+    skew-free where the raw shingle key was maximally skewed.
+
+    The output (id_a, id_b, jaccard) is fully engine-portable: with
+    sensitive banding (e.g. bands=32, r=2 the miss probability at
+    j >= 0.7 is (1-0.49)^32 ~ 4e-10), the verified set equals the exact
+    all-pairs Jaccard join above ``threshold``.
     """
+    pairs_d = pairs.select("id_a", "id_b").distinct()
     cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
+        pairs_d.select(F.col("id_a").alias(id_col))
+        .union(pairs_d.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     docs_c = df.join(cand_ids, id_col, "left_semi")
@@ -395,9 +407,8 @@ def verify_pairs_exact_jaccard(
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
     b = sh.select(F.col(id_col).alias("id_b"), "__sh")
     shared = (
-        a.join(b, ["__sh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(pairs.select("id_a", "id_b").distinct(), ["id_a", "id_b"], "left_semi")
+        pairs_d.join(a, "id_a")
+        .join(b, ["id_b", "__sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )

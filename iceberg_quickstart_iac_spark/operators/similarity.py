@@ -422,6 +422,91 @@ def hyperplane_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    tagged: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    method: str = "gemm",
+) -> DataFrame:
+    """SemDeDup over a cell-tagged corpus: (id, cell, is_kept) — drop every
+    vector that is ≥ ``threshold``-cosine-similar to a LOWER-id vector in
+    its cell. Cells (from :func:`ivf_index`) bound the quadratic: the n²
+    never materializes, which is the entire SemDeDup point.
+
+    ``method='gemm'`` (default, the production path): ``applyInPandas``
+    per cell — each cell becomes ONE Arrow batch and one numpy
+    ``X @ X.T``, so the within-cell m² pairs cost a BLAS matmul instead of
+    m²·dim interpreted lambda evaluations. The 10x scale sweep measured
+    the per-pair higher-order-function fold at alpha≈1.5 (74 s at 10x);
+    the GEMM path restores the design's linear scaling — with n_cells
+    grown proportionally to the corpus (constant expected occupancy),
+    per-cell work is constant and cell count carries the scale.
+
+    ``method='fold'``: pure column expressions folding the cosine in
+    element order — bit-replayable by an external SQL oracle (same
+    rationale as ``ivf_index(assign='fold')``); the shape the correctness
+    gate certifies, at interpreted-evaluation cost.
+    """
+    if method == "fold":
+        block = tagged.select(
+            id_col, vec_col, cell_col, _norm(F.col(vec_col)).alias("__n")
+        )
+        a = block.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col(cell_col).alias("cell_a"), F.col("__n").alias("na"),
+        )
+        b = block.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col(cell_col).alias("cell_b"), F.col("__n").alias("nb"),
+        )
+        cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        drops = (
+            a.join(
+                b,
+                (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
+            )
+            .filter(cosine >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(1))
+        )
+        return (
+            block.select(id_col, cell_col)
+            .join(drops, id_col, "left")
+            .select(
+                id_col, cell_col, F.col("__dropped").isNull().alias("is_kept")
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        x = x / norms[:, None]
+        g = x @ x.T
+        # is_kept[j] = no i < j with cos(i, j) >= thr: strictly-upper mask
+        hit = np.triu(g >= thr, k=1)
+        kept = ~hit.any(axis=0)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], cell_col: pdf[cell_col], "is_kept": kept}
+        )
+
+    out_schema = f"{id_col} long, {cell_col} int, is_kept boolean"
+    return (
+        tagged.select(id_col, vec_col, cell_col)
+        .groupBy(cell_col)
+        .applyInPandas(dedup_cell, schema=out_schema)
+    )
+
+
 def quantize_embeddings_int8(
     corpus: DataFrame,
     corpus_id: str = "vec_id",

@@ -4367,7 +4367,10 @@ def _semantic_dedup_oracle_sql() -> str:
 
 @query("semantic_dedup_cells", oracle=_semantic_dedup_oracle_sql)
 def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iceberg_quickstart_iac_spark.operators.similarity import _dot, _norm, ivf_index
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        ivf_index,
+        semantic_dedup,
+    )
 
     full = load_table(spark, sf_dir, "embeddings")
     tagged, _ = ivf_index(
@@ -4379,31 +4382,14 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="vec_id",
         assign="fold",
     )
-    # norms hoisted to one fold per ROW (vs three per pair); identical
-    # expression tree per value keeps bits equal to the oracle formula
-    block = tagged.filter(F.col("vec_id") < 2000).select(
-        "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("__n")
-    )
-    a = block.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("cell").alias("cell_a"), F.col("__n").alias("na"),
-    )
-    b = block.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("cell").alias("cell_b"), F.col("__n").alias("nb"),
-    )
-    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    drops = (
-        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cosine >= 0.4)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
-    )
+    # method='fold': element-order cosine folds the DuckDB oracle replays
+    # bit-exactly. The production path is semantic_dedup(method='gemm') —
+    # one numpy GEMM per cell via applyInPandas; the 10x scale sweep
+    # measured fold at alpha~1.5 vs gemm's linear (PERFORMANCE.md r4).
     return (
-        block.select("vec_id", "cell")
-        .join(drops, "vec_id", "left")
-        .select("vec_id", "cell", F.col("__dropped").isNull().alias("is_kept"))
+        semantic_dedup(
+            tagged.filter(F.col("vec_id") < 2000), threshold=0.4, method="fold"
+        )
         .orderBy("vec_id")
     )
 

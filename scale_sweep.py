@@ -186,7 +186,7 @@ def wl_semantic_dedup(spark, sf_dir: str, factor: int) -> int:
     from pyspark.sql import functions as F
 
     from iceberg_quickstart_iac_spark.operators.similarity import (
-        _dot, _norm, ivf_index,
+        ivf_index, semantic_dedup,
     )
 
     emb = _load_emb(spark, sf_dir)
@@ -194,25 +194,8 @@ def wl_semantic_dedup(spark, sf_dir: str, factor: int) -> int:
         emb, n_cells=BASE_N_CELLS * factor, max_iter=8, seed=42,
         fit_sample=100_000, assign="gemm",
     )
-    block = tagged.select(
-        "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("__n")
-    )
-    a = block.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("cell").alias("cell_a"), F.col("__n").alias("na"),
-    )
-    b = block.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("cell").alias("cell_b"), F.col("__n").alias("nb"),
-    )
-    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    drops = (
-        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cosine >= 0.4)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return block.select("vec_id").join(drops, "vec_id", "left_anti").count()
+    kept = semantic_dedup(tagged, threshold=0.4, method="gemm").filter("is_kept")
+    return kept.count()
 
 
 WORKLOADS = {

@@ -507,3 +507,29 @@ def test_semantic_dedup_kept_set_pairwise_dissimilar(spark, sf_dir):
         cos = (M @ M.T) / np.outer(n, n)
         np.fill_diagonal(cos, 0.0)
         assert cos.max() < 0.4 + 1e-9, f"cell {cell} kept a >=tau pair"
+
+
+def test_semantic_dedup_gemm_matches_fold(spark, sf_dir):
+    """The production GEMM path (one numpy matmul per cell via
+    applyInPandas) must agree with the oracle-replayable fold path on the
+    keep/drop decision for every vector. Thresholds in the test corpus sit
+    away from float boundaries, so the two accumulation orders decide
+    identically."""
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        ivf_index,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600)
+    tagged, _ = ivf_index(
+        emb, n_cells=8, max_iter=8, seed=42, fit_sample=100_000,
+        order_col="vec_id", assign="fold",
+    )
+    tagged = tagged.localCheckpoint()  # one assignment feeds both methods
+    fold = semantic_dedup(tagged, threshold=0.4, method="fold").toPandas()
+    gemm = semantic_dedup(tagged, threshold=0.4, method="gemm").toPandas()
+    f = fold.sort_values("vec_id").reset_index(drop=True)
+    g = gemm.sort_values("vec_id").reset_index(drop=True)
+    assert list(f.vec_id) == list(g.vec_id)
+    assert list(f.cell) == list(g.cell)
+    assert list(f.is_kept) == list(g.is_kept)
