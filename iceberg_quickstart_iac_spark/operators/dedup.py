@@ -86,6 +86,39 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Exact-dedup a NEW batch against an already-ingested corpus — the
+    shape a continuously-fed training pipeline actually runs (the full
+    corpus is never re-deduped; each increment lands against a fingerprint
+    store).
+
+    Two stages, both linear in the BATCH (never the corpus):
+
+    1. in-batch collapse: smallest-id row per content fingerprint
+       (:func:`exact_dedup` — struct-min agg, map-side combine);
+    2. anti-join the survivors against ``seen_fps`` (one ``fp_col``
+       column, typically the store's fingerprint index) on the md5 key.
+
+    At 100 TB the store side is the big one: keep it written bucketed by
+    ``fp_col`` so the anti-join shuffles ONLY the new batch into the
+    store's layout (storage-partitioned join); the batch side is whatever
+    the increment is. Output keeps the input columns plus ``__fp`` (the
+    fingerprint the store should now also ingest to absorb this batch).
+    """
+    from iceberg_quickstart_iac_spark.operators.text import content_md5
+
+    batch = new_df.withColumn("__fp", content_md5(F.col(text_col)))
+    reps = exact_dedup(batch, ["__fp"], id_col)
+    store = seen_fps.select(F.col(fp_col).alias("__fp"))
+    return reps.join(store, "__fp", "left_anti")
+
+
 def shingles(col, k: int = 5):
     """Character k-shingles of the normalized text (array<string>).
 

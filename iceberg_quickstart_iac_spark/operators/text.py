@@ -174,6 +174,47 @@ def chunk_text(
     return exploded.select(id_col, "chunk_idx", chunk.alias("chunk"))
 
 
+def pack_context_windows(
+    chunks,
+    budget_chars: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    size_col: str = "n_chars",
+    n_shards: int | None = None,
+):
+    """Assign chunks to fixed-budget training windows by running-total
+    bucketing — the streaming form of sequence packing: each chunk lands in
+    the bin its preceding cumulative size dictates, so bins overflow by at
+    most one chunk (the standard online-packing bound) and the assignment
+    is fully deterministic given the (id, idx) order.
+
+    ``n_shards`` is the parallelism knob: one window sort runs per shard.
+    It defaults to the cluster's default parallelism so packing scales with
+    the executor count (a fixed shard count would cap a 1000-executor job
+    at that many concurrent sorts); pass an explicit value when the shard
+    assignment itself must be replayable (e.g. the catalog query pins 8 so
+    its SQL oracle can recompute ``doc_id % 8``).
+
+    Returns one row per chunk: (shard, id, idx, size, win_id).
+    """
+    if n_shards is None:
+        n_shards = chunks.sparkSession.sparkContext.defaultParallelism
+    w = (
+        Window.partitionBy(F.col(id_col) % n_shards)
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return chunks.select(
+        (F.col(id_col) % n_shards).alias("shard"),
+        id_col,
+        idx_col,
+        size_col,
+        F.floor(
+            F.coalesce(F.sum(size_col).over(w), F.lit(0)) / budget_chars
+        ).alias("win_id"),
+    )
+
+
 def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style per-document repetition quality signals.
 

@@ -117,6 +117,7 @@ _GATE_PRIORITY: list[str] = [
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
+    "incremental_dedup_new_docs",
     # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
     # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
     # The 50 r3-certified queries stay covered by the pytest oracle replay
@@ -870,6 +871,57 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(content_md5("text").alias("fp"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (SURVEY §2.13 X1, continuous-ingest form): a NEW batch
+# (docs with doc_id % 5 == 0 stand in for the increment) dedups against the
+# fingerprint store of the already-ingested corpus (the other 4/5). Work is
+# linear in the batch; the store contributes one distinct-fingerprint
+# anti-join side — at 100 TB the store is written bucketed by fingerprint
+# so only the batch shuffles (operators/dedup.py::incremental_dedup).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_dedup_new_docs",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS __fp
+      FROM documents
+    ),
+    seen AS (SELECT DISTINCT __fp FROM fp WHERE doc_id % 5 <> 0),
+    batch_reps AS (
+      SELECT __fp,
+             MIN({'doc_id': doc_id, 'lang': lang, 'source': source}) AS keep
+      FROM fp WHERE doc_id % 5 = 0
+      GROUP BY __fp
+    )
+    SELECT keep.doc_id AS doc_id, keep.lang AS lang, keep.source AS source
+    FROM batch_reps
+    WHERE __fp NOT IN (SELECT __fp FROM seen)
+    ORDER BY doc_id
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import incremental_dedup
+    from iceberg_quickstart_iac_spark.operators.text import content_md5
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    seen = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(content_md5(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return (
+        incremental_dedup(batch, seen, "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )
 
 
@@ -3974,27 +4026,20 @@ def pseudonymized_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def packed_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iceberg_quickstart_iac_spark.operators.text import chunk_text
+    from iceberg_quickstart_iac_spark.operators.text import (
+        chunk_text,
+        pack_context_windows,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     chunks = chunk_text(docs, "doc_id", "text", chunk_chars=256, overlap=64).select(
         "doc_id", "chunk_idx", F.length("chunk").alias("n_chars")
     )
-    shard = (F.col("doc_id") % 8).alias("shard")
-    w = (
-        W.partitionBy(F.col("doc_id") % 8)
-        .orderBy("doc_id", "chunk_idx")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    placed = chunks.select(
-        shard,
-        "doc_id",
-        "chunk_idx",
-        "n_chars",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
-    )
+    # n_shards pinned to 8 so the oracle can replay doc_id % 8; the
+    # operator's default scales shards with cluster parallelism instead
+    placed = pack_context_windows(chunks, budget_chars=2048, n_shards=8)
     return (
-        placed.groupBy("shard", F.floor(F.col("cum_before") / 2048).alias("win_id"))
+        placed.groupBy("shard", "win_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_chars").cast("long").alias("win_chars"),

@@ -533,3 +533,65 @@ def test_semantic_dedup_gemm_matches_fold(spark, sf_dir):
     assert list(f.vec_id) == list(g.vec_id)
     assert list(f.cell) == list(g.cell)
     assert list(f.is_kept) == list(g.is_kept)
+
+
+def test_pack_context_windows_operator(spark, sf_dir):
+    """Invariants of the packing operator at its DEFAULT shard count (the
+    scale path — shards follow cluster parallelism, not a constant): every
+    chunk placed exactly once, windows respect budget + one-chunk overflow,
+    and shard count actually tracks the parallelism knob."""
+    from iceberg_quickstart_iac_spark.operators.text import (
+        chunk_text,
+        pack_context_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    chunks = chunk_text(docs, "doc_id", "text", chunk_chars=256, overlap=64).select(
+        "doc_id", "chunk_idx", F.length("chunk").alias("n_chars")
+    )
+    placed = pack_context_windows(chunks, budget_chars=1024)
+    assert placed.count() == chunks.count()  # every chunk placed once
+
+    par = spark.sparkContext.defaultParallelism
+    n_shards = placed.select("shard").distinct().count()
+    assert n_shards <= par
+    assert n_shards == min(par, 300) or n_shards > 1  # tracks the knob
+
+    wins = (
+        placed.groupBy("shard", "win_id")
+        .agg(F.sum("n_chars").alias("sz"), F.max("n_chars").alias("mx"))
+        .collect()
+    )
+    for r in wins:
+        # online-packing bound: a window exceeds budget by < its last chunk
+        assert r.sz < 1024 + 256
+
+    # explicit n_shards overrides the default (the oracle-replayable form)
+    pinned = pack_context_windows(chunks, budget_chars=1024, n_shards=3)
+    assert pinned.select("shard").distinct().count() <= 3
+
+
+def test_incremental_dedup_operator(spark):
+    """New-batch dedup against a seen-fingerprint store: in-batch copies
+    collapse to the smallest id, store hits are dropped, genuinely new
+    content survives carrying its fingerprint for store ingestion."""
+    from iceberg_quickstart_iac_spark.operators.dedup import incremental_dedup
+    from iceberg_quickstart_iac_spark.operators.text import content_md5
+
+    seen_docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id LONG, text STRING"
+    )
+    seen = seen_docs.select(content_md5(F.col("text")).alias("fingerprint")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),   # store hit after normalization -> dropped
+            (11, "epsilon zeta"),   # new -> kept
+            (12, "epsilon  ZETA"),  # in-batch dup of 11 -> collapsed
+            (13, "eta theta"),      # new -> kept
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = incremental_dedup(batch, seen, "doc_id", "text")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {11, 13}
+    assert all(r["__fp"] for r in rows.values())  # fingerprint carried for ingest
