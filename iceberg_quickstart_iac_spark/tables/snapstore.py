@@ -398,6 +398,19 @@ class SnapTable:
                     for name, p in pcols
                 ],
             )
+        if pcols:
+            # hash-distribute by partition value before the partitioned
+            # write (Iceberg's write.distribution-mode=hash): without it
+            # every one of the N shuffle tasks writes a file into every
+            # partition dir — N × dirs tiny files; with it each dir's rows
+            # co-locate and the dir gets ONE well-sized file. At 100 TB
+            # the shuffle is the price of a sane file count; a hot
+            # partition concentrating in one task is the same accepted
+            # tradeoff Iceberg's hash mode makes (range mode + AQE
+            # rebalance is the skew-sensitive alternative).
+            from pyspark.sql import functions as F
+
+            wdf = wdf.repartition(*[F.col(name) for name, _ in pcols])
         order = [
             o for o in (self.meta.get("sort_order") or []) if o["column"] in df.columns
         ]
