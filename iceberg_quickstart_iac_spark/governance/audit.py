@@ -66,3 +66,97 @@ def log_audit_event(event: str, table: str, *, details: dict[str, Any] | None = 
     for fn in list(_subscribers):
         fn(record)
     return record
+
+
+class AuditTableSink:
+    """Subscriber that lands audit records in a queryable snapstore table —
+    the "append to an audit_log Iceberg table" half of the audit design
+    (SURVEY §2.11 G2; the logger half feeds CloudWatch/Cloud Logging as in
+    the reference's compliance guide, ``docs/compliance.md:106-117``).
+
+    Records buffer in-process and flush as ONE append commit per
+    ``flush_every`` events (or an explicit :meth:`flush`) — the audit
+    trail must never turn every pipeline action into its own table commit.
+    The table is ordinary snapstore: time-travelable (what did the trail
+    say last week), branchable, and retention-managed via
+    :meth:`apply_retention` (the 7-year-lifecycle analog of the
+    reference's audit buckets, here a rows-older-than rewrite +
+    snapshot expiry).
+
+    Usage::
+
+        sink = AuditTableSink(spark, warehouse_root)
+        add_audit_subscriber(sink)
+        ...pipeline runs...
+        sink.flush()
+    """
+
+    SCHEMA = "ts STRING, event STRING, table STRING, details STRING"
+
+    def __init__(self, spark, warehouse_root, flush_every: int = 100):
+        from pathlib import Path
+
+        self._spark = spark
+        self._root = Path(warehouse_root) / "governance" / "audit_log"
+        self._buffer: list[tuple] = []
+        self._flush_every = flush_every
+
+    def _table(self):
+        from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+        try:
+            return SnapTable.load(self._root)
+        except Exception:
+            return SnapTable.create(
+                self._root,
+                {
+                    "name": "audit_log",
+                    "namespace": "governance",
+                    "columns": [
+                        {"name": "ts", "type": "string", "required": True},
+                        {"name": "event", "type": "string", "required": True},
+                        {"name": "table", "type": "string", "required": True},
+                        {"name": "details", "type": "string"},
+                    ],
+                },
+            )
+
+    def __call__(self, record: dict) -> None:
+        self._buffer.append(
+            (
+                record["timestamp"],
+                record["event"],
+                record["table"],
+                json.dumps(record.get("details") or {}, default=str, sort_keys=True),
+            )
+        )
+        if len(self._buffer) >= self._flush_every:
+            self.flush()
+
+    def flush(self) -> int:
+        """Append buffered records in one commit; returns rows written."""
+        if not self._buffer:
+            return 0
+        batch, self._buffer = self._buffer, []
+        df = self._spark.createDataFrame(batch, self.SCHEMA)
+        self._table().append(df)
+        return len(batch)
+
+    def read(self):
+        """The queryable audit trail (time-travel via SnapTable.read args)."""
+        return self._table().read(self._spark)
+
+    def apply_retention(self, max_age_days: float) -> int:
+        """Drop audit rows older than ``max_age_days`` (one rewrite commit)
+        and expire the pre-rewrite snapshots — the data-plane analog of the
+        reference's audit-bucket lifecycle rules. Returns rows retained."""
+        from datetime import timedelta
+
+        cutoff = (
+            datetime.now(timezone.utc) - timedelta(days=max_age_days)
+        ).isoformat()
+        t = self._table()
+        kept = t.read(self._spark).filter(f"ts >= '{cutoff}'")
+        entry = t.overwrite(kept)
+        t.expire_snapshots(max_age_ms=0)
+        return entry["row_count"]

@@ -293,3 +293,55 @@ def test_team_yaml_rejects_bad_level():
 
     with pytest.raises(ValueError, match="Unknown access level"):
         parse_team_yaml("name: t\ntables:\n  x: superuser\n")
+
+
+def test_audit_table_sink_lifecycle(spark, tmp_path):
+    """Audit records land in a queryable, time-travelable snapstore table:
+    buffered appends flush as one commit, reads return the trail, and
+    retention rewrites away expired rows while keeping the table live."""
+    from datetime import datetime, timedelta, timezone
+    from unittest import mock
+
+    from iceberg_quickstart_iac_spark.governance.audit import (
+        AuditTableSink,
+        add_audit_subscriber,
+        log_audit_event,
+        remove_audit_subscriber,
+    )
+
+    sink = AuditTableSink(spark, tmp_path, flush_every=100)
+    add_audit_subscriber(sink)
+    try:
+        log_audit_event("table_write", "lakehouse.t1", details={"row_count": 5})
+        log_audit_event("table_read", "lakehouse.t1", details={"access_level": "reader"})
+        log_audit_event("pii_columns_dropped", "lakehouse.t1", details={"columns_dropped": ["user_id"]})
+    finally:
+        remove_audit_subscriber(sink)
+    assert sink.flush() == 3
+    assert sink.flush() == 0  # buffer drained; no empty commits
+
+    trail = sink.read()
+    assert trail.count() == 3
+    events = {r.event for r in trail.collect()}
+    assert events == {"table_write", "table_read", "pii_columns_dropped"}
+    # details round-trip as JSON
+    import json as _json
+
+    by_event = {r.event: _json.loads(r.details) for r in trail.collect()}
+    assert by_event["table_write"]["row_count"] == 5
+
+    # plant an OLD record, then retention keeps only the fresh ones
+    old_ts = (datetime.now(timezone.utc) - timedelta(days=400)).isoformat()
+    sink({"timestamp": old_ts, "event": "table_read", "table": "lakehouse.old", "details": {}})
+    sink.flush()
+    assert sink.read().count() == 4
+    kept = sink.apply_retention(max_age_days=365)
+    assert kept == 3
+    assert {r.table for r in sink.read().collect()} == {"lakehouse.t1"}
+
+    # flush threshold: the 100th record triggers an automatic commit
+    auto = AuditTableSink(spark, tmp_path / "auto", flush_every=2)
+    auto({"timestamp": "2024-01-01T00:00:00+00:00", "event": "table_read", "table": "x", "details": {}})
+    assert auto.read().count() == 0 if (auto._root / "meta.json").exists() else True
+    auto({"timestamp": "2024-01-01T00:00:01+00:00", "event": "table_read", "table": "x", "details": {}})
+    assert auto.read().count() == 2
