@@ -118,6 +118,7 @@ _GATE_PRIORITY: list[str] = [
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
     "incremental_dedup_new_docs",
+    "semantic_dedup_cells_gemm",
     # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
     # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
     # The 50 r3-certified queries stay covered by the pytest oracle replay
@@ -4417,6 +4418,40 @@ def _semantic_dedup_oracle_sql() -> str:
     FROM blk c LEFT JOIN drops d ON d.vec_id = c.vec_id
     ORDER BY c.vec_id
     """
+
+
+@query("semantic_dedup_cells_gemm", oracle=_semantic_dedup_oracle_sql)
+def semantic_dedup_cells_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path under the same oracle: cell assignment
+    stays fold-based (bit-replayable), but the within-cell pairwise runs
+    as one numpy GEMM per cell via applyInPandas. The output carries no
+    floats — only (vec_id, cell, is_kept) — so BLAS accumulation order
+    cannot leak into the hash, and the drop DECISIONS provably match the
+    fold's (threshold sits away from float boundaries; equivalence also
+    pinned by test_semantic_dedup_gemm_matches_fold). This gives the
+    alpha-0.40 scale path (PERFORMANCE.md r4 sweep) its own driver
+    certification instead of certifying only the interpreted fold."""
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        ivf_index,
+        semantic_dedup,
+    )
+
+    full = load_table(spark, sf_dir, "embeddings")
+    tagged, _ = ivf_index(
+        full,
+        n_cells=_IVF_CONF["n_cells"],
+        max_iter=_IVF_CONF["max_iter"],
+        seed=_IVF_CONF["seed"],
+        fit_sample=_IVF_CONF["fit_sample"],
+        order_col="vec_id",
+        assign="fold",
+    )
+    return (
+        semantic_dedup(
+            tagged.filter(F.col("vec_id") < 2000), threshold=0.4, method="gemm"
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query("semantic_dedup_cells", oracle=_semantic_dedup_oracle_sql)
