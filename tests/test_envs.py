@@ -117,3 +117,33 @@ def test_same_pipeline_code_isolated_per_env(spark, tmp_path):
     assert [r.event_id for r in prod_df.collect()] == ["prod-e1"]
     assert "user_id" in dev_df.columns          # admin sees PII in dev
     assert "user_id" not in prod_df.columns     # reader-level prod masks it
+
+
+def test_profile_with_team_matrix(spark, tmp_path):
+    """Environment isolation composes with per-team tenancy: the same team
+    matrix governs a table inside each environment's warehouse — a reader
+    team gets the PII-pruned frame in prod, a 'none' team is denied."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.governance.tenancy import Team
+    from tests.test_pipeline import TEMPLATE
+
+    rows = [("e1", "click", "2024-01-01 10:00:00", "u1", 1.5)]
+    batch = (
+        spark.createDataFrame(
+            rows,
+            "event_id STRING, event_type STRING, ts_s STRING, user_id STRING, value DOUBLE",
+        )
+        .withColumn("event_timestamp", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    prod = load_env_profile("prod", env={}, base_root=tmp_path)
+    prod.materialize(spark, TEMPLATE, df=batch)
+
+    analytics = Team(name="analytics", tables={TEMPLATE["name"]: "reader"})
+    df = prod.read_table(spark, TEMPLATE, team=analytics)
+    assert "user_id" not in df.columns and df.count() == 1
+
+    outsiders = Team(name="outsiders", tables={})
+    with pytest.raises(PermissionError):
+        prod.read_table(spark, TEMPLATE, team=outsiders)
