@@ -175,3 +175,24 @@ def test_generated_oracle_degradation_records_reason(monkeypatch):
     out = oracle_sql()
     assert "embedding_ann_ivf" in out and "semantic_dedup_cells" in out
     assert "embedding_ann_ivf" not in _ORACLE_SKIPPED
+
+
+def test_incremental_dedup_plans_anti_join_with_pruned_store(spark, sf_dir_small):
+    """incremental_dedup_new_docs must plan the store side as a LEFT ANTI
+    hash join (broadcast while small; shuffle beyond the threshold — never
+    a nested loop) with the store scan pruned to the fingerprint inputs,
+    and the in-batch collapse as a partial-then-final aggregate."""
+    from iceberg_quickstart_iac_spark.plans.queries import incremental_dedup_new_docs
+
+    df = incremental_dedup_new_docs(spark, sf_dir_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "partial_min" in plan  # map-side combine for the batch collapse
+    # the store side never reads payload columns — fingerprinting needs
+    # only (doc_id, text)
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "doc_id:bigint,text:string>" in ln
+    ]
+    assert store_scans, plan
