@@ -119,6 +119,7 @@ _GATE_PRIORITY: list[str] = [
     "partition_evolution_lifecycle",
     "incremental_dedup_new_docs",
     "semantic_dedup_cells_gemm",
+    "media_header_roundtrip",
     # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
     # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
     # The 50 r3-certified queries stay covered by the pytest oracle replay
@@ -924,6 +925,54 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal header round-trip (SURVEY §2.13 X5): REAL codec-free metadata
+# decode, driver-certified. Valid PNG IHDR headers are constructed
+# JVM-side with dimensions derived from document columns, then parsed
+# BACK by operators/multimodal.py::png_meta (signature check + big-endian
+# byte arithmetic — whole-stage codegen, no codec, no Python). The oracle
+# computes the planted dimensions arithmetically, so a parser regression
+# (offset slip, endianness, signature) breaks the hash. Map-only at any
+# scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_header_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars % 512 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 512 + 16 AS INTEGER) AS height,
+           CAST(29 AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 3000
+    ORDER BY doc_id
+    """,
+)
+def media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.multimodal import png_meta
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    w = (F.col("n_chars") % 512 + 16).cast("long")
+    h = ((F.col("doc_id") * 7) % 512 + 16).cast("long")
+    be4 = lambda v: F.unhex(F.lpad(F.hex(v), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # signature
+        F.unhex(F.lit("0000000D")),          # IHDR length
+        F.unhex(F.lit("49484452")),          # "IHDR"
+        be4(w),
+        be4(h),
+        F.unhex(F.lit("0802000000")),        # bit depth / color / trailer
+    )
+    built = docs.select("doc_id", png.alias("content"))
+    parsed = png_meta(F.col("content"))
+    return built.select(
+        "doc_id",
+        parsed["width"].alias("width"),
+        parsed["height"].alias("height"),
+        F.length("content").cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
