@@ -324,3 +324,49 @@ def quality_score(col: Column | str) -> Column:
         0.25 * len_ok + 0.25 * alpha_ratio + 0.15 * punct_ok + 0.15 * tok_len_ok
         + 0.20 * distinct_ratio
     )
+
+
+def corpus_df_rarity(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50_000,
+):
+    """Corpus-statistics document scoring: per-doc token count and the sum
+    of corpus document frequencies of its tokens — the frequency-based
+    quality signal of CCNet-style filtering (docs dominated by ubiquitous
+    tokens score high df_sum/n_tokens; rare-token-heavy docs score low),
+    expressed integer-exact so an external oracle hash-matches (a learned
+    LM perplexity would need model weights; corpus df is its
+    engine-portable proxy).
+
+    Scale shape: token df aggregates with map-side combine (one shuffle);
+    the vocabulary is capped to the ``top_k`` most frequent tokens via a
+    distributed top-k (per-partition heaps — no single-partition sort),
+    which bounds the broadcast at any corpus size; tokens outside the cap
+    take df=1 (the rare floor). The scoring join is then broadcast —
+    map-only over the exploded tokens."""
+    tok = _spread_tokens(docs, id_col, text_col)
+    vocab = (
+        tok.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .orderBy(F.desc("__df"), F.col("__t"))
+        .limit(top_k)
+    )
+    return (
+        tok.join(F.broadcast(vocab), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__df"), F.lit(1))).cast("long").alias("df_sum"),
+        )
+    )
+
+
+def _spread_tokens(docs, id_col: str, text_col: str):
+    """One row per (doc, token), fanned out to full parallelism first."""
+    from iceberg_quickstart_iac_spark.operators.dedup import _spread
+
+    return _spread(docs, id_col).select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
+    )

@@ -120,6 +120,7 @@ _GATE_PRIORITY: list[str] = [
     "incremental_dedup_new_docs",
     "semantic_dedup_cells_gemm",
     "media_header_roundtrip",
+    "doc_token_rarity",
     # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
     # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
     # The 50 r3-certified queries stay covered by the pytest oracle replay
@@ -925,6 +926,41 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency rarity scoring (SURVEY §2.13 X4 extension): per-doc
+# token count + sum of corpus document frequencies — the CCNet-style
+# frequency signal (ubiquitous-token docs score high, rare-token docs
+# low) kept integer-exact so the oracle hash-matches. The vocab cap is a
+# distributed top-k (heap, no global sort); off-cap tokens floor at df=1.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_rarity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t, COUNT(*) AS df FROM tok GROUP BY t
+      ORDER BY df DESC, t LIMIT 50000
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(v.df, 1)) AS BIGINT) AS df_sum
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import corpus_df_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_df_rarity(docs, "doc_id", "text", top_k=50_000).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -635,3 +635,21 @@ def test_media_header_parsing_codec_free(spark):
     assert (out[4].width, out[4].height) == (1920, 1080)
     assert out[5].width is None and out[5].height is None  # junk -> declared meta
     assert out[3].n_bytes == len(wav)
+
+
+def test_corpus_df_rarity_orders_docs_sensibly(spark):
+    """Planted truth: a doc of ubiquitous tokens must score a higher mean
+    corpus-df than a doc of singleton tokens, and the rare floor applies
+    beyond the vocab cap."""
+    from iceberg_quickstart_iac_spark.operators.text import corpus_df_rarity
+
+    rows = [(i, "the and of to") for i in range(20)]          # common tokens
+    rows.append((100, "zxqv wvut qqag plmo"))                  # singletons
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in corpus_df_rarity(docs, top_k=3).collect()}
+    common = out[0].df_sum / out[0].n_tokens
+    rare = out[100].df_sum / out[100].n_tokens
+    assert common > rare
+    # vocab capped at 3: the 4th common token and all singletons floor at 1
+    assert out[100].df_sum == 4  # 4 tokens x df floor 1
+    assert out[0].n_tokens == 4
