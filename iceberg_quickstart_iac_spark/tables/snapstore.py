@@ -370,7 +370,12 @@ class SnapTable:
             for p in spec
         ]
 
-    def _write_data(self, df: DataFrame) -> tuple[str, int, int]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        order_override: list | None = None,
+        drop_cols: list[str] | None = None,
+    ) -> tuple[str, int, int]:
         """Write one immutable data directory; return (dir, rows, files).
 
         Applies the template's physical layout: one Hive-style directory
@@ -383,6 +388,11 @@ class SnapTable:
         driver-side metadata read, O(files), exactly what Iceberg stores in
         manifests — NOT from ``df.count()``, which would re-execute the
         entire input plan a second time.
+
+        ``order_override``: sort expressions replacing the declared
+        sort_order for THIS write (compaction's z-order path); columns in
+        ``drop_cols`` are written out of the final projection (helper sort
+        keys that must not land in the files).
         """
         dir_name = uuid.uuid4().hex
         out = self.data_dir / dir_name
@@ -414,7 +424,13 @@ class SnapTable:
         order = [
             o for o in (self.meta.get("sort_order") or []) if o["column"] in df.columns
         ]
-        if order or pcols:
+        if order_override is not None:
+            from pyspark.sql import functions as F
+
+            wdf = wdf.sortWithinPartitions(
+                *[F.col(name) for name, _ in pcols], *order_override
+            )
+        elif order or pcols:
             from pyspark.sql import functions as F
 
             sort_exprs = [F.col(name) for name, _ in pcols]
@@ -429,6 +445,8 @@ class SnapTable:
                     )
                 sort_exprs.append(c)
             wdf = wdf.sortWithinPartitions(*sort_exprs)
+        if drop_cols:
+            wdf = wdf.drop(*drop_cols)
         if pcols:
             wdf.write.partitionBy(*[name for name, _ in pcols]).parquet(str(out))
         else:
@@ -1049,22 +1067,61 @@ class SnapTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int | None = None,
+        zorder: list[str] | None = None,
+    ) -> dict:
         """Rewrite the current snapshot's data into fewer files — the
         ``rewrite_data_files`` analog (SURVEY §4; Iceberg calls this
         compaction). Many small append commits → one coalesced directory;
         history before the compaction snapshot remains time-travelable
         until expired.
+
+        ``zorder=[col, …]`` rewrites with a Morton-interleaved layout
+        instead of the declared linear sort (Iceberg's
+        ``strategy => 'sort', sort_order => 'zorder(a, b)'``): every
+        output file gets a tight min/max bounding box on ALL the z-order
+        columns, so predicates on any of them skip files — a linear sort
+        only ever skips on its leading column. Range stats come from one
+        tiny aggregate; the key itself is codegen bit arithmetic
+        (operators/zorder.py).
         """
         current = self.current_snapshot()
         if current is None:
             raise TableNotFoundError(f"Table {self.fq_name} has no snapshots yet")
         df = self.read(spark)
-        if target_files is not None:
-            df = df.coalesce(target_files)
-        # through _write_data so the compacted copy keeps the declared
-        # physical layout (partition dirs + within-partition sort order)
-        dir_name, rows, files = self._write_data(df)
+        from pyspark.sql import functions as F
+
+        if zorder:
+            from iceberg_quickstart_iac_spark.operators.zorder import (
+                column_ranges,
+                zorder_key,
+            )
+
+            ranges = column_ranges(df, zorder)
+            df = df.withColumn(
+                "__z", zorder_key(zorder, [ranges[c] for c in zorder])
+            )
+            if not self._partition_cols():
+                # unpartitioned: the z-curve IS the file layout — range
+                # partition on the key so each file owns a curve segment
+                n_files = (
+                    target_files or df.sparkSession.sparkContext.defaultParallelism
+                )
+                df = df.repartitionByRange(n_files, F.col("__z"))
+            # partitioned tables z-sort WITHIN each partition dir (the
+            # hash repartition in _write_data keeps dir co-location)
+            dir_name, rows, files = self._write_data(
+                df, order_override=[F.col("__z")], drop_cols=["__z"]
+            )
+        else:
+            if target_files is not None:
+                df = df.coalesce(target_files)
+            # through _write_data so the compacted copy keeps the declared
+            # physical layout (partition dirs + within-partition sort order)
+            dir_name, rows, files = self._write_data(df)
         entry = self._commit(
             lambda entries: {
                 "operation": "compact",
@@ -1075,7 +1132,9 @@ class SnapTable:
             }
         )
         log_audit_event(
-            "table_write", self.fq_name, details={"mode": "compact", "file_count": files}
+            "table_write",
+            self.fq_name,
+            details={"mode": "compact", "file_count": files, "zorder": zorder or []},
         )
         return entry
 

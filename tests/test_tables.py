@@ -821,3 +821,82 @@ def test_inflight_tmp_commit_files_ignored(spark, table, events_df):
     snap = table.current_snapshot()["snapshot_id"]
     br.reset(snap)  # int(p.stem) over the log glob must not see tmp files
     assert br.read(spark).count() == 3
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order compaction: every output file gets a tight min/max bounding
+    box on BOTH z-order columns (the multi-dim skipping property a linear
+    sort cannot give), rows survive the rewrite unchanged, and the helper
+    key never lands in the files."""
+    import pyarrow.parquet as pq
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tmp_path / "zt",
+        {
+            "name": "points", "namespace": "lakehouse",
+            "columns": [
+                {"name": "x", "type": "long"},
+                {"name": "y", "type": "long"},
+                {"name": "payload", "type": "string"},
+            ],
+        },
+    )
+    # a shuffled 64x64 grid: random layout -> every file spans ~the whole
+    # domain in both dims before clustering
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    ).orderBy(F.xxhash64("id"))  # deterministic shuffle
+    t.append(grid)
+    entry = t.compact(spark, target_files=16, zorder=["x", "y"])
+    assert entry["operation"] == "compact"
+
+    back = t.read(spark)
+    assert back.count() == 64 * 64
+    assert set(back.columns) == {"x", "y", "payload"}  # __z dropped
+
+    files = [f for f in (t.data_dir / entry["data_dirs"][0]).rglob("*.parquet")]
+    assert len(files) >= 8
+    areas = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        mins = {n: None for n in names}
+        maxs = {n: None for n in names}
+        for rg in range(md.num_row_groups):
+            for i, n in enumerate(names):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mins[n] = st.min if mins[n] is None else min(mins[n], st.min)
+                maxs[n] = st.max if maxs[n] is None else max(maxs[n], st.max)
+        dx = (maxs["x"] - mins["x"]) / 63.0
+        dy = (maxs["y"] - mins["y"]) / 63.0
+        areas.append(dx * dy)
+    # random layout would put ~the full domain (area ~1.0) in every file;
+    # a z-ordered split into >=8 files must average far tighter boxes
+    avg_area = sum(areas) / len(areas)
+    assert avg_area < 0.35, (avg_area, sorted(areas))
+
+
+def test_zorder_key_unit_properties(spark):
+    """Morton key unit properties: interleaving is monotone along each
+    axis when the other is fixed, identical points share a key, and NULLs
+    sort first (key contribution 0)."""
+    from iceberg_quickstart_iac_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (None, 3)], "x INT, y INT"
+    )
+    out = df.select(
+        "x", "y", zorder_key(["x", "y"], [(0, 3), (0, 3)], bits=2).alias("z")
+    ).collect()
+    z = {(r.x, r.y): r.z for r in out}
+    assert z[(0, 0)] == 0
+    assert z[(1, 0)] < z[(3, 3)] and z[(0, 1)] < z[(3, 3)]
+    assert z[(None, 3)] == z.get((None, 3))  # deterministic
+    # bits=2, two cols -> x bit i lands at 2i, y bit i at 2i+1
+    assert z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(3, 3)] == 15
