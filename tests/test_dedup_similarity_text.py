@@ -653,3 +653,26 @@ def test_corpus_df_rarity_orders_docs_sensibly(spark):
     # vocab capped at 3: the 4th common token and all singletons floor at 1
     assert out[100].df_sum == 4  # 4 tokens x df floor 1
     assert out[0].n_tokens == 4
+
+
+def test_near_dup_clusters_driver_and_distributed_paths_agree(spark):
+    """The adaptive cutover must be invisible: forcing the distributed
+    min-label propagation (threshold 0) yields exactly the union-find
+    result — same components, same min-id representatives, singletons
+    mapped to themselves."""
+    from iceberg_quickstart_iac_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)],
+        "id_a LONG, id_b LONG",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 99)], "doc_id LONG"
+    )
+    fast = near_dup_clusters(pairs, ids, "doc_id")
+    slow = near_dup_clusters(pairs, ids, "doc_id", driver_edge_threshold=0)
+    f = {r.doc_id: r.cluster_id for r in fast.collect()}
+    s = {r.doc_id: r.cluster_id for r in slow.collect()}
+    assert f == s
+    assert f[5] == 1 and f[22] == 20 and f[11] == 10
+    assert f[99] == 99  # singleton
