@@ -861,6 +861,41 @@ class SnapTable:
             "operation STRING, row_count LONG, data_dir_count INT",
         )
 
+    def files(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """The per-file metadata table (M1), like Iceberg's ``t.files``:
+        one row per data file of the selected (default current) snapshot
+        with its partition values, record count, and size — the input to
+        small-file/compaction planning and partition-balance audits.
+        Driver-side metadata only (footers + paths), O(files), no data
+        scan — exactly what Iceberg serves from manifests.
+        """
+        snap = self._snapshot_for(snapshot_id, None)
+        rows = []
+        for d in snap["data_dirs"]:
+            base = self.data_dir / d
+            for f in sorted(base.rglob("*.parquet")):
+                parts = {}
+                for seg in f.relative_to(base).parts[:-1]:
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        parts[k] = unquote(v)
+                rows.append(
+                    (
+                        str(f.relative_to(self.root)),
+                        d,
+                        json.dumps(parts, sort_keys=True),
+                        _footer_row_count([f]),
+                        f.stat().st_size,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "file_path STRING, data_dir STRING, partition STRING, "
+            "record_count LONG, file_size_bytes LONG",
+        )
+
     # -- schema evolution --------------------------------------------------
 
     def evolve_add_column(self, name: str, col_type: str, doc: str = "") -> dict:

@@ -900,3 +900,41 @@ def test_zorder_key_unit_properties(spark):
     assert z[(None, 3)] == z.get((None, 3))  # deterministic
     # bits=2, two cols -> x bit i lands at 2i, y bit i at 2i+1
     assert z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(3, 3)] == 15
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """t.files parity: one row per data file with partition values, record
+    counts summing to the table, and sizes — time-travel selects the files
+    of an OLD snapshot."""
+    import json as _json
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tmp_path / "ft",
+        {
+            "name": "evf", "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+        },
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00"), (3, "2024-01-02 12:00:00")],
+        "event_id LONG, s STRING",
+    ).select("event_id", F.col("s").cast("timestamp").alias("ts"))
+    first = t.append(df)
+    t.append(df.withColumn("event_id", F.col("event_id") + 10))
+
+    files = t.files(spark).collect()
+    assert sum(r.record_count for r in files) == 6
+    days = {_json.loads(r.partition).get("__p_ts_day") for r in files}
+    assert days == {"2024-01-01", "2024-01-02"}
+    assert all(r.file_size_bytes > 0 for r in files)
+    # hash write distribution: one file per partition dir per commit
+    assert len(files) == 4
+
+    old = t.files(spark, snapshot_id=first["snapshot_id"]).collect()
+    assert sum(r.record_count for r in old) == 3
