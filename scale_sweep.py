@@ -206,10 +206,88 @@ WORKLOADS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Relational suite (--suite rel): facts replicate N× with key offsets —
+# referential integrity preserved per replica, dims stay 1× (fact growth
+# against stable dimensions, the realistic shape). Workloads are catalog
+# queries verbatim, so the sweep measures exactly what the driver runs.
+# ---------------------------------------------------------------------------
+
+_FACT_OFFSETS = {
+    # table -> {column: per-replica id offset}; unlisted columns copy as-is
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
+}
+_DIM_TABLES = ("region", "nation", "supplier", "part")
+
+
+def build_rel_corpus(factor: int) -> str:
+    import duckdb
+
+    out_dir = os.path.join(SWEEP_ROOT, f"rel_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    con = duckdb.connect()
+    for t in _DIM_TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{BASE_SF_DIR}/{t}.parquet') "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, offsets in _FACT_OFFSETS.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{BASE_SF_DIR}/{t}.parquet'").fetchall()]
+        selects = []
+        for k in range(factor):
+            proj = ", ".join(
+                f"{c} + {k * off} AS {c}"
+                if (off := offsets.get(c)) and k else c
+                for c in cols
+            )
+            selects.append(f"SELECT {proj} FROM '{BASE_SF_DIR}/{t}.parquet'")
+        con.execute(
+            f"COPY ({' UNION ALL '.join(selects)}) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _catalog_wl(name: str):
+    def run(spark, sf_dir: str, factor: int) -> int:
+        import importlib
+
+        Qm = importlib.import_module("iceberg_quickstart_iac_spark.plans.queries")
+        return Qm.queries()[name](spark, sf_dir).count()
+
+    return run
+
+
+REL_WORKLOADS = {
+    n: _catalog_wl(n)
+    for n in (
+        "q1_pricing_summary",          # scan + wide aggregate
+        "q3_top_revenue_orders",       # fact⋈fact join + top-k
+        "q9_product_profit",           # multi-join star
+        "asof_last_click_before_purchase",  # as-of join
+        "event_followup_pairs",        # bucketed range join
+        "user_sessions",               # sessionization window
+        "latest_event_per_user",       # sort-free latest-per-entity
+    )
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--suite", default="text", choices=["text", "rel"])
     args = ap.parse_args()
     factors = sorted(int(f) for f in args.factors.split(","))
 
@@ -217,11 +295,15 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_sweep")
 
-    dirs = {f: build_corpus(f) for f in factors}
-    times: dict[str, dict[int, float]] = {w: {} for w in WORKLOADS}
-    rows: dict[str, dict[int, int]] = {w: {} for w in WORKLOADS}
+    if args.suite == "rel":
+        workloads, builder = REL_WORKLOADS, build_rel_corpus
+    else:
+        workloads, builder = WORKLOADS, build_corpus
+    dirs = {f: builder(f) for f in factors}
+    times: dict[str, dict[int, float]] = {w: {} for w in workloads}
+    rows: dict[str, dict[int, int]] = {w: {} for w in workloads}
     for factor in factors:
-        for name, fn in WORKLOADS.items():
+        for name, fn in workloads.items():
             best = math.inf
             for _ in range(args.runs):
                 t0 = time.perf_counter()
@@ -236,7 +318,7 @@ def main() -> None:
         w: round(
             math.log(times[w][hi] / times[w][lo]) / math.log(hi / lo), 3
         )
-        for w in WORKLOADS
+        for w in workloads
     }
     print(json.dumps({
         "metric": "scale_sweep", "factors": factors, "runs": args.runs,
@@ -245,7 +327,7 @@ def main() -> None:
     print("\n| workload | " + " | ".join(f"{f}x sec" for f in factors)
           + " | rows@max | alpha |")
     print("|---|" + "---|" * (len(factors) + 2))
-    for w in WORKLOADS:
+    for w in workloads:
         cells = " | ".join(str(times[w][f]) for f in factors)
         print(f"| {w} | {cells} | {rows[w][hi]} | {exponents[w]} |")
 
