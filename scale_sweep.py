@@ -1,4 +1,5 @@
-"""Scale sweep for the dedup/ANN family (VERDICT r3 next-round #1).
+"""Scale sweep: dedup/ANN funnels (--suite text) + relational/temporal
+operators (--suite rel) at 1x/3x/10x corpus factors (VERDICT r3 #1).
 
 Every 100 TB claim in PERFORMANCE.md was, until this script, a design
 argument measured at one scale. This sweep generates a deterministic
@@ -18,7 +19,7 @@ the factor — constant expected cell occupancy is the documented IVF scale
 path (cells ~ sqrt(n) to n/occupancy; here occupancy is pinned so the
 within-cell quadratic stays bounded).
 
-Usage:  python scale_sweep.py [--factors 1,10] [--runs 2]
+Usage:  python scale_sweep.py [--suite text|rel] [--factors 1,10] [--runs 2]
 Output: one JSON line + a markdown table suitable for PERFORMANCE.md.
 """
 
