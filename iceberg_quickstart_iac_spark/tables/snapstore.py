@@ -504,6 +504,62 @@ class SnapTable:
         log_audit_event("table_write", self.fq_name, details={"row_count": rows, "mode": "append"})
         return entry
 
+    def delete_where(
+        self, spark: SparkSession, condition: str, hard: bool = False
+    ) -> dict:
+        """Row-level delete: commit a snapshot WITHOUT the rows matching
+        ``condition`` (a SQL boolean expression) — the copy-on-write form
+        of Iceberg's ``DELETE FROM`` (rewrite affected data; old snapshots
+        keep serving the pre-delete rows for time travel).
+
+        ``hard=True`` is the right-to-erasure composition the compliance
+        guide's lifecycle rules imply (``docs/compliance.md:121-130``): a
+        plain delete leaves the rows readable via time travel until
+        retention expires them, so a GDPR/CCPA erase = delete + expire
+        every pre-delete snapshot + drop the orphaned directories — after
+        it returns, no snapshot can serve the deleted rows.
+
+        Returns the commit entry with ``deleted_count`` in its audit
+        record. Copy-on-write is the 100 TB-honest default here because
+        snapstore tracks directory-granularity manifests; an engine with
+        file-level manifests would rewrite only affected files
+        (merge-on-read position deletes are the low-latency alternative).
+        """
+        current = self.read(spark)
+        kept = current.filter(f"NOT ({condition})")
+        dir_name, rows, files = self._write_data(kept)
+        entry = self._commit(
+            lambda entries: {
+                "operation": "delete",
+                "data_dirs": [dir_name],
+                "row_count": rows,
+                "file_count": files,
+                **self._write_epoch(),
+            }
+        )
+        prev_rows = None
+        for e in self._entries():
+            if e["snapshot_id"] == entry["parent_id"]:
+                prev_rows = e["row_count"]
+        deleted = (prev_rows - rows) if prev_rows is not None else None
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={
+                "mode": "delete",
+                "condition": condition,
+                "deleted_count": deleted,
+                "hard": hard,
+            },
+        )
+        if hard:
+            # expire EVERYTHING but the delete snapshot, then drop the
+            # now-unreferenced data dirs immediately (no grace: the point
+            # is that the bytes are gone)
+            self.expire_snapshots(older_than_ms=_now_ms() + 1)
+            self.remove_orphan_files(grace_ms=0)
+        return entry
+
     # -- reads -------------------------------------------------------------
 
     def _snapshot_for(self, snapshot_id: str | None, as_of_ms: int | None) -> dict:

@@ -938,3 +938,44 @@ def test_files_metadata_table(spark, tmp_path):
 
     old = t.files(spark, snapshot_id=first["snapshot_id"]).collect()
     assert sum(r.record_count for r in old) == 3
+
+
+def test_delete_where_soft_and_hard(spark, tmp_path):
+    """Copy-on-write DELETE: the new snapshot excludes matching rows while
+    time travel still serves the pre-delete state; hard=True (right to
+    erasure) expires pre-delete snapshots and physically removes their
+    directories so no read path can recover the rows."""
+    import pytest as _pytest
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tmp_path / "dt",
+        {
+            "name": "users", "namespace": "lakehouse",
+            "columns": [
+                {"name": "user_id", "type": "long"},
+                {"name": "country", "type": "string"},
+            ],
+        },
+    )
+    first = t.append(spark.createDataFrame(
+        [(1, "de"), (2, "fr"), (3, "de"), (4, "es")], "user_id LONG, country STRING"
+    ))
+    entry = t.delete_where(spark, "country = 'de'")
+    assert entry["operation"] == "delete"
+    assert {r.user_id for r in t.read(spark).collect()} == {2, 4}
+    # soft delete: pre-delete snapshot still time-travelable
+    old = t.read(spark, snapshot_id=first["snapshot_id"])
+    assert old.count() == 4
+
+    t.delete_where(spark, "user_id = 2", hard=True)
+    assert {r.user_id for r in t.read(spark).collect()} == {4}
+    # hard: every earlier snapshot is gone...
+    with _pytest.raises(ValueError):
+        t.read(spark, snapshot_id=first["snapshot_id"])
+    assert len(t._entries()) == 1
+    # ...and so are the bytes (only the surviving snapshot's dirs remain)
+    live = set(t._entries()[-1]["data_dirs"])
+    on_disk = {p.name for p in t.data_dir.iterdir() if p.is_dir()}
+    assert on_disk == live
