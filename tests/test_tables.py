@@ -979,3 +979,46 @@ def test_delete_where_soft_and_hard(spark, tmp_path):
     live = set(t._entries()[-1]["data_dirs"])
     on_disk = {p.name for p in t.data_dir.iterdir() if p.is_dir()}
     assert on_disk == live
+
+
+def test_update_where_and_read_changes(spark, tmp_path):
+    """Copy-on-write UPDATE + changelog scan: matched rows get their SET
+    expressions (evaluated against the OLD row), unmatched rows carry
+    over, time travel keeps the pre-update state, and read_changes
+    surfaces the update as its delete+insert pair."""
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tmp_path / "ut",
+        {
+            "name": "accounts", "namespace": "lakehouse",
+            "columns": [
+                {"name": "acct_id", "type": "long"},
+                {"name": "balance", "type": "double"},
+                {"name": "status", "type": "string"},
+            ],
+        },
+    )
+    first = t.append(spark.createDataFrame(
+        [(1, 100.0, "open"), (2, -5.0, "open"), (3, 40.0, "open")],
+        "acct_id LONG, balance DOUBLE, status STRING",
+    ))
+    entry = t.update_where(
+        spark, "balance < 0", {"status": "'frozen'", "balance": "balance - 10.0"}
+    )
+    assert entry["operation"] == "update"
+    rows = {r.acct_id: r for r in t.read(spark).collect()}
+    assert rows[2].status == "frozen" and rows[2].balance == -15.0
+    assert rows[1].status == "open" and rows[1].balance == 100.0  # untouched
+    assert t.read(spark, snapshot_id=first["snapshot_id"]).filter(
+        "status = 'frozen'").count() == 0
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, "true", {"nope": "1"})
+
+    changes = t.read_changes(spark, first["snapshot_id"]).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r._change_type, []).append((r.acct_id, r.balance, r.status))
+    assert sorted(by_type["delete"]) == [(2, -5.0, "open")]
+    assert sorted(by_type["insert"]) == [(2, -15.0, "frozen")]
