@@ -284,11 +284,83 @@ REL_WORKLOADS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Streaming suite (--suite stream): exactly-once file ingest at N× the
+# file count (constant file size — the axis that stresses source listing,
+# checkpoint bookkeeping, and commit cadence rather than raw bytes).
+# ---------------------------------------------------------------------------
+
+STREAM_FILE_ROWS = 10_000
+
+
+def build_stream_corpus(factor: int) -> str:
+    import duckdb
+
+    out_dir = os.path.join(SWEEP_ROOT, f"stream_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(os.path.join(out_dir, "files"))
+    rel = build_rel_corpus(factor)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM '{rel}/events.parquet'").fetchone()[0]
+    n_files = max(1, n // STREAM_FILE_ROWS)
+    for i in range(n_files):
+        con.execute(
+            f"COPY (SELECT * FROM '{rel}/events.parquet' "
+            f"WHERE event_id % {n_files} = {i}) "
+            f"TO '{out_dir}/files/part-{i:05d}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def wl_stream_ingest(spark, sf_dir: str, factor: int) -> int:
+    """Drain every source file into a FRESH snapstore table with the
+    exactly-once ingest (cold checkpoint each run — per-file/commit
+    overhead is the thing measured, not cache luck)."""
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.streaming.ingest import incremental_file_ingest
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+    from iceberg_quickstart_iac_spark.templates.loader import spark_schema
+
+    template = {
+        "name": "sweep_events",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts", "type": "timestamptz"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+            {"name": "props", "type": "string"},
+        ],
+    }
+    scratch = tempfile.mkdtemp(prefix="stream_sweep_")
+    table = SnapTable.create(os.path.join(scratch, "t"), template)
+    q = incremental_file_ingest(
+        spark,
+        os.path.join(sf_dir, "files"),
+        spark_schema(template),
+        table,
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+    )
+    q.awaitTermination()
+    return table.read(spark).count()
+
+
+STREAM_WORKLOADS = {"incremental_file_ingest": wl_stream_ingest}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--suite", default="text", choices=["text", "rel"])
+    ap.add_argument("--suite", default="text", choices=["text", "rel", "stream"])
     args = ap.parse_args()
     factors = sorted(int(f) for f in args.factors.split(","))
 
@@ -298,6 +370,8 @@ def main() -> None:
 
     if args.suite == "rel":
         workloads, builder = REL_WORKLOADS, build_rel_corpus
+    elif args.suite == "stream":
+        workloads, builder = STREAM_WORKLOADS, build_stream_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     dirs = {f: builder(f) for f in factors}
