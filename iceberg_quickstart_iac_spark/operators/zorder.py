@@ -35,13 +35,34 @@ def column_ranges(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, floa
     return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
 
 
+def _as_float(v) -> float | None:
+    """Range bound → float; timestamps/dates via epoch (matching Spark's
+    ``cast("double")`` on those types). Strings are rejected up front —
+    a silent NULL-cast would z-order every row to bucket 0."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        # Spark casts date -> double as days since epoch
+        return float((v - _dt.date(1970, 1, 1)).days)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(
+            f"z-order supports numeric/timestamp/date columns; got {type(v).__name__}"
+        )
+    return float(v)
+
+
 def _normalized(col: Column, lo, hi, bits: int) -> Column:
-    """Map a numeric/timestamp/date/string value into [0, 2^bits)."""
+    """Map a numeric/timestamp/date value into [0, 2^bits)."""
     top = (1 << bits) - 1
-    span = float(hi) - float(lo) if hi is not None and lo is not None else 0.0
+    flo, fhi = _as_float(lo), _as_float(hi)
+    span = fhi - flo if fhi is not None and flo is not None else 0.0
     if span <= 0:
         return F.lit(0).cast("long")
-    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(top))
+    scaled = (col.cast("double") - F.lit(flo)) / F.lit(span) * F.lit(float(top))
     return F.least(F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(top))
 
 

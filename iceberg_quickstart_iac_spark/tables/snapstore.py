@@ -524,6 +524,11 @@ class SnapTable:
         snapstore tracks directory-granularity manifests; an engine with
         file-level manifests would rewrite only affected files
         (merge-on-read position deletes are the low-latency alternative).
+
+        CAUTION (same as Iceberg's remove_orphan_files guidance): the
+        hard path drops unreferenced directories with NO grace window —
+        run it without concurrent writers, or an in-flight write that has
+        materialized its directory but not yet committed can lose it.
         """
         current = self.read(spark)
         kept = current.filter(f"NOT ({condition})")

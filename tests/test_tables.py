@@ -1022,3 +1022,29 @@ def test_update_where_and_read_changes(spark, tmp_path):
         by_type.setdefault(r._change_type, []).append((r.acct_id, r.balance, r.status))
     assert sorted(by_type["delete"]) == [(2, -5.0, "open")]
     assert sorted(by_type["insert"]) == [(2, -15.0, "frozen")]
+
+
+def test_zorder_on_timestamp_and_rejects_strings(spark, tmp_path):
+    """Z-order range math must handle timestamp columns (epoch-based, the
+    common time+key clustering combo) and reject string columns loudly
+    rather than silently bucketing every row to 0."""
+    from iceberg_quickstart_iac_spark.operators.zorder import (
+        column_ranges,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 27) + 1:02d} 10:00:00", f"s{i}") for i in range(54)],
+        "k LONG, s STRING, txt STRING",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"), "txt")
+    ranges = column_ranges(df, ["k", "ts"])
+    out = df.select(
+        "k", "ts", zorder_key(["k", "ts"], [ranges[c] for c in ("k", "ts")]).alias("z")
+    ).collect()
+    assert len({r.z for r in out}) > 10  # real spread, not all-zero
+    zmap = {(r.k): r.z for r in out}
+    assert zmap[0] < zmap[53]  # monotone along the diagonal
+
+    sranges = column_ranges(df, ["txt"])
+    with pytest.raises(ValueError, match="numeric/timestamp/date"):
+        zorder_key(["txt"], [sranges["txt"]])
