@@ -121,6 +121,8 @@ _GATE_PRIORITY: list[str] = [
     "semantic_dedup_cells_gemm",
     "media_header_roundtrip",
     "doc_token_rarity",
+    "dml_lifecycle",
+    "zorder_compact_lifecycle",
     # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
     # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
     # The 50 r3-certified queries stay covered by the pytest oracle replay
@@ -4565,6 +4567,167 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             tagged.filter(F.col("vec_id") < 2000), threshold=0.4, method="fold"
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DML lifecycle (SURVEY §2.10 M12/M13): append → row-level DELETE →
+# row-level UPDATE → changelog scan against the first snapshot. Every
+# output number is derivable from pure orders-table semantics, so the
+# oracle computes the same facts relationally: the changelog's deletes
+# are the removed F-status rows PLUS the pre-update images of the VIP
+# rows, its inserts are the VIP rows' new images.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dml_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_initial,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+             AS rows_after_delete,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus <> 'F'
+                                   AND o_totalprice > 100000) AS BIGINT)
+             AS n_vip,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus <> 'F'
+                                   AND o_totalprice > 100000) AS BIGINT)
+             AS changelog_inserts,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F'
+                                    OR o_totalprice > 100000) AS BIGINT)
+             AS changelog_deletes
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 4000
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="dml_") + "/orders_dml",
+        {
+            "name": "orders_dml",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    first = t.append(orders)
+    rows_initial = t.read(spark).count()
+    t.delete_where(spark, "o_orderstatus = 'F'")
+    rows_after_delete = t.read(spark).count()
+    t.update_where(
+        spark, "o_totalprice > 100000", {"o_orderstatus": "'VIP'"}
+    )
+    n_vip = t.read(spark).filter("o_orderstatus = 'VIP'").count()
+    ch = t.read_changes(spark, first["snapshot_id"])
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return spark.createDataFrame(
+        [(
+            rows_initial,
+            rows_after_delete,
+            n_vip,
+            counts.get("insert", 0),
+            counts.get("delete", 0),
+        )],
+        "rows_initial LONG, rows_after_delete LONG, n_vip LONG, "
+        "changelog_inserts LONG, changelog_deletes LONG",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order compaction lifecycle (SURVEY §2.10 M11): append a shuffled
+# two-key fact slice, rewrite with compact(zorder=[suppkey, partkey]),
+# and report layout FACTS that are deterministic under a fixed input:
+# row fidelity through the rewrite, the multi-file split, and the tight
+# per-file bounding boxes on BOTH keys (parquet footer min/max) that are
+# the entire point of the z-curve. The oracle derives the same facts
+# relationally (counts) + pins the layout booleans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "zorder_compact_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum,
+           TRUE AS multi_file,
+           TRUE AS boxes_tight
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def zorder_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="zc_") + "/li_z",
+        {
+            "name": "li_z",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "l_orderkey", "type": "long"},
+                {"name": "l_partkey", "type": "long"},
+                {"name": "l_suppkey", "type": "long"},
+                {"name": "l_quantity", "type": "double"},
+            ],
+        },
+    )
+    t.append(li.orderBy(F.xxhash64("l_orderkey", "l_partkey")))  # shuffled layout
+    entry = t.compact(spark, target_files=8, zorder=["l_suppkey", "l_partkey"])
+
+    # layout facts from the parquet footers of the compacted directory
+    files = list((t.data_dir / entry["data_dirs"][0]).rglob("*.parquet"))
+    stats = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        mm = {}
+        for rg in range(md.num_row_groups):
+            for i, n in enumerate(names):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = mm.get(n, (st.min, st.max))
+                mm[n] = (min(lo, st.min), max(hi, st.max))
+        stats.append(mm)
+    ranges = {
+        c: (min(s[c][0] for s in stats), max(s[c][1] for s in stats))
+        for c in ("l_suppkey", "l_partkey")
+    }
+
+    def frac(s, c):
+        lo, hi = ranges[c]
+        return (s[c][1] - s[c][0]) / max(hi - lo, 1)
+
+    areas = [frac(s, "l_suppkey") * frac(s, "l_partkey") for s in stats]
+    avg_area = sum(areas) / len(areas)
+    df = t.read(spark)
+    return spark.createDataFrame(
+        [(
+            df.count(),
+            float(
+                df.agg(dsum("l_quantity", "q")).collect()[0]["q"]
+            ),
+            len(files) >= 4,
+            avg_area < 0.6,  # random layout would sit at ~1.0 per file
+        )],
+        "n_rows LONG, qty_sum DOUBLE, multi_file BOOLEAN, boxes_tight BOOLEAN",
     )
 
 
