@@ -609,6 +609,39 @@ class SnapTable:
         )
         return entry
 
+    def rollback_to(self, snapshot_id: str) -> dict:
+        """Roll the table back to an earlier snapshot — Iceberg's
+        ``rollback_to_snapshot`` procedure: a NEW commit that re-references
+        the old snapshot's data directories (metadata-only, nothing
+        rewritten), so the rollback itself is in the history and can be
+        rolled back in turn. The intervening snapshots stay
+        time-travelable until retention expires them.
+        """
+        target = self._snapshot_for(snapshot_id, None)
+
+        entry = self._commit(
+            lambda entries: {
+                "operation": "rollback",
+                "data_dirs": list(target["data_dirs"]),
+                "row_count": target["row_count"],
+                "file_count": target["file_count"],
+                # restore the WRITE EPOCH of the target so epoch-grouped
+                # reads treat the re-referenced dirs under their original
+                # schema/spec, not the current one
+                **{
+                    k: target[k]
+                    for k in ("column_ids", "column_types", "partition_spec")
+                    if k in target
+                },
+            }
+        )
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={"mode": "rollback", "to_snapshot": snapshot_id},
+        )
+        return entry
+
     def read_changes(
         self, spark: SparkSession, from_snapshot_id: str, to_snapshot_id: str | None = None
     ) -> DataFrame:

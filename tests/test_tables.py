@@ -1048,3 +1048,33 @@ def test_zorder_on_timestamp_and_rejects_strings(spark, tmp_path):
     sranges = column_ranges(df, ["txt"])
     with pytest.raises(ValueError, match="numeric/timestamp/date"):
         zorder_key(["txt"], [sranges["txt"]])
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to re-references an earlier snapshot's dirs in a NEW
+    commit: current reads serve the old state, the bad snapshot stays
+    time-travelable, and a rollback can itself be rolled back."""
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.create(
+        tmp_path / "rb",
+        {
+            "name": "rbt", "namespace": "lakehouse",
+            "columns": [{"name": "v", "type": "long"}],
+        },
+    )
+    good = t.append(spark.createDataFrame([(1,), (2,)], "v LONG"))
+    bad = t.append(spark.createDataFrame([(666,)], "v LONG"))
+    assert t.read(spark).count() == 3
+
+    entry = t.rollback_to(good["snapshot_id"])
+    assert entry["operation"] == "rollback"
+    assert {r.v for r in t.read(spark).collect()} == {1, 2}
+    # history intact: the bad snapshot still time-travels
+    assert t.read(spark, snapshot_id=bad["snapshot_id"]).count() == 3
+    # roll the rollback back
+    t.rollback_to(bad["snapshot_id"])
+    assert t.read(spark).count() == 3
+    assert [e["operation"] for e in t._entries()] == [
+        "append", "append", "rollback", "rollback",
+    ]
