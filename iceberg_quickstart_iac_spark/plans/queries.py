@@ -3411,8 +3411,11 @@ def row_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q11 shape (partsupp value → supplier-nation revenue share): groups kept
 # only if they exceed a fraction of the GLOBAL total. The global scalar is
-# a window SUM over the 25-row aggregate — one pass over the fact table,
-# no second scan, no driver round-trip.
+# a 1-row aggregate over the 25-row nation aggregate, broadcast-joined
+# back — one pass over the fact table, no second scan, no driver
+# round-trip, and no empty-partition window (the earlier window form was
+# harmless on 25 rows but planned a single-partition WindowExec and was
+# the catalog's last source of Spark's No-Partition-Defined warning).
 # ---------------------------------------------------------------------------
 
 
@@ -3439,7 +3442,8 @@ def row_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_top_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier nations holding > 4% of global line revenue. The decimal
     re-sum of the per-nation doubles keeps the global threshold bit-equal
-    across engines; the empty-partition window is 25 rows, not the fact."""
+    across engines; the nation aggregate is materialized once and feeds
+    both the scalar total (broadcast back) and the filter."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -3448,11 +3452,14 @@ def q11_top_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "value"))
+        .localCheckpoint()  # 25 rows; feeds the scalar AND the filter
     )
-    total = F.sum(F.col("value").cast(DEC)).over(W.partitionBy()).cast("double")
+    total = nation_value.agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("__total")
+    )
     return (
-        nation_value.withColumn("__threshold", total * F.lit(0.04))
-        .filter(F.col("value") > F.col("__threshold"))
+        nation_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__total") * F.lit(0.04))
         .select("n_name", "value")
         .orderBy(F.desc("value"), "n_name")
     )
