@@ -61,12 +61,15 @@ def _mutate_tokens(rng, toks: list[str], mode: str, replica: int) -> list[str]:
         i = int(rng.integers(0, len(out)))
         out[i] = f"mut{replica}x{i}"
         return out
-    # distinct: salt every third token with the replica id — shingle
-    # overlap with the base (and with other replicas) collapses below any
-    # near-dup threshold, so these add VOLUME without adding dup pairs
-    return [
-        t if j % 3 else f"r{replica}s{j}{t}" for j, t in enumerate(toks)
-    ]
+    # distinct: salt EVERY token with the replica id — zero shingle
+    # overlap with the base and with every other replica, so these add
+    # VOLUME without adding dup pairs. (The first cut salted every THIRD
+    # token; the unsalted 2/3 then overlapped across all replicas of a
+    # base, so candidate pairs grew quadratically in the factor — a
+    # corpus artifact that showed up as superlinear funnel cost at 30x.
+    # Dedup benchmarking needs dup DENSITY constant, which requires
+    # distinct filler to be pairwise distinct.)
+    return [f"r{replica}s{j}{t}" for j, t in enumerate(toks)]
 
 
 def build_corpus(factor: int) -> str:
