@@ -114,6 +114,9 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
+    # round-5 additions: need their FIRST driver row
+    "merge_upsert_lifecycle",
+    "cdc_changelog_apply",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -4735,6 +4738,205 @@ def zorder_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_area < 0.6,  # random layout would sit at ~1.0 per file
         )],
         "n_rows LONG, qty_sum DOUBLE, multi_file BOOLEAN, boxes_tight BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO lifecycle (SURVEY §2.10 M14): the copy-on-write upsert over
+# a CDC-style batch — conditional delete, update, and insert clauses in
+# one commit. The reference weighs table formats by exactly this
+# workload (docs/deep-dive.md: "Hudi has better upsert performance for
+# CDC workloads"). The oracle derives the merged end state relationally:
+# matched non-D rows take the source image with status 'U', unmatched
+# source non-D rows insert as 'N', matched D rows disappear, untouched
+# target rows carry over.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_lifecycle",
+    oracle="""
+    WITH t AS (SELECT o_orderkey k, o_orderstatus st, o_totalprice p
+               FROM orders WHERE o_orderkey < 3000),
+         s AS (SELECT o_orderkey k, o_totalprice * 2 p,
+                      CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END op
+               FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000),
+         m AS (
+           SELECT t.k,
+                  CASE WHEN s.k IS NULL THEN t.st ELSE 'U' END AS st,
+                  CASE WHEN s.k IS NULL THEN t.p ELSE s.p END AS p
+           FROM t LEFT JOIN s ON t.k = s.k
+           WHERE s.k IS NULL OR s.op <> 'D'
+           UNION ALL
+           SELECT s.k, 'N', s.p FROM s
+           WHERE s.op <> 'D'
+             AND NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+         )
+    SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM m GROUP BY st ORDER BY st
+    """,
+)
+def merge_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = (
+        orders.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 5000))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("price"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="mrg_") + "/orders_merge",
+        {
+            "name": "orders_merge",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    t.append(target)
+    t.merge_into(
+        spark,
+        source,
+        "t.o_orderkey = s.o_orderkey",
+        when_matched=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {
+                "action": "update",
+                "set": {"o_totalprice": "s.price", "o_orderstatus": "'U'"},
+            },
+        ],
+        when_not_matched=[
+            {
+                "action": "insert",
+                "condition": "s.op <> 'D'",
+                "values": {
+                    "o_orderkey": "s.o_orderkey",
+                    "o_orderstatus": "'N'",
+                    "o_totalprice": "s.price",
+                },
+            }
+        ],
+    )
+    return (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (SURVEY §2.10 M14b): a Debezium-style I/U/D batch
+# with TWO sequenced changes per key — apply_changelog must compact to
+# the latest change per key (window over keys by seq desc) before the
+# merge, or the stale seq-1 images (status 'old', original price) leak
+# into the table and the hash breaks. The oracle models only the END
+# state: keys %4==0 in the change range are deleted-or-skipped, the rest
+# upsert to status 'chg' at double price.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_changelog_apply",
+    oracle="""
+    WITH t AS (SELECT o_orderkey k, o_orderstatus st, o_totalprice p
+               FROM orders WHERE o_orderkey < 2500),
+         c AS (SELECT o_orderkey k,
+                      CASE WHEN o_orderkey % 4 = 0 THEN 'D' ELSE 'U' END op,
+                      'chg' st, o_totalprice * 2 p
+               FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 4500),
+         m AS (
+           SELECT t.k,
+                  CASE WHEN c.k IS NULL THEN t.st ELSE c.st END AS st,
+                  CASE WHEN c.k IS NULL THEN t.p ELSE c.p END AS p
+           FROM t LEFT JOIN c ON t.k = c.k
+           WHERE c.k IS NULL OR c.op <> 'D'
+           UNION ALL
+           SELECT c.k, c.st, c.p FROM c
+           WHERE c.op <> 'D'
+             AND NOT EXISTS (SELECT 1 FROM t WHERE t.k = c.k)
+         )
+    SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM m GROUP BY st ORDER BY st
+    """,
+)
+def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") < 2500).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    in_range = orders.filter(
+        (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 4500)
+    )
+    # seq 1: a stale update image every key; seq 2: the final change —
+    # D for keys %4==0, else the real update. Compaction must pick seq 2.
+    stale = in_range.select(
+        "o_orderkey",
+        F.lit("old").alias("o_orderstatus"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    final = in_range.select(
+        "o_orderkey",
+        F.lit("chg").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="cdc_") + "/orders_cdc",
+        {
+            "name": "orders_cdc",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    t.append(target)
+    t.apply_changelog(
+        spark,
+        stale.unionByName(final),
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+    )
+    return (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("status")
     )
 
 
