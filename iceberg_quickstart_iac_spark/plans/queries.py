@@ -117,6 +117,8 @@ _GATE_PRIORITY: list[str] = [
     # round-5 additions: need their FIRST driver row
     "merge_upsert_lifecycle",
     "cdc_changelog_apply",
+    "tag_retention_lifecycle",
+    "partition_stats_table",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -4937,6 +4939,150 @@ def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
         )
         .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tag retention lifecycle (SURVEY §2.10 M1/M3 + Nessie parity,
+# deep-dive.md:262-303; Iceberg `CREATE TAG v1` + `VERSION AS OF 'v1'`):
+# append a first slice, tag it `v1`, append a second slice, then expire
+# EVERY snapshot older than the far future — the tagged snapshot must
+# survive solely because the tag pins it (Iceberg ref-retention). The
+# output compares the tag-read against the current read per order status;
+# the pinned boolean certifies the tag still resolved AFTER expiration.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tag_retention_lifecycle",
+    oracle="""
+    WITH t1 AS (SELECT o_orderstatus st FROM orders WHERE o_orderkey < 2000),
+         t2 AS (SELECT o_orderstatus st, o_totalprice p
+                FROM orders WHERE o_orderkey < 4000)
+    SELECT b.st AS status,
+           COALESCE(a.n, 0) AS tag_rows,
+           b.n AS cur_rows,
+           CAST(b.sp AS DOUBLE) AS cur_sum_price,
+           TRUE AS tag_survived_expire
+    FROM (SELECT st, CAST(COUNT(*) AS BIGINT) n,
+                 SUM(CAST(p AS DECIMAL(18,6))) sp FROM t2 GROUP BY st) b
+    LEFT JOIN (SELECT st, CAST(COUNT(*) AS BIGINT) n FROM t1 GROUP BY st) a
+      ON a.st = b.st
+    ORDER BY status
+    """,
+)
+def tag_retention_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="tagret_") + "/orders_tagged",
+        {
+            "name": "orders_tagged",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t.append(orders.filter(F.col("o_orderkey") < 2000).select(*cols))
+    t.create_tag("v1")
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+        ).select(*cols)
+    )
+    # expire everything older than the far future: only the current
+    # snapshot and the v1-tagged one may survive
+    t.expire_snapshots(older_than_ms=2**52)
+    survived = len(t._entries()) == 2
+    at_tag = (
+        t.read(spark, tag="v1")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("tag_rows"))
+    )
+    current = (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("cur_rows"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                "cur_sum_price"
+            ),
+        )
+    )
+    return (
+        current.join(at_tag, "status", "left")
+        .select(
+            "status",
+            F.coalesce("tag_rows", F.lit(0)).alias("tag_rows"),
+            "cur_rows",
+            "cur_sum_price",
+            F.lit(survived).alias("tag_survived_expire"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-stats metadata table (SURVEY §2.10 M1; Iceberg `t.partitions`,
+# Athena `"t$partitions"`): write a week of events day-partitioned, then
+# serve per-partition record counts purely from parquet FOOTERS + paths —
+# no data scan. The oracle recomputes the same counts from the raw rows,
+# certifying the metadata table agrees with the data it describes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partition_stats_table",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           TRUE AS has_files
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def partition_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-14 00:00:00") & (F.col("ts") < "2024-01-21 00:00:00")
+    )
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="pstats_") + "/events_pstats",
+        {
+            "name": "events_pstats",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+                {"name": "props", "type": "string"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+        },
+    )
+    t.overwrite(ev)
+    return (
+        t.partitions(spark)
+        .select(
+            F.get_json_object("partition", "$.__p_ts_day").alias("day"),
+            F.col("record_count"),
+            (F.col("file_count") > 0).alias("has_files"),
+        )
+        .orderBy("day")
     )
 
 

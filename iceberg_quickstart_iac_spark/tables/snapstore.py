@@ -49,7 +49,7 @@ import struct
 import time
 import uuid
 from pathlib import Path
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from datetime import date, datetime, timezone
 
@@ -1166,8 +1166,10 @@ class SnapTable:
         snapshot_id: str | None = None,
         as_of_ms: int | None = None,
         filters: list[tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read the table — current state, or time-travel by id/timestamp.
+        """Read the table — current state, or time-travel by id/timestamp,
+        or at a named tag (Iceberg's ``VERSION AS OF 'v1'``).
 
         ``filters`` — optional ``(column, op, value)`` conjuncts — prune
         partition directories BEFORE Spark ever lists a file (hidden
@@ -1182,6 +1184,10 @@ class SnapTable:
         projection fills the gaps with typed NULLs — Iceberg's read-time
         schema resolution.
         """
+        if tag is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise ValueError("read: pass at most one of tag/snapshot_id/as_of_ms")
+            snapshot_id = self.tag(tag)["snapshot_id"]
         snap = self._snapshot_for(snapshot_id, as_of_ms)
         log_audit_event(
             "table_read", self.fq_name, details={"snapshot_id": snap["snapshot_id"]}
@@ -1325,6 +1331,27 @@ class SnapTable:
             rows,
             "file_path STRING, data_dir STRING, partition STRING, "
             "record_count LONG, file_size_bytes LONG",
+        )
+
+    def partitions(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """The per-partition metadata table (M1), like Iceberg's
+        ``t.partitions``: one row per live partition with its record/file
+        counts and byte size — the skew/small-file audit surface (Athena
+        exposes the same as ``"t$partitions"``). An aggregation over
+        :meth:`files`, so still metadata-only: footers and paths, never a
+        data scan."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.files(spark, snapshot_id)
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_bytes").alias("total_size_bytes"),
+            )
         )
 
     # -- schema evolution --------------------------------------------------
@@ -1669,6 +1696,17 @@ class SnapTable:
         for e in entries:
             if e["sequence"] in forks and e not in keep:
                 keep.append(e)
+        # Iceberg expire semantics for named refs: tag refs past their own
+        # max_ref_age_ms are dropped first, then every snapshot a LIVE tag
+        # points at is pinned regardless of the age cutoff
+        for ref in self.list_tags():
+            age = ref.get("max_ref_age_ms")
+            if age is not None and ref["created_at_ms"] + age <= _now_ms():
+                self.delete_tag(ref["name"])
+        tagged = {ref["sequence"] for ref in self.list_tags()}
+        for e in entries:
+            if e["sequence"] in tagged and e not in keep:
+                keep.append(e)
         drop = [e for e in entries if e not in keep]
 
         referenced = {d for e in keep for d in e["data_dirs"]}
@@ -1679,6 +1717,107 @@ class SnapTable:
             if child.is_dir() and child.name not in referenced:
                 shutil.rmtree(child)
         return len(drop)
+
+    # -- tags (immutable named refs) ---------------------------------------
+    #
+    # Iceberg/Nessie tags: a tag names a snapshot forever (release audits,
+    # "the exact data behind model v3"), unlike a branch whose head moves.
+    # The reference's Nessie pitch covers both ref kinds
+    # (docs/deep-dive.md:262-303); Iceberg itself exposes them as
+    # `ALTER TABLE t CREATE TAG v1 [RETAIN ...]` + `VERSION AS OF 'v1'`.
+    # A tag pins its snapshot against expire_snapshots until the tag is
+    # deleted or its own max_ref_age_ms lapses — exactly Iceberg's
+    # ref-retention rules.
+
+    _TAGS = "_tags"
+
+    def _tag_path(self, name: str) -> Path:
+        return self.root / self._TAGS / (quote(name, safe="") + ".json")
+
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: str | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> dict:
+        """Tag the current (or given) snapshot. Metadata-only; immutable —
+        re-tagging an existing name raises (delete first, like Iceberg)."""
+        path = self._tag_path(name)
+        if path.exists():
+            raise ValueError(f"Tag {name!r} already exists on {self.fq_name}")
+        snap = self._snapshot_for(snapshot_id, None)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        ref = {
+            "name": name,
+            "snapshot_id": snap["snapshot_id"],
+            "sequence": snap["sequence"],
+            "created_at_ms": _now_ms(),
+            "max_ref_age_ms": max_ref_age_ms,
+        }
+        tmp = path.parent / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(ref, indent=2))
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(f"Tag {name!r} already exists on {self.fq_name}")
+        finally:
+            tmp.unlink(missing_ok=True)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={
+                "change": "create_tag",
+                "tag": name,
+                "snapshot_id": snap["snapshot_id"],
+            },
+        )
+        return ref
+
+    def tag(self, name: str) -> dict:
+        path = self._tag_path(name)
+        if not path.exists():
+            raise ValueError(f"No tag {name!r} on {self.fq_name}")
+        return json.loads(path.read_text())
+
+    def list_tags(self) -> list[dict]:
+        tdir = self.root / self._TAGS
+        if not tdir.exists():
+            return []
+        return [
+            json.loads(p.read_text()) for p in sorted(tdir.glob("[!.]*.json"))
+        ]
+
+    def delete_tag(self, name: str) -> None:
+        path = self._tag_path(name)
+        if not path.exists():
+            raise ValueError(f"No tag {name!r} on {self.fq_name}")
+        path.unlink()
+
+    def refs(self, spark: SparkSession) -> DataFrame:
+        """The named-refs metadata table, like Iceberg's ``t.refs``: one
+        row per branch/tag with the snapshot it points at. Driver-side
+        metadata only — O(refs), no data scan."""
+        main_entries = self._entries()
+        rows = [
+            (
+                "main",
+                "BRANCH",
+                main_entries[-1]["snapshot_id"] if main_entries else None,
+                None,
+            )
+        ]
+        for b in self.list_branches():
+            bv = _BranchView(self.root, b["name"])
+            entries = bv._entries()
+            head = entries[-1]["snapshot_id"] if entries else None
+            rows.append((b["name"], "BRANCH", head, None))
+        for ref in self.list_tags():
+            rows.append(
+                (ref["name"], "TAG", ref["snapshot_id"], ref.get("max_ref_age_ms"))
+            )
+        return spark.createDataFrame(
+            rows, "name STRING, type STRING, snapshot_id STRING, max_ref_age_ms LONG"
+        )
 
     # -- branches (Nessie-style data branching) ----------------------------
     #
@@ -1968,6 +2107,20 @@ class _BranchView(SnapTable):
 
     def create_branch(self, name: str, at_snapshot_id: str | None = None) -> "SnapTable":
         raise RuntimeError("Branch a branch from the main table instead")
+
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: str | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> dict:
+        # branch sequences continue from the fork and can collide with
+        # later main sequences — a branch-scoped tag would pin the wrong
+        # main snapshot at expire time. Tag from the main table.
+        raise RuntimeError(
+            "Tags are table-wide refs — create them on the main table, not "
+            f"branch {self.branch_name!r}"
+        )
 
     def evolve_partition_spec(self, new_spec: list[dict]) -> dict:
         # branch refs carry only a columns override; a branch-scoped layout

@@ -1078,3 +1078,102 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert [e["operation"] for e in t._entries()] == [
         "append", "append", "rollback", "rollback",
     ]
+
+
+# -- tags: immutable named refs (Iceberg CREATE TAG / VERSION AS OF) --------
+
+
+def test_tag_reads_pinned_snapshot(spark, table, events_df):
+    table.append(events_df)
+    table.create_tag("v1")
+    table.append(events_df)
+    assert table.read(spark, tag="v1").count() == 3
+    assert table.read(spark).count() == 6
+    assert table.tag("v1")["snapshot_id"] == table._entries()[0]["snapshot_id"]
+
+
+def test_tag_is_immutable_and_unknown_tag_raises(spark, table, events_df):
+    table.append(events_df)
+    table.create_tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_tag("v1")
+    with pytest.raises(ValueError, match="No tag"):
+        table.read(spark, tag="nope")
+    table.delete_tag("v1")
+    with pytest.raises(ValueError, match="No tag"):
+        table.tag("v1")
+
+
+def test_tag_pins_snapshot_through_expiration(spark, table, events_df):
+    table.append(events_df)
+    table.create_tag("v1")
+    table.append(events_df)
+    # expire everything by age: only current + tagged survive
+    dropped = table.expire_snapshots(older_than_ms=2**52)
+    assert dropped == 0
+    assert table.read(spark, tag="v1").count() == 3
+    # after the tag is gone the old snapshot expires normally
+    table.delete_tag("v1")
+    assert table.expire_snapshots(older_than_ms=2**52) == 1
+    assert len(table._entries()) == 1
+
+
+def test_tag_max_ref_age_expires_the_ref(table, events_df):
+    import time as _time
+
+    table.append(events_df)
+    table.create_tag("ephemeral", max_ref_age_ms=1)
+    _time.sleep(0.01)
+    table.expire_snapshots(older_than_ms=0)
+    assert table.list_tags() == []
+
+
+def test_tag_read_rejects_mixed_selectors(spark, table, events_df):
+    table.append(events_df)
+    table.create_tag("v1")
+    with pytest.raises(ValueError, match="at most one"):
+        table.read(spark, tag="v1", as_of_ms=0)
+
+
+def test_branch_view_rejects_tag_creation(table, events_df):
+    table.append(events_df)
+    b = table.create_branch("dev")
+    with pytest.raises(RuntimeError, match="main table"):
+        b.create_tag("x")
+
+
+def test_refs_metadata_table(spark, table, events_df):
+    table.append(events_df)
+    table.create_tag("v1")
+    table.create_branch("dev")
+    refs = {r["name"]: r for r in table.refs(spark).collect()}
+    assert refs["main"]["type"] == "BRANCH"
+    assert refs["dev"]["type"] == "BRANCH"
+    assert refs["v1"]["type"] == "TAG"
+    assert refs["v1"]["snapshot_id"] == table._entries()[-1]["snapshot_id"]
+    assert refs["main"]["snapshot_id"] == refs["dev"]["snapshot_id"]
+
+
+def test_partitions_metadata_table_counts_match_data(spark, tmp_path):
+    t = SnapTable.create(
+        tmp_path / "pt",
+        {
+            "name": "pt", "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "grp", "type": "string"},
+            ],
+            "partition_spec": [{"column": "grp", "transform": "identity"}],
+        },
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(10)], "k LONG, grp STRING"
+        )
+    )
+    rows = {r["partition"]: r for r in t.partitions(spark).collect()}
+    assert len(rows) == 2
+    for part, r in rows.items():
+        assert r["record_count"] == 5
+        assert r["file_count"] >= 1
+        assert r["total_size_bytes"] > 0
