@@ -119,6 +119,7 @@ _GATE_PRIORITY: list[str] = [
     "cdc_changelog_apply",
     "tag_retention_lifecycle",
     "partition_stats_table",
+    "streaming_cdc_ingest_lifecycle",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -5083,6 +5084,120 @@ def partition_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("file_count") > 0).alias("has_files"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC ingest lifecycle (SURVEY §2.9 ST1/ST2 + §2.10 M14): two
+# waves of Debezium-style changelog files drained by
+# streaming.incremental_cdc_ingest (AvailableNow) into a snapstore table —
+# each micro-batch is ONE merge commit stamped with a txn id (Delta
+# txnAppId/txnVersion exactly-once). The reference stubs exactly this
+# ingestion point (assets/event_streams.py:22-24) and weighs engines by
+# this workload (docs/deep-dive.md: CDC upserts). The oracle replays both
+# waves relationally: wave-1 upserts, then wave-2 deletes/upserts over the
+# wave-1 state.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_cdc_ingest_lifecycle",
+    oracle="""
+    WITH t AS (SELECT o_orderkey k, o_orderstatus st, o_totalprice p
+               FROM orders WHERE o_orderkey < 2500),
+         w1 AS (SELECT o_orderkey k, 'u1' st, o_totalprice * 1.5 p
+                FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3500),
+         w2 AS (SELECT o_orderkey k,
+                       CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END op,
+                       'u2' st, o_totalprice * 2 p
+                FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000),
+         s1 AS (
+           SELECT t.k, COALESCE(w1.st, t.st) st, COALESCE(w1.p, t.p) p
+           FROM t LEFT JOIN w1 ON t.k = w1.k
+           UNION ALL
+           SELECT w1.k, w1.st, w1.p FROM w1
+           WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = w1.k)
+         ),
+         s2 AS (
+           SELECT s1.k, COALESCE(w2.st, s1.st) st, COALESCE(w2.p, s1.p) p
+           FROM s1 LEFT JOIN w2 ON s1.k = w2.k
+           WHERE w2.k IS NULL OR w2.op <> 'D'
+           UNION ALL
+           SELECT w2.k, w2.st, w2.p FROM w2
+           WHERE w2.op <> 'D'
+             AND NOT EXISTS (SELECT 1 FROM s1 WHERE s1.k = w2.k)
+         )
+    SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM s2 GROUP BY st ORDER BY status
+    """,
+)
+def streaming_cdc_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from iceberg_quickstart_iac_spark.streaming import incremental_cdc_ingest
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="scdc_")
+    src, ckpt = base + "/src", base + "/ckpt"
+    t = SnapTable.create(
+        base + "/orders_scdc",
+        {
+            "name": "orders_scdc",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t.append(orders.filter(F.col("o_orderkey") < 2500).select(*cols))
+
+    cdc_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    wave1 = orders.filter(
+        (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3500)
+    ).select(
+        "o_orderkey",
+        F.lit("u1").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    wave2 = orders.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+    ).select(
+        "o_orderkey",
+        F.lit("u2").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    for wave in (wave1, wave2):
+        wave.coalesce(1).write.mode("append").parquet(src)
+        q = incremental_cdc_ingest(
+            spark, src, cdc_schema, t, ckpt, key_cols=["o_orderkey"]
+        )
+        q.awaitTermination(300)
+    return (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("status")
     )
 
 

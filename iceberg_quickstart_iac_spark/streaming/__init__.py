@@ -2,6 +2,7 @@
 
 from iceberg_quickstart_iac_spark.streaming.ingest import (
     freshness_monitor,
+    incremental_cdc_ingest,
     incremental_file_ingest,
     incremental_wap_ingest,
     read_file_stream,
@@ -17,6 +18,7 @@ from iceberg_quickstart_iac_spark.streaming.stateful import (
 __all__ = [
     "followup_join_stream",
     "freshness_monitor",
+    "incremental_cdc_ingest",
     "incremental_file_ingest",
     "incremental_wap_ingest",
     "read_file_stream",

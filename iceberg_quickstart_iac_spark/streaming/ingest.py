@@ -138,6 +138,70 @@ def incremental_wap_ingest(
     return writer.start()
 
 
+def incremental_cdc_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    table: SnapTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously apply a CDC changelog stream (Debezium-style I/U/D
+    rows landing as files) to a snapshot-log table — each micro-batch is
+    ONE merge commit via :meth:`SnapTable.apply_changelog`, turning the
+    reference's "replace with your actual ingestion logic" stub
+    (``assets/event_streams.py:22-24``) into the upsert pipeline its
+    engine comparison centers on ("Hudi has better upsert performance for
+    CDC workloads", ``docs/deep-dive.md``).
+
+    Exactly-once END-TO-END, not just at the file level: the checkpoint
+    dedups source files, and each merge commit is stamped with
+    ``txn=(checkpoint-scoped app id, batch_id)`` so a micro-batch
+    replayed after a crash between commit and checkpoint-write is
+    recognized in the table's own transaction ledger and skipped —
+    Delta's ``txnAppId``/``txnVersion`` pattern. Upserts are additionally
+    idempotent by construction (re-merging the same end-state image is a
+    no-op), so even a forgotten ledger (snapshots expired past the replay
+    window) degrades to correct-but-rewritten, never to wrong.
+
+    Scale: each micro-batch shuffles once on the merge keys (the
+    full-outer join inside ``merge_into``); state lives in the table, not
+    the state store, so watermarks are unnecessary and batch size is the
+    only memory knob.
+    """
+    import hashlib
+
+    stream = read_file_stream(spark, source_path, schema, fmt)
+    # checkpoint-scoped writer identity: a NEW checkpoint restarts
+    # batch_ids at 0, so the ledger key must restart with it
+    app_id = "cdc-" + hashlib.sha256(
+        f"{checkpoint_dir}::{table.fq_name}".encode()
+    ).hexdigest()[:16]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.apply_changelog(
+            spark,
+            batch_df,
+            key_cols=key_cols,
+            op_col=op_col,
+            seq_col=seq_col,
+            txn=(app_id, batch_id),
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -480,8 +480,53 @@ class SnapTable:
         log_audit_event("table_write", self.fq_name, details={"row_count": rows, "mode": "overwrite"})
         return entry
 
-    def append(self, df: DataFrame) -> dict:
-        """Append commit (the event-stream pattern, ``event_stream.yaml:4``)."""
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed transaction version for ``app_id``, or None.
+
+        The idempotent-write ledger (Delta's ``txnAppId``/``txnVersion``,
+        Iceberg's WAP-id dedup): a writer that stamps commits with a
+        monotonically increasing version can detect an already-applied
+        batch after a crash-and-replay. Lives in the snapshot entries, so
+        — like Delta — expiring ALL snapshots of an app also forgets its
+        ledger; retention must outlast the replay window.
+        """
+        versions = [
+            e["txn"]["version"]
+            for e in self._entries()
+            if (e.get("txn") or {}).get("app_id") == app_id
+        ]
+        return max(versions) if versions else None
+
+    def _txn_already_applied(self, txn: tuple[str, int] | None) -> dict | None:
+        """The current head entry when ``txn`` was already committed
+        (idempotent skip), else None. Called BEFORE any data is written so
+        a replay leaves no orphan directories."""
+        if txn is None:
+            return None
+        app_id, version = txn
+        last = self.last_txn_version(app_id)
+        if last is not None and last >= version:
+            entries = self._entries()
+            return entries[-1] if entries else None
+        return None
+
+    @staticmethod
+    def _txn_meta(txn: tuple[str, int] | None) -> dict:
+        if txn is None:
+            return {}
+        return {"txn": {"app_id": txn[0], "version": int(txn[1])}}
+
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
+        """Append commit (the event-stream pattern, ``event_stream.yaml:4``).
+
+        ``txn=(app_id, version)`` makes the append idempotent: a version
+        at or below the app's last committed version is skipped (the head
+        entry is returned unchanged) — exactly-once sinks for streaming
+        ``foreachBatch`` replays.
+        """
+        skipped = self._txn_already_applied(txn)
+        if skipped is not None:
+            return skipped
         self._check_columns(df)
         dir_name, rows, files = self._write_data(df)
 
@@ -498,6 +543,7 @@ class SnapTable:
                 "row_count": prev_rows + rows,
                 "file_count": prev_files + files,
                 **self._write_epoch(),
+                **self._txn_meta(txn),
             }
 
         entry = self._commit(build)
@@ -617,6 +663,7 @@ class SnapTable:
         when_matched: list[dict] | None = None,
         when_not_matched: list[dict] | None = None,
         when_not_matched_by_source: list[dict] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """``MERGE INTO`` — the copy-on-write upsert completing the DML
         triad (Iceberg's flagship CDC write path; the reference weighs
@@ -654,6 +701,9 @@ class SnapTable:
         """
         from pyspark.sql import functions as F
 
+        skipped = self._txn_already_applied(txn)
+        if skipped is not None:
+            return skipped
         declared = [c["name"] for c in self.meta.get("columns", [])]
         types = {c["name"]: c["type"] for c in self.meta.get("columns", [])}
         when_matched = list(when_matched or [])
@@ -807,6 +857,7 @@ class SnapTable:
                 "file_count": files,
                 "merge_stats": merge_stats,
                 **self._write_epoch(),
+                **self._txn_meta(txn),
             }
         )
         log_audit_event(
@@ -823,6 +874,7 @@ class SnapTable:
         key_cols: list[str],
         op_col: str = "op",
         seq_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """Apply a CDC changelog (Debezium/Hudi-style ``I``/``U``/``D``
         rows) as ONE merge commit — the upsert workload the reference's
@@ -875,6 +927,7 @@ class SnapTable:
                     "values": {c: f"s.{c}" for c in declared},
                 }
             ],
+            txn=txn,
         )
 
     def rollback_to(self, snapshot_id: str) -> dict:

@@ -195,3 +195,49 @@ def test_apply_changelog_bad_key_rejected(spark, table):
     changes = spark.createDataFrame([(1, "U")], "id LONG, op STRING")
     with pytest.raises(ValueError, match="not table columns"):
         table.apply_changelog(spark, changes, key_cols=["nope"], op_col="op")
+
+
+# -- idempotent writes: the txn ledger (Delta txnAppId/txnVersion) ----------
+
+
+def _txn_table(tmp_path):
+    return SnapTable.create(
+        tmp_path / "txn",
+        {
+            "name": "txn_t", "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": "string"},
+                {"name": "p", "type": "double"},
+            ],
+        },
+    )
+
+
+def test_txn_append_replay_is_skipped(spark, tmp_path):
+    t = _txn_table(tmp_path)
+    df = spark.createDataFrame([(1, "a", 1.0)], "k LONG, v STRING, p DOUBLE")
+    t.append(df, txn=("writer-1", 0))
+    t.append(df, txn=("writer-1", 0))  # crash-replay of the same batch
+    assert t.read(spark).count() == 1
+    assert t.last_txn_version("writer-1") == 0
+    t.append(df, txn=("writer-1", 1))  # next batch applies
+    assert t.read(spark).count() == 2
+    # an unrelated writer's ledger is independent
+    assert t.last_txn_version("other") is None
+    t.append(df, txn=("other", 0))
+    assert t.read(spark).count() == 3
+
+
+def test_txn_merge_replay_is_skipped(spark, tmp_path):
+    t = _txn_table(tmp_path)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k LONG, v STRING, p DOUBLE"))
+    changes = spark.createDataFrame([(2, "b2", 4.0, "U"), (3, "c", 3.0, "I")],
+                                    "k LONG, v STRING, p DOUBLE, op STRING")
+    e1 = t.apply_changelog(spark, changes, key_cols=["k"], txn=("cdc", 7))
+    n_snapshots = len(t._entries())
+    e2 = t.apply_changelog(spark, changes, key_cols=["k"], txn=("cdc", 7))
+    assert e2["snapshot_id"] == e1["snapshot_id"]
+    assert len(t._entries()) == n_snapshots  # no new commit on replay
+    rows = {r.k: (r.v, r.p) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", 1.0), 2: ("b2", 4.0), 3: ("c", 3.0)}
