@@ -359,11 +359,102 @@ def wl_stream_ingest(spark, sf_dir: str, factor: int) -> int:
 STREAM_WORKLOADS = {"incremental_file_ingest": wl_stream_ingest}
 
 
+# ---------------------------------------------------------------------------
+# CDC suite (--suite cdc): MERGE INTO / changelog apply at N× table size.
+# The changelog touches a CONSTANT FRACTION of keys (10% delete, 20%
+# update, 10% insert) so the merge's join + rewrite both grow linearly
+# with the factor — copy-on-write upsert should land at alpha ~ 1; a
+# per-clause rescan or repeated join would show as alpha > 1.
+# ---------------------------------------------------------------------------
+
+
+def build_cdc_corpus(factor: int) -> str:
+    """Orders-only replication (the CDC workload touches nothing else), so
+    the 100x factor doesn't pay to replicate lineitem/events."""
+    import duckdb
+
+    out_dir = os.path.join(SWEEP_ROOT, f"cdc_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    con = duckdb.connect()
+    offsets = _FACT_OFFSETS["orders"]
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{BASE_SF_DIR}/orders.parquet'").fetchall()]
+    selects = []
+    for k in range(factor):
+        proj = ", ".join(
+            f"{c} + {k * off} AS {c}" if (off := offsets.get(c)) and k else c
+            for c in cols
+        )
+        selects.append(f"SELECT {proj} FROM '{BASE_SF_DIR}/orders.parquet'")
+    con.execute(
+        f"COPY ({' UNION ALL '.join(selects)}) "
+        f"TO '{out_dir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def wl_cdc_apply(spark, sf_dir: str, factor: int) -> int:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="cdc_sweep_")
+    t = SnapTable.create(
+        os.path.join(scratch, "t"),
+        {
+            "name": "sweep_orders",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    t.overwrite(orders)
+    mod = F.col("o_orderkey") % 10
+    touched = orders.filter(mod < 3).select(
+        "o_orderkey",
+        F.lit("chg").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(mod == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    # insert keys must land OUTSIDE every replica's range at any factor
+    insert_offset = (factor + 1) * 10_000_000
+    inserts = orders.filter(mod == 3).select(
+        (F.col("o_orderkey") + F.lit(insert_offset)).alias("o_orderkey"),
+        F.lit("new").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    t.apply_changelog(
+        spark, touched.unionByName(inserts), key_cols=["o_orderkey"], op_col="op"
+    )
+    return t.read(spark).count()
+
+
+CDC_WORKLOADS = {"cdc_apply_changelog": wl_cdc_apply}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--suite", default="text", choices=["text", "rel", "stream"])
+    ap.add_argument(
+        "--suite", default="text", choices=["text", "rel", "stream", "cdc"]
+    )
     args = ap.parse_args()
     factors = sorted(int(f) for f in args.factors.split(","))
 
@@ -375,6 +466,8 @@ def main() -> None:
         workloads, builder = REL_WORKLOADS, build_rel_corpus
     elif args.suite == "stream":
         workloads, builder = STREAM_WORKLOADS, build_stream_corpus
+    elif args.suite == "cdc":
+        workloads, builder = CDC_WORKLOADS, build_cdc_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     dirs = {f: builder(f) for f in factors}
