@@ -222,6 +222,55 @@ def _cmp_vals(a: str, b: str) -> int:
         return (a > b) - (a < b)
 
 
+def _normalize_merge_clauses(
+    declared: list[str],
+    when_matched: list[dict],
+    when_not_matched: list[dict],
+    when_not_matched_by_source: list[dict],
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Validate/expand MERGE clause dicts (shared by the local executor
+    :meth:`SnapTable.merge_into` and the real-warehouse SQL renderer
+    :meth:`SnapTable.merge_into_sql`). ``"*"`` shorthands expand against
+    the declared columns; unknown columns and malformed actions raise."""
+
+    def _norm(clause: dict, allowed: tuple, kind: str) -> dict:
+        action = clause.get("action")
+        if action not in allowed:
+            raise ValueError(
+                f"merge_into: {kind} clause action must be one of "
+                f"{allowed}, got {action!r}"
+            )
+        exprs = clause.get("set" if action == "update" else "values")
+        if action in ("update", "insert"):
+            if exprs == "*":
+                exprs = {c: f"s.{c}" for c in declared}
+            if not isinstance(exprs, dict) or not exprs:
+                raise ValueError(
+                    f"merge_into: {kind} {action} clause needs a non-empty "
+                    "'set'/'values' dict (or '*')"
+                )
+            unknown = set(exprs) - set(declared)
+            if unknown:
+                raise ValueError(
+                    f"merge_into: unknown columns {sorted(unknown)}"
+                )
+        else:
+            exprs = {}
+        return {
+            "action": action,
+            "condition": clause.get("condition"),
+            "exprs": exprs,
+        }
+
+    matched = [_norm(c, ("update", "delete"), "matched") for c in when_matched]
+    not_matched = [_norm(c, ("insert",), "not-matched") for c in when_not_matched]
+    by_source = [
+        _norm(c, ("update", "delete"), "not-matched-by-source")
+        for c in when_not_matched_by_source
+    ]
+    return matched, not_matched, by_source
+
+
 def _footer_row_count(files: list[Path]) -> int:
     """Sum of parquet footer row counts — metadata-only, no data read."""
     import pyarrow.parquet as pq
@@ -712,41 +761,9 @@ class SnapTable:
         if not (when_matched or when_not_matched or when_not_matched_by_source):
             raise ValueError("merge_into: at least one WHEN clause is required")
 
-        def _norm(clause: dict, allowed: tuple, kind: str) -> dict:
-            action = clause.get("action")
-            if action not in allowed:
-                raise ValueError(
-                    f"merge_into: {kind} clause action must be one of "
-                    f"{allowed}, got {action!r}"
-                )
-            exprs = clause.get("set" if action == "update" else "values")
-            if action in ("update", "insert"):
-                if exprs == "*":
-                    exprs = {c: f"s.{c}" for c in declared}
-                if not isinstance(exprs, dict) or not exprs:
-                    raise ValueError(
-                        f"merge_into: {kind} {action} clause needs a non-empty "
-                        "'set'/'values' dict (or '*')"
-                    )
-                unknown = set(exprs) - set(declared)
-                if unknown:
-                    raise ValueError(
-                        f"merge_into: unknown columns {sorted(unknown)}"
-                    )
-            else:
-                exprs = {}
-            return {
-                "action": action,
-                "condition": clause.get("condition"),
-                "exprs": exprs,
-            }
-
-        matched = [_norm(c, ("update", "delete"), "matched") for c in when_matched]
-        not_matched = [_norm(c, ("insert",), "not-matched") for c in when_not_matched]
-        by_source = [
-            _norm(c, ("update", "delete"), "not-matched-by-source")
-            for c in when_not_matched_by_source
-        ]
+        matched, not_matched, by_source = _normalize_merge_clauses(
+            declared, when_matched, when_not_matched, when_not_matched_by_source
+        )
 
         target = (
             self.read(spark)
@@ -866,6 +883,56 @@ class SnapTable:
             details={"mode": "merge", "on": on, **merge_stats},
         )
         return entry
+
+    def merge_into_sql(
+        self,
+        source_view: str,
+        on: str,
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
+        table_fq: str | None = None,
+    ) -> str:
+        """Render the equivalent ``MERGE INTO`` statement for a real
+        warehouse (Iceberg/Delta on a cluster with the runtime jar; see
+        ``tables/catalog_conf.py``) from the SAME clause dicts
+        :meth:`merge_into` executes locally — the swap-in path: develop
+        and test the merge locally, ship the rendered SQL to production.
+        Same first-match-wins semantics (Spark evaluates MERGE clauses in
+        order), same ``"*"`` expansion, same validation.
+        """
+        declared = [c["name"] for c in self.meta.get("columns", [])]
+        matched, not_matched, by_source = _normalize_merge_clauses(
+            declared,
+            list(when_matched or []),
+            list(when_not_matched or []),
+            list(when_not_matched_by_source or []),
+        )
+        if not (matched or not_matched or by_source):
+            raise ValueError("merge_into_sql: at least one WHEN clause is required")
+
+        def _when(prefix: str, clause: dict) -> str:
+            head = prefix + (f" AND ({clause['condition']})" if clause["condition"] else "")
+            if clause["action"] == "delete":
+                return f"{head} THEN DELETE"
+            if clause["action"] == "update":
+                sets = ", ".join(
+                    f"t.{c} = {e}" for c, e in clause["exprs"].items()
+                )
+                return f"{head} THEN UPDATE SET {sets}"
+            cols = ", ".join(clause["exprs"])
+            vals = ", ".join(clause["exprs"].values())
+            return f"{head} THEN INSERT ({cols}) VALUES ({vals})"
+
+        lines = [
+            f"MERGE INTO {table_fq or self.fq_name} t",
+            f"USING {source_view} s",
+            f"ON {on}",
+        ]
+        lines += [_when("WHEN MATCHED", c) for c in matched]
+        lines += [_when("WHEN NOT MATCHED", c) for c in not_matched]
+        lines += [_when("WHEN NOT MATCHED BY SOURCE", c) for c in by_source]
+        return "\n".join(lines)
 
     def apply_changelog(
         self,
@@ -1720,6 +1787,92 @@ class SnapTable:
                 details={"mode": "remove_orphan_files", "removed_dirs": removed},
             )
         return removed
+
+    def verify_integrity(self, snapshot_id: str | None = None) -> dict:
+        """Metadata↔data consistency check — the fsck the reference's
+        disaster-recovery runbook implies (restore a catalog store or
+        un-delete S3 objects, then "after verification, swap the table",
+        ``docs/operations-runbook.md:105-140``; this is the verification
+        step). Driver-side metadata only: paths + parquet footers,
+        O(files), no data scan.
+
+        Checks, for the selected (default current) snapshot:
+
+        - every referenced data directory exists and holds ≥1 parquet file
+          (a missing dir = data loss the log doesn't know about — exactly
+          what a partial S3 restore produces);
+        - footer row counts sum to the entry's ``row_count``;
+        - physical file count matches ``file_count``;
+        - the commit log itself is well-formed (contiguous sequences, each
+          entry's parent chains to its predecessor).
+
+        Also inventories orphan directories (referenced by NO snapshot or
+        branch) — debris, not corruption; ``remove_orphan_files``
+        territory. Returns a report dict with ``ok`` (orphans don't fail
+        it) and per-category findings; raises nothing, so it is safe to
+        run against a half-restored table.
+        """
+        report: dict = {
+            "table": self.fq_name,
+            "ok": True,
+            "missing_dirs": [],
+            "empty_dirs": [],
+            "row_count_mismatch": None,
+            "file_count_mismatch": None,
+            "log_errors": [],
+            "orphan_dirs": [],
+        }
+        entries = self._entries()
+        if not entries:
+            report["log_errors"].append("no snapshots")
+            report["ok"] = False
+            return report
+        seqs = [e["sequence"] for e in entries]
+        if seqs != list(range(seqs[0], seqs[0] + len(seqs))):
+            report["log_errors"].append(f"non-contiguous sequences: {seqs}")
+        for prev, e in zip(entries, entries[1:]):
+            if e.get("parent_id") != prev["snapshot_id"]:
+                report["log_errors"].append(
+                    f"sequence {e['sequence']} parent_id does not chain"
+                )
+        snap = self._snapshot_for(snapshot_id, None)
+        total_rows = 0
+        total_files = 0
+        for d in snap["data_dirs"]:
+            base = self.data_dir / d
+            if not base.is_dir():
+                report["missing_dirs"].append(d)
+                continue
+            files = sorted(base.rglob("*.parquet"))
+            if not files:
+                report["empty_dirs"].append(d)
+                continue
+            total_rows += _footer_row_count(files)
+            total_files += len(files)
+        if not report["missing_dirs"] and not report["empty_dirs"]:
+            if total_rows != snap["row_count"]:
+                report["row_count_mismatch"] = {
+                    "expected": snap["row_count"], "actual": total_rows,
+                }
+            if total_files != snap["file_count"]:
+                report["file_count_mismatch"] = {
+                    "expected": snap["file_count"], "actual": total_files,
+                }
+        referenced = {d for e in entries for d in e["data_dirs"]}
+        referenced |= {d for e in self._all_branch_entries() for d in e["data_dirs"]}
+        if self.data_dir.is_dir():
+            report["orphan_dirs"] = sorted(
+                c.name for c in self.data_dir.iterdir()
+                if c.is_dir() and c.name not in referenced
+            )
+        report["ok"] = not (
+            report["missing_dirs"]
+            or report["empty_dirs"]
+            or report["row_count_mismatch"]
+            or report["file_count_mismatch"]
+            or report["log_errors"]
+        )
+        return report
 
     def expire_snapshots(self, older_than_ms: int | None = None, max_age_ms: int | None = None) -> int:
         """Drop snapshots past the retention window; delete orphaned data.

@@ -241,3 +241,43 @@ def test_txn_merge_replay_is_skipped(spark, tmp_path):
     assert len(t._entries()) == n_snapshots  # no new commit on replay
     rows = {r.k: (r.v, r.p) for r in t.read(spark).collect()}
     assert rows == {1: ("a", 1.0), 2: ("b2", 4.0), 3: ("c", 3.0)}
+
+
+def test_merge_into_sql_renders_and_parses(spark, table):
+    """The rendered MERGE must be syntactically valid Spark SQL (parse
+    check, like the DDL tests: analysis fails locally without a real
+    catalog table, but a ParseException would mean broken rendering)."""
+    from pyspark.errors import ParseException
+
+    sql = table.merge_into_sql(
+        "updates_v",
+        "t.id = s.id",
+        when_matched=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "set": {"amount": "s.amount"}},
+        ],
+        when_not_matched=[{"action": "insert", "values": "*"}],
+        when_not_matched_by_source=[
+            {"action": "update", "set": {"status": "'stale'"}}
+        ],
+        table_fq="spark_catalog.lakehouse.accounts",
+    )
+    assert "WHEN MATCHED AND (s.op = 'D') THEN DELETE" in sql
+    assert "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.status = 'stale'" in sql
+    assert "THEN INSERT (id, status, amount) VALUES (s.id, s.status, s.amount)" in sql
+    try:
+        spark.sql(sql)
+    except ParseException as exc:  # pragma: no cover
+        raise AssertionError(f"rendered MERGE failed to parse:\n{sql}") from exc
+    except Exception:
+        pass  # analysis errors (no such table locally) are expected
+
+
+def test_merge_into_sql_validates_clauses(table):
+    with pytest.raises(ValueError, match="at least one WHEN clause"):
+        table.merge_into_sql("v", "t.id = s.id")
+    with pytest.raises(ValueError, match="unknown columns"):
+        table.merge_into_sql(
+            "v", "t.id = s.id",
+            when_matched=[{"action": "update", "set": {"nope": "s.nope"}}],
+        )

@@ -1177,3 +1177,43 @@ def test_partitions_metadata_table_counts_match_data(spark, tmp_path):
         assert r["record_count"] == 5
         assert r["file_count"] >= 1
         assert r["total_size_bytes"] > 0
+
+
+# -- verify_integrity: the DR runbook's "after verification, swap" step -----
+
+
+def test_verify_integrity_clean_table(spark, table, events_df):
+    table.append(events_df)
+    table.append(events_df)
+    report = table.verify_integrity()
+    assert report["ok"]
+    assert report["orphan_dirs"] == []
+
+
+def test_verify_integrity_detects_missing_dir_and_orphans(spark, table, events_df):
+    import shutil as _sh
+
+    table.append(events_df)
+    table.append(events_df)
+    # orphan: a materialized dir no snapshot references
+    (table.data_dir / "debris-000").mkdir()
+    # data loss: remove a referenced dir behind the log's back
+    victim = table._entries()[-1]["data_dirs"][0]
+    _sh.rmtree(table.data_dir / victim)
+    report = table.verify_integrity()
+    assert not report["ok"]
+    assert victim in report["missing_dirs"]
+    assert "debris-000" in report["orphan_dirs"]
+
+
+def test_verify_integrity_detects_row_count_tamper(spark, table, events_df):
+    import json as _json
+
+    table.append(events_df)
+    entry_path = table.log_dir / f"{table._entries()[-1]['sequence']:012d}.json"
+    e = _json.loads(entry_path.read_text())
+    e["row_count"] += 7
+    entry_path.write_text(_json.dumps(e))
+    report = table.verify_integrity()
+    assert not report["ok"]
+    assert report["row_count_mismatch"] == {"expected": 10, "actual": 3}
