@@ -49,3 +49,49 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def sample_priority(id_col: Column | str, weight_col: Column | str) -> Column:
+    """Efraimidis–Spirakis sampling priority: for uniform u in (0,1),
+    taking the k SMALLEST ``-ln(u)/w`` draws a weight-proportional sample
+    without replacement (the exponential-race formulation of A-Res,
+    "Weighted random sampling with a reservoir", IPL 2006). ``u`` derives
+    from the Knuth id hash instead of ``rand()`` — reproducible across
+    runs, partitionings, and engines (the same expression replays in
+    DuckDB for the oracle)."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (id_hash(id_col) + F.lit(0.5)) / F.lit(float(MOD32))
+    return -F.log(u) / wc
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly ``k`` rows drawn weight-proportionally WITHOUT replacement
+    (per stratum when ``strata_cols`` is given) — quality-weighted corpus
+    subsetting: sampling pretraining docs proportional to a quality score
+    or length without a biased with-replacement draw. Deterministic and
+    partition-independent (see :func:`sample_priority`).
+
+    Rows with non-positive weight are excluded (zero weight = never
+    sampled; the exponential race is undefined there).
+
+    Scale: the global form plans ``TakeOrderedAndProject`` — per-partition
+    top-k heaps merged on the driver, NO global sort, no single-partition
+    window. The stratified form sorts per stratum (one shuffle on the
+    strata keys); same pre-filter guidance as :func:`stratified_sample`
+    for huge strata.
+    """
+    pri = sample_priority(id_col, weight_col)
+    eligible = df.filter(F.col(weight_col) > 0)
+    if strata_cols:
+        w = W.partitionBy(*strata_cols).orderBy(pri, F.col(id_col))
+        return (
+            eligible.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+        )
+    return eligible.orderBy(pri, F.col(id_col)).limit(k)

@@ -120,6 +120,7 @@ _GATE_PRIORITY: list[str] = [
     "tag_retention_lifecycle",
     "partition_stats_table",
     "streaming_cdc_ingest_lifecycle",
+    "weighted_doc_sample",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -3936,6 +3937,43 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample(docs, ["lang"], 20, "doc_id")
         .select("lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
         .orderBy("lang", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional sampling WITHOUT replacement (SURVEY §2.13
+# extension): Efraimidis–Spirakis A-Res via the exponential race — take
+# the k smallest -ln(u)/w with u derived from the Knuth id hash, so the
+# draw is reproducible across engines/runs/partitionings (rand() is
+# none of those). Here: documents sampled proportional to length, the
+# standard length-weighted corpus subset. Global form plans
+# TakeOrderedAndProject (per-partition heaps, NO global sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             -ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                 / 4294967296.0) / n_chars AS pri
+      FROM documents WHERE n_chars > 0
+      ORDER BY pri, doc_id
+      LIMIT 500
+    )
+    ORDER BY doc_id
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "n_chars", 500, "doc_id")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
     )
 
 

@@ -676,3 +676,50 @@ def test_near_dup_clusters_driver_and_distributed_paths_agree(spark):
     assert f == s
     assert f[5] == 1 and f[22] == 20 and f[11] == 10
     assert f[99] == 99  # singleton
+
+
+def test_weighted_sample_exact_k_stable_and_biased(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = weighted_sample(docs, "n_chars", 200, "doc_id")
+    picks1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    assert len(picks1) == 200
+    # partition-independence: identical draw under a different layout
+    s2 = weighted_sample(docs.repartition(23), "n_chars", 200, "doc_id")
+    assert picks1 == sorted(r.doc_id for r in s2.select("doc_id").collect())
+    # weight-proportionality: the length-weighted sample's mean doc length
+    # must exceed the corpus mean (longer docs are favored)
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sample = s1.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_all * 1.1
+    # zero/negative weights are never drawn
+    with_zero = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.col("n_chars"))
+    )
+    sz = weighted_sample(with_zero, "w", 100, "doc_id")
+    assert sz.filter(F.col("doc_id") % 2 == 0).count() == 0
+
+
+def test_weighted_sample_global_form_plans_topk_heap(spark, sf_dir):
+    """The global draw must plan TakeOrderedAndProject (per-partition
+    heaps), not a global sort — the single-partition-window trap."""
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = weighted_sample(docs, "n_chars", 200, "doc_id")
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jm)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_stratified_exact_per_stratum(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = weighted_sample(docs, "n_chars", 9, "doc_id", strata_cols=["lang"])
+    per = {r.lang: r.n for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 9 for n in per.values()) and len(per) >= 4
