@@ -537,3 +537,273 @@ def quantize_embeddings_int8(
         ).alias("qvec"),
         "scale",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS IVF-PQ's compression half): split each
+# vector into m subvectors, k-means each subspace into n_codes codewords,
+# store only the m code ids — dim·4 bytes shrinks to m bytes (64-dim
+# float32 → 8 bytes at m=8: 32x). Queries score compressed vectors via
+# ADC (asymmetric distance computation): per query, an m × n_codes table
+# of exact subvector distances is built once, and each corpus vector's
+# distance is m table lookups — no decompression. Jégou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 20,
+    seed: int = 42,
+    corpus_vec: str = "embedding",
+    fit_sample: int = 100_000,
+    order_col: str | None = None,
+) -> list[list[list[float]]]:
+    """Fit per-subspace PQ codebooks on a driver-side sample (same
+    deterministic sampling contract as :func:`ivf_index`: ``order_col``
+    makes the sample ORDER BY col LIMIT n — replayable by an external
+    oracle). Returns ``m`` codebooks of ``n_codes`` centroids each
+    (python float lists, embeddable as literals). Codebook ``j`` is fit
+    with ``seed + j`` so subspaces draw independent initializations.
+    """
+    import numpy as np
+
+    sample_src = corpus.select(
+        F.col(corpus_vec).alias("__v"),
+        *([F.col(order_col)] if order_col else []),
+    )
+    if order_col is not None:
+        sample = sample_src.orderBy(order_col).limit(fit_sample).collect()
+    else:
+        sample = (
+            sample_src.withColumn(
+                "__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>")))
+            )
+            .orderBy("__h")
+            .limit(fit_sample)
+            .collect()
+        )
+    mat = np.array([r["__v"] for r in sample], dtype="float64")
+    if len(mat) == 0:
+        raise ValueError("pq_fit: corpus has no vectors to fit on")
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        fit_centroids(mat[:, j * sub : (j + 1) * sub], n_codes, max_iter, seed + j)
+        .tolist()
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus_vec: str = "embedding",
+    assign: str = "gemm",
+) -> DataFrame:
+    """Add a ``codes`` column (``array<int>``, length m): each vector's
+    per-subspace nearest codeword. ``assign='gemm'`` is the production
+    path (Arrow-batched pandas UDF, one GEMM per subspace per batch);
+    ``'fold'`` uses pure column expressions whose float accumulation
+    order an external SQL engine can replay (the oracle path — and the
+    equivalence test pins gemm == fold).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if assign == "fold":
+        # One parsed SQL expression instead of m × n_codes py4j-composed
+        # Columns: building 128 fold Columns costs ~4 s of driver-side
+        # py4j round trips; the equivalent SQL string parses JVM-side in
+        # one call. Identical expression semantics (same folds, same
+        # element order, same struct-min tie-break) — pinned by the
+        # oracle replay and the gemm==fold test.
+        pre = corpus
+        for j in range(m):
+            pre = pre.withColumn(
+                f"__sv{j}", F.slice(F.col(corpus_vec), j * sub + 1, sub)
+            ).withColumn(
+                f"__vn{j}",
+                F.aggregate(
+                    F.transform(
+                        F.col(f"__sv{j}"),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+
+        def dlit(x: float) -> str:
+            return repr(float(x)) + "D"
+
+        code_exprs = []
+        for j in range(m):
+            structs = []
+            for ci, (code, c2) in enumerate(
+                zip(codebooks[j], centroid_sq_norms(codebooks[j]))
+            ):
+                arr = "array(" + ", ".join(dlit(x) for x in code) + ")"
+                dot = (
+                    f"aggregate(zip_with(__sv{j}, {arr}, "
+                    f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+                    f"(acc, v) -> acc + v)"
+                )
+                structs.append(
+                    f"named_struct('d2', __vn{j} - 2.0D * {dot} + {dlit(c2)}, "
+                    f"'cell', {ci})"
+                )
+            code_exprs.append(f"array_min(array({', '.join(structs)})).cell")
+        scratch = [f"__sv{j}" for j in range(m)] + [f"__vn{j}" for j in range(m)]
+        return pre.withColumn(
+            "codes", F.expr("array(" + ", ".join(code_exprs) + ")")
+        ).drop(*scratch)
+
+    books = np.array(codebooks, dtype="float64")  # m x k x sub
+    books_sq = (books * books).sum(2)  # m x k
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype("float64")  # B x dim
+        out = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            s = mat[:, j * sub : (j + 1) * sub]
+            d2 = (
+                (s * s).sum(1)[:, None]
+                - 2.0 * (s @ books[j].T)
+                + books_sq[j][None, :]
+            )
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return corpus.withColumn(
+        "codes", encode(F.col(corpus_vec).cast("array<double>"))
+    )
+
+
+def adc_tables(
+    codebooks: list[list[list[float]]], query_vecs: list[list[float]]
+) -> list[list[list[float]]]:
+    """Per-query ADC lookup tables: ``tables[q][j][code]`` = exact squared
+    L2 distance between query q's j-th subvector and that codeword. Pure
+    python-float arithmetic (no BLAS) so the SAME double literals embed in
+    both the Spark plan and a SQL oracle replay."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = []
+    for qv in query_vecs:
+        per_q = []
+        for j in range(m):
+            qs = [float(x) for x in qv[j * sub : (j + 1) * sub]]
+            row = []
+            for code in codebooks[j]:
+                acc = 0.0
+                for a, b in zip(qs, code):
+                    d = a - float(b)
+                    acc += d * d
+                row.append(acc)
+            per_q.append(row)
+        out.append(per_q)
+    return out
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query by ADC distance over PQ
+    codes. ``queries`` is a driver-side list of ``(query_id, vector)`` —
+    the bounded broadcast query set, same contract as the brute-force
+    baseline. Scoring is m ``element_at`` lookups per (row, query) summed
+    in subspace order (engine-replayable), one explode to (row, query)
+    granularity, then a per-query top-k window. Returns
+    (query_id, vec_id, adc_d2, rank).
+
+    Scale: the corpus is never collected or decompressed; candidate
+    volume is |corpus| × |queries| cheap lookups. Compose with an IVF
+    cell filter for the full IVF-PQ funnel (route queries to cells, ADC
+    only within them).
+    """
+    tables = adc_tables(codebooks, [qv for _, qv in queries])
+    m = len(codebooks)
+    structs = []
+    for (qid, _), per_q in zip(queries, tables):
+        d2 = None
+        for j in range(m):
+            lut = F.array(*[F.lit(float(x)) for x in per_q[j]])
+            term = F.element_at(lut, F.col("codes")[j] + 1)
+            d2 = term if d2 is None else d2 + term
+        structs.append(
+            F.struct(F.lit(qid).alias("query_id"), d2.alias("adc_d2"))
+        )
+    exploded = encoded.select(
+        corpus_id, F.explode(F.array(*structs)).alias("s")
+    ).select(corpus_id, "s.query_id", "s.adc_d2")
+    w = W.partitionBy("query_id").orderBy("adc_d2", corpus_id)
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "adc_d2", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_adc_rerank_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple],
+    k: int = 10,
+    k_cand: int = 50,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The standard PQ retrieval pipeline: ADC over compressed codes
+    generates ``k_cand`` candidates per query (cheap table lookups over
+    the whole corpus), then EXACT distances re-rank only the candidates —
+    recall approaches brute force while full-precision work is
+    O(queries × k_cand), not O(queries × corpus). Returns
+    (query_id, vec_id, exact_d2, rank).
+
+    Scale: stage 1 never decompresses; stage 2 touches ``k_cand`` vectors
+    per query (a semi-join against the candidate ids, then one small
+    Arrow batch of exact math).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cand = pq_adc_topk(
+        encoded, codebooks, queries, k=k_cand, corpus_id=corpus_id
+    ).select("query_id", corpus_id)
+    qmap = {int(qid): np.asarray(qv, dtype="float64") for qid, qv in queries}
+
+    @pandas_udf("double")
+    def exact_d2(vecs: pd.Series, qids: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype("float64")
+        qm = np.stack([qmap[int(q)] for q in qids.to_numpy()])
+        return pd.Series(((mat - qm) ** 2).sum(1))
+
+    joined = cand.join(
+        encoded.select(corpus_id, corpus_vec), corpus_id
+    ).withColumn(
+        "exact_d2",
+        exact_d2(F.col(corpus_vec).cast("array<double>"), F.col("query_id")),
+    )
+    w = W.partitionBy("query_id").orderBy("exact_d2", corpus_id)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", corpus_id, "exact_d2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

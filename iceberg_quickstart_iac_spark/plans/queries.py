@@ -121,6 +121,7 @@ _GATE_PRIORITY: list[str] = [
     "partition_stats_table",
     "streaming_cdc_ingest_lifecycle",
     "weighted_doc_sample",
+    "embedding_pq_topk",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -1121,10 +1122,16 @@ def _lsh_oracle_sql() -> str:
     n = len(planes)
 
     def dot(vec_expr: str, plane: list[float]) -> str:
-        lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        # string→DOUBLE literals: DuckDB's plain-decimal literal path can
+        # parse 1 ulp off the correctly-rounded double; VARCHAR→DOUBLE is
+        # exact (same hardening as the PQ oracle)
+        lits = (
+            "CAST([" + ", ".join("'" + repr(float(x)) + "'" for x in plane)
+            + "] AS DOUBLE[])"
+        )
         return (
             f"list_sum(list_transform(list_zip({vec_expr}, {lits}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
         )
 
     def bucket(vec_expr: str) -> str:
@@ -3179,10 +3186,15 @@ def _ivf_oracle_parts() -> tuple[str, "Callable[[str, str], str]"]:
     sq = centroid_sq_norms(cents)
 
     def arr(c: list[float]) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        # string→DOUBLE casts: exact literal parse (see the PQ oracle note)
+        return (
+            "CAST([" + ", ".join("'" + repr(float(x)) + "'" for x in c)
+            + "] AS DOUBLE[])"
+        )
 
     cell_structs = ", ".join(
-        "{'cell': %d, 'cv': %s, 'c2': %s}" % (i, arr(c), repr(float(s)))
+        "{'cell': %d, 'cv': %s, 'c2': CAST('%s' AS DOUBLE)}"
+        % (i, arr(c), repr(float(s)))
         for i, (c, s) in enumerate(zip(cents, sq))
     )
     dot = (
@@ -3264,6 +3276,173 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         tagged, centroids, queries_df, k=_IVF_CONF["k"], nprobe=_IVF_CONF["nprobe"]
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (SURVEY §2.13 X3 extension; FAISS IVF-PQ's
+# compression half, Jégou et al. TPAMI 2011): 64-dim float vectors
+# compress to m=8 one-byte codes (32x), queries score the compressed
+# corpus via ADC table lookups — no decompression. The Spark query uses
+# the fold paths (element-order float accumulation) so the oracle can
+# replay encode + ADC bit-exactly: codebooks refit from the gate parquet
+# by the same pure-numpy k-means (cached per sf_dir, lazily), distance
+# tables shared as python-float literals on both sides.
+# ---------------------------------------------------------------------------
+
+_PQ_CONF = {
+    "m": 8,
+    "n_codes": 16,
+    "max_iter": 8,
+    "seed": 7,
+    "fit_sample": 100_000,
+    "k": 10,
+    "n_queries": 4,
+}
+
+_PQ_BOOK_CACHE: dict[str, list] = {}
+
+
+def _pq_oracle_books_and_queries() -> tuple[list, list]:
+    """Refit the query's codebooks from the correctness-gate parquet (same
+    rows, same order, same seeded numpy — bit-identical to the Spark
+    query's fit) and fetch the fixed query vectors. Cached per sf_dir."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.similarity import fit_centroids
+
+    sf_dir = _gate_sf_dir()
+    if sf_dir not in _PQ_BOOK_CACHE:
+        con = duckdb.connect()
+        try:
+            rows = con.sql(
+                f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                f"ORDER BY vec_id LIMIT {_PQ_CONF['fit_sample']}"
+            ).fetchall()
+            qrows = con.sql(
+                f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+                f"WHERE vec_id < {_PQ_CONF['n_queries']} ORDER BY vec_id"
+            ).fetchall()
+        finally:
+            con.close()
+        mat = np.array([r[0] for r in rows], dtype="float64")
+        dim = mat.shape[1]
+        m = _PQ_CONF["m"]
+        sub = dim // m
+        books = [
+            fit_centroids(
+                mat[:, j * sub : (j + 1) * sub],
+                _PQ_CONF["n_codes"],
+                _PQ_CONF["max_iter"],
+                _PQ_CONF["seed"] + j,
+            ).tolist()
+            for j in range(m)
+        ]
+        _PQ_BOOK_CACHE[sf_dir] = (
+            books,
+            [(int(q[0]), [float(x) for x in q[1]]) for q in qrows],
+        )
+    return _PQ_BOOK_CACHE[sf_dir]
+
+
+def _pq_oracle_sql() -> str:
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        adc_tables,
+        centroid_sq_norms,
+    )
+
+    books, queries = _pq_oracle_books_and_queries()
+    tables = adc_tables(books, [qv for _, qv in queries])
+    m = len(books)
+    sub = len(books[0][0])
+
+    def arr(c) -> str:
+        # string→DOUBLE casts: DuckDB's numeric-literal path types plain
+        # decimals as DECIMAL and its conversion can land 1 ulp off the
+        # correctly-rounded double; the VARCHAR→DOUBLE cast is exact, so
+        # the literals match python/Spark bit-for-bit
+        return (
+            "CAST(["
+            + ", ".join("'" + repr(float(x)) + "'" for x in c)
+            + "] AS DOUBLE[])"
+        )
+
+    def dbl(x) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    cb_ctes = []
+    sub_cols = []
+    code_cols = []
+    for j in range(m):
+        structs = ", ".join(
+            "{'code': %d, 'cv': %s, 'c2': %s}" % (i, arr(c), dbl(s))
+            for i, (c, s) in enumerate(zip(books[j], centroid_sq_norms(books[j])))
+        )
+        cb_ctes.append(f"cb{j}(u) AS (SELECT unnest([{structs}]))")
+        lo, hi = j * sub + 1, (j + 1) * sub
+        sub_cols.append(
+            f"CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS sv{j}, "
+            f"list_sum(list_transform(CAST(embedding[{lo}:{hi}] AS DOUBLE[]), "
+            f"x -> x * x)) AS vn{j}"
+        )
+        code_cols.append(
+            f"(SELECT u.code FROM cb{j} ORDER BY vn{j} - 2.0 * "
+            f"list_sum(list_transform(list_zip(sv{j}, u.cv), p -> p[1] * p[2]))"
+            f" + u.c2, u.code LIMIT 1) AS c{j}"
+        )
+    scored_arms = []
+    for (qid, _), per_q in zip(queries, tables):
+        terms = " + ".join(
+            f"list_extract({arr(per_q[j])}, c{j} + 1)" for j in range(m)
+        )
+        scored_arms.append(
+            f"SELECT vec_id, {qid} AS query_id, {terms} AS adc_d2 FROM enc"
+        )
+    return f"""
+    WITH {', '.join(cb_ctes)},
+    enc AS (
+      SELECT vec_id, {', '.join(code_cols)}
+      FROM (SELECT vec_id, {', '.join(sub_cols)} FROM embeddings)
+    ),
+    scored AS ({' UNION ALL '.join(scored_arms)})
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_CONF["k"]}
+    ORDER BY query_id, rank
+    """
+
+
+@query("embedding_pq_topk", oracle=_pq_oracle_sql)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(
+        emb,
+        m=_PQ_CONF["m"],
+        n_codes=_PQ_CONF["n_codes"],
+        max_iter=_PQ_CONF["max_iter"],
+        seed=_PQ_CONF["seed"],
+        fit_sample=_PQ_CONF["fit_sample"],
+        order_col="vec_id",  # replayable fit sample
+    )
+    encoded = pq_encode(emb, books, assign="fold")  # oracle-replayable codes
+    qrows = (
+        emb.filter(F.col("vec_id") < _PQ_CONF["n_queries"])
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries_list = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    return pq_adc_topk(encoded, books, queries_list, k=_PQ_CONF["k"]).orderBy(
+        "query_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -723,3 +723,80 @@ def test_weighted_sample_stratified_exact_per_stratum(spark, sf_dir):
     s = weighted_sample(docs, "n_chars", 9, "doc_id", strata_cols=["lang"])
     per = {r.lang: r.n for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n == 9 for n in per.values()) and len(per) >= 4
+
+
+def _pq_setup(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.similarity import pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, n_codes=16, max_iter=8, seed=7, order_col="vec_id")
+    return emb, books
+
+
+def test_pq_fit_shapes_and_validation(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.operators.similarity import pq_fit
+
+    emb, books = _pq_setup(spark, sf_dir)
+    assert len(books) == 8
+    assert all(len(cb) == 16 for cb in books)
+    assert all(len(code) == 8 for cb in books for code in cb)  # 64/8 dims
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m=7)
+
+
+def test_pq_encode_gemm_and_fold_agree(spark, sf_dir):
+    from iceberg_quickstart_iac_spark.operators.similarity import pq_encode
+
+    emb, books = _pq_setup(spark, sf_dir)
+    gemm = {r.vec_id: list(r.codes) for r in pq_encode(emb, books, assign="gemm").collect()}
+    fold = {r.vec_id: list(r.codes) for r in pq_encode(emb, books, assign="fold").collect()}
+    assert gemm == fold
+    assert all(0 <= c < 16 for codes in gemm.values() for c in codes)
+
+
+def test_pq_adc_rerank_recall_beats_raw_adc(spark, sf_dir):
+    """Candidate-generate (ADC) + exact re-rank — the standard PQ
+    pipeline. Recall@10 of exact L2 neighbors must clear 0.6 (measured
+    0.75 at 50 candidates on this corpus), and must beat raw ADC@10."""
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb, books = _pq_setup(spark, sf_dir)
+    enc = pq_encode(emb, books, assign="gemm")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows[:8]]
+
+    def recall(result_rows):
+        got = {}
+        for r in result_rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        per_q = []
+        for qid, qv in queries:
+            d2 = ((mat - np.asarray(qv)) ** 2).sum(1)
+            exact = set(ids[np.argsort(d2, kind="stable")[:10]])
+            per_q.append(len(exact & got[qid]) / 10)
+        return sum(per_q) / len(per_q)
+
+    raw = recall(pq_adc_topk(enc, books, queries, k=10).collect())
+    rr = pq_adc_rerank_topk(enc, books, queries, k=10, k_cand=50).collect()
+    reranked = recall(rr)
+    assert reranked >= 0.6
+    assert reranked > raw
+    # per-query invariants: exactly k rows, ranks contiguous, self is top-1
+    # (the query vector is IN the corpus: exact_d2 = 0 beats everything
+    # as long as ADC kept it among the candidates)
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, _ in queries:
+        rs = sorted(by_q[qid], key=lambda r: r.rank)
+        assert len(rs) == 10 and [r.rank for r in rs] == list(range(1, 11))
+        assert rs[0].vec_id == qid and rs[0].exact_d2 == 0.0
