@@ -202,11 +202,36 @@ def wl_semantic_dedup(spark, sf_dir: str, factor: int) -> int:
     return kept.count()
 
 
+def wl_pq_adc(spark, sf_dir: str, factor: int) -> int:
+    """PQ encode + ADC top-k over the full corpus: codebook fit is bounded
+    by fit_sample, encode is map-only, ADC is corpus × queries lookups —
+    expected alpha ~ 1 dominated by the encode scan."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_fit,
+    )
+
+    emb = _load_emb(spark, sf_dir)
+    books = pq_fit(
+        emb, m=8, n_codes=16, max_iter=8, seed=7,
+        fit_sample=100_000, order_col="vec_id",
+    )
+    encoded = pq_encode(emb, books, assign="gemm")
+    qrows = (
+        emb.filter(F.col("vec_id") < IVF_QUERIES)
+        .select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    return pq_adc_topk(encoded, books, queries, k=10).count()
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
     "embedding_ann_ivf": wl_ann_ivf,
     "semantic_dedup_cells": wl_semantic_dedup,
+    "embedding_pq_adc": wl_pq_adc,
 }
 
 
@@ -455,6 +480,10 @@ def main() -> None:
     ap.add_argument(
         "--suite", default="text", choices=["text", "rel", "stream", "cdc"]
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated workload names to run (default: all in suite)",
+    )
     args = ap.parse_args()
     factors = sorted(int(f) for f in args.factors.split(","))
 
@@ -470,6 +499,12 @@ def main() -> None:
         workloads, builder = CDC_WORKLOADS, build_cdc_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(workloads)
+        if unknown:
+            raise SystemExit(f"--only: unknown workloads {sorted(unknown)}")
+        workloads = {n: f for n, f in workloads.items() if n in wanted}
     dirs = {f: builder(f) for f in factors}
     times: dict[str, dict[int, float]] = {w: {} for w in workloads}
     rows: dict[str, dict[int, int]] = {w: {} for w in workloads}
