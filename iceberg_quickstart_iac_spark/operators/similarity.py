@@ -807,3 +807,84 @@ def pq_adc_rerank_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def route_queries_python(
+    centroids: list[list[float]],
+    queries: list[tuple],
+    nprobe: int,
+) -> list[tuple]:
+    """Nearest-``nprobe`` cells per query by squared L2, computed in pure
+    python left-folds (no BLAS) so an external SQL engine folding the same
+    literals in the same order ranks cells bit-identically. Driver-side
+    O(queries × cells × dim) — the query set is bounded, the corpus is
+    never touched. Returns (query_id, cell) pairs."""
+    sq = centroid_sq_norms(centroids)
+    out = []
+    for qid, qv in queries:
+        vn = 0.0
+        for x in qv:
+            vn += float(x) * float(x)
+        ds = []
+        for ci, (cvec, c2) in enumerate(zip(centroids, sq)):
+            dot = 0.0
+            for a, b in zip(qv, cvec):
+                dot += float(a) * float(b)
+            ds.append((vn - 2.0 * dot + c2, ci))
+        ds.sort()
+        out.extend((int(qid), ci) for _, ci in ds[:nprobe])
+    return out
+
+
+def ivfpq_topk(
+    encoded_tagged: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: list[tuple],
+    k: int = 10,
+    nprobe: int = 6,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """The full FAISS IVF-PQ funnel: route each query to its ``nprobe``
+    nearest IVF cells, then score ONLY those cells' vectors by ADC over
+    the PQ codes — candidate volume drops from |corpus| × |queries| to
+    ~(nprobe/n_cells) × |corpus| × |queries|, and no vector is ever
+    decompressed. ``encoded_tagged`` carries both ``cell``
+    (:func:`ivf_index`) and ``codes`` (:func:`pq_encode`).
+
+    The probed-cell filter is a broadcast semi-join on (query_id, cell) —
+    at 100 TB with the corpus written partitioned by cell, it prunes
+    partitions before the scan. Returns (query_id, vec_id, adc_d2, rank).
+    """
+    tables = adc_tables(codebooks, [qv for _, qv in queries])
+    m = len(codebooks)
+    spark = encoded_tagged.sparkSession
+    routed = spark.createDataFrame(
+        route_queries_python(centroids, queries, nprobe),
+        "query_id LONG, cell INT",
+    )
+    structs = []
+    for (qid, _), per_q in zip(queries, tables):
+        d2 = None
+        for j in range(m):
+            lut = F.array(*[F.lit(float(x)) for x in per_q[j]])
+            term = F.element_at(lut, F.col("codes")[j] + 1)
+            d2 = term if d2 is None else d2 + term
+        structs.append(
+            F.struct(F.lit(qid).alias("query_id"), d2.alias("adc_d2"))
+        )
+    exploded = encoded_tagged.select(
+        corpus_id, "cell", F.explode(F.array(*structs)).alias("s")
+    ).select(corpus_id, "cell", "s.query_id", "s.adc_d2")
+    probed = exploded.join(
+        F.broadcast(routed), ["query_id", "cell"], "inner"
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", corpus_id)
+    return (
+        probed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", corpus_id, "adc_d2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -122,6 +122,7 @@ _GATE_PRIORITY: list[str] = [
     "streaming_cdc_ingest_lifecycle",
     "weighted_doc_sample",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -3443,6 +3444,166 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, books, queries_list, k=_PQ_CONF["k"]).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed funnel (the full FAISS pipeline): route each query to
+# its nprobe nearest IVF cells (L2, pure-python folds on the driver —
+# queries are a bounded broadcast set), then ADC over PQ codes ONLY
+# within probed cells. Candidate volume = (nprobe/n_cells) × corpus per
+# query; nothing decompressed. The oracle re-derives routing RELATIONALLY
+# (rank cells per query in SQL), re-encodes via the shared codebook
+# literals, and re-scores the probed cells — the composed analog of the
+# two parent oracles.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 6
+
+
+def _ivfpq_oracle_sql() -> str:
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        adc_tables,
+        centroid_sq_norms,
+    )
+
+    books, queries = _pq_oracle_books_and_queries()
+    sf_dir = _gate_sf_dir()
+    if sf_dir not in _IVF_CENT_CACHE:
+        _IVF_CENT_CACHE[sf_dir] = _ivf_oracle_centroids()
+    cents = _IVF_CENT_CACHE[sf_dir]
+    tables = adc_tables(books, [qv for _, qv in queries])
+    m = len(books)
+    sub = len(books[0][0])
+
+    def arr(c) -> str:
+        return (
+            "CAST(["
+            + ", ".join("'" + repr(float(x)) + "'" for x in c)
+            + "] AS DOUBLE[])"
+        )
+
+    def dbl(x) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    cell_structs = ", ".join(
+        "{'cell': %d, 'cv': %s, 'c2': %s}" % (i, arr(c), dbl(s))
+        for i, (c, s) in enumerate(zip(cents, centroid_sq_norms(cents)))
+    )
+    cb_ctes, sub_cols, code_cols = [], [], []
+    for j in range(m):
+        structs = ", ".join(
+            "{'code': %d, 'cv': %s, 'c2': %s}" % (i, arr(c), dbl(s))
+            for i, (c, s) in enumerate(zip(books[j], centroid_sq_norms(books[j])))
+        )
+        cb_ctes.append(f"cb{j}(u) AS (SELECT unnest([{structs}]))")
+        lo, hi = j * sub + 1, (j + 1) * sub
+        sub_cols.append(
+            f"CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS sv{j}, "
+            f"list_sum(list_transform(CAST(embedding[{lo}:{hi}] AS DOUBLE[]), "
+            f"x -> x * x)) AS vn{j}"
+        )
+        code_cols.append(
+            f"(SELECT u.code FROM cb{j} ORDER BY vn{j} - 2.0 * "
+            f"list_sum(list_transform(list_zip(sv{j}, u.cv), p -> p[1] * p[2]))"
+            f" + u.c2, u.code LIMIT 1) AS c{j}"
+        )
+    zipdot = "list_sum(list_transform(list_zip({a}, u.cv), p -> p[1] * p[2]))"
+    scored_arms = []
+    for (qid, _), per_q in zip(queries, tables):
+        terms = " + ".join(
+            f"list_extract({arr(per_q[j])}, e.c{j} + 1)" for j in range(m)
+        )
+        scored_arms.append(
+            f"SELECT e.vec_id, {qid} AS query_id, {terms} AS adc_d2 "
+            f"FROM enc e JOIN routed r ON r.query_id = {qid} AND e.cell = r.cell"
+        )
+    return f"""
+    WITH cells(u) AS (SELECT unnest([{cell_structs}])),
+    {', '.join(cb_ctes)},
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)) AS vnf,
+             {', '.join(sub_cols)}
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id,
+             (SELECT u.cell FROM cells
+              ORDER BY vnf - 2.0 * {zipdot.format(a='ev')} + u.c2, u.cell
+              LIMIT 1) AS cell,
+             {', '.join(code_cols)}
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)) AS qn
+      FROM embeddings WHERE vec_id < {_PQ_CONF["n_queries"]}
+    ),
+    routed AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, u.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY q.qn - 2.0 *
+                   list_sum(list_transform(list_zip(q.qv, u.cv),
+                                           p -> p[1] * p[2])) + u.c2,
+                   u.cell
+               ) AS cr
+        FROM q, cells
+      ) WHERE cr <= {_IVFPQ_NPROBE}
+    ),
+    scored AS ({' UNION ALL '.join(scored_arms)})
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_CONF["k"]}
+    ORDER BY query_id, rank
+    """
+
+
+@query("embedding_ivfpq_topk", oracle=_ivfpq_oracle_sql)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged, centroids = ivf_index(
+        emb,
+        n_cells=_IVF_CONF["n_cells"],
+        max_iter=_IVF_CONF["max_iter"],
+        seed=_IVF_CONF["seed"],
+        fit_sample=_IVF_CONF["fit_sample"],
+        order_col="vec_id",
+        assign="fold",
+    )
+    books = pq_fit(
+        emb,
+        m=_PQ_CONF["m"],
+        n_codes=_PQ_CONF["n_codes"],
+        max_iter=_PQ_CONF["max_iter"],
+        seed=_PQ_CONF["seed"],
+        fit_sample=_PQ_CONF["fit_sample"],
+        order_col="vec_id",
+    )
+    encoded = pq_encode(tagged, books, assign="fold")
+    qrows = (
+        emb.filter(F.col("vec_id") < _PQ_CONF["n_queries"])
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries_list = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    return ivfpq_topk(
+        encoded, centroids, books, queries_list,
+        k=_PQ_CONF["k"], nprobe=_IVFPQ_NPROBE,
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -800,3 +800,49 @@ def test_pq_adc_rerank_recall_beats_raw_adc(spark, sf_dir):
         rs = sorted(by_q[qid], key=lambda r: r.rank)
         assert len(rs) == 10 and [r.rank for r in rs] == list(range(1, 11))
         assert rs[0].vec_id == qid and rs[0].exact_d2 == 0.0
+
+
+def test_ivfpq_funnel_prunes_and_degenerates_to_full_adc(spark, sf_dir):
+    """nprobe = n_cells must reproduce full-corpus ADC exactly; smaller
+    nprobe returns the same schema with candidates only from probed
+    cells (self always found — its own cell is the nearest)."""
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged, cents = ivf_index(
+        emb, n_cells=16, max_iter=8, seed=42, order_col="vec_id", assign="gemm"
+    )
+    books = pq_fit(emb, m=8, n_codes=16, max_iter=8, seed=7, order_col="vec_id")
+    enc = pq_encode(tagged, books, assign="gemm")
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    full = {(r.query_id, r.rank): r.vec_id
+            for r in pq_adc_topk(enc, books, queries, k=10).collect()}
+    all_cells = {(r.query_id, r.rank): r.vec_id
+                 for r in ivfpq_topk(enc, cents, books, queries, k=10,
+                                     nprobe=16).collect()}
+    assert full == all_cells
+    pruned = ivfpq_topk(enc, cents, books, queries, k=10, nprobe=4).collect()
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r.query_id, []).append(r)
+    cell_of = {r.vec_id: r.cell for r in enc.select("vec_id", "cell").collect()}
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        route_queries_python,
+    )
+    allowed = {}
+    for qid, cell in route_queries_python(cents, queries, 4):
+        allowed.setdefault(qid, set()).add(cell)
+    for qid, _ in queries:
+        rs = sorted(by_q[qid], key=lambda r: r.rank)
+        assert rs[0].vec_id == qid  # self lives in the nearest probed cell
+        assert all(cell_of[r.vec_id] in allowed[qid] for r in rs)
