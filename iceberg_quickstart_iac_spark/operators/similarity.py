@@ -239,6 +239,33 @@ def nearest_cell_expr(vec, centroids: list[list[float]], vnorm2=None):
     return F.array_min(F.array(*structs)).cell
 
 
+def nearest_cell_sql(
+    vec_sql: str, vnorm2_sql: str, centroids: list[list[float]]
+) -> str:
+    """The Spark-SQL text of :func:`nearest_cell_expr` — identical
+    expression semantics (element-order folds, struct-min tie-break on
+    the lowest cell id), built as one string so it parses JVM-side in a
+    single call instead of thousands of py4j Column round trips.
+    ``vec_sql``/``vnorm2_sql`` are SQL fragments naming the vector and
+    its precomputed ‖v‖² column."""
+
+    def dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    structs = []
+    for ci, (cvec, c2) in enumerate(zip(centroids, centroid_sq_norms(centroids))):
+        arr = "array(" + ", ".join(dlit(x) for x in cvec) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        structs.append(
+            f"named_struct('d2', {vnorm2_sql} - 2.0D * {dot} + {dlit(c2)}, "
+            f"'cell', {ci})"
+        )
+    return f"array_min(array({', '.join(structs)})).cell"
+
+
 def ivf_index(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -299,7 +326,12 @@ def ivf_index(
     if assign == "fold":
         # ‖v‖² in its own projection so the 16 per-cell d² expressions
         # reference one computed column (CollapseProject keeps non-cheap
-        # aliases referenced many times out-of-line)
+        # aliases referenced many times out-of-line). The argmin itself is
+        # ONE parsed SQL string — semantically identical to
+        # nearest_cell_expr (same folds, same element order, same
+        # struct-min tie-break), but composing n_cells fold Columns
+        # through py4j costs ~1000 driver round trips where the parse
+        # path is one call (same optimization as pq_encode's fold).
         vn2 = F.aggregate(
             F.transform(F.col(corpus_vec), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
@@ -309,7 +341,7 @@ def ivf_index(
             corpus.withColumn("__vn2", vn2)
             .withColumn(
                 "cell",
-                nearest_cell_expr(F.col(corpus_vec), cent.tolist(), vnorm2=F.col("__vn2")),
+                F.expr(nearest_cell_sql(f"`{corpus_vec}`", "__vn2", cent.tolist())),
             )
             .drop("__vn2")
         )
