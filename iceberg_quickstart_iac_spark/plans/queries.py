@@ -123,6 +123,7 @@ _GATE_PRIORITY: list[str] = [
     "weighted_doc_sample",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "incremental_rollup_maintenance",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -5462,6 +5463,82 @@ def partition_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("file_count") > 0).alias("has_files"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (SURVEY §2.4/§2.10 composition): a
+# materialized rollup refreshed from the snapshot CHANGELOG — deltas
+# only, merged per group (Delta CDF → MERGE, the lakehouse IVM recipe).
+# Lifecycle: full refresh, then delete+append on the source, then an
+# INCREMENTAL refresh whose result must equal the full GROUP BY over the
+# source's end state EXACTLY (decimal accumulators are order-free). The
+# oracle computes that end-state rollup relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_rollup_maintenance",
+    oracle="""
+    WITH final_src AS (
+      SELECT o_orderstatus st, o_totalprice p FROM orders
+      WHERE (o_orderkey < 4000 AND o_orderkey % 7 <> 0)
+         OR (o_orderkey >= 4000 AND o_orderkey < 5000)
+    )
+    SELECT st AS status,
+           CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS second_refresh_incremental
+    FROM final_src GROUP BY st ORDER BY status
+    """,
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.operators.ivm import (
+        refresh_rollup,
+        rollup_template,
+    )
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="ivm_")
+    src = SnapTable.create(
+        base + "/orders_src",
+        {
+            "name": "orders_src",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    src.append(orders.filter(F.col("o_orderkey") < 4000).select(*cols))
+    measures = {"total_price": ("o_totalprice", "sum")}
+    dst = SnapTable.create(
+        base + "/orders_rollup",
+        rollup_template(src, "orders_rollup", ["o_orderstatus"], measures),
+    )
+    refresh_rollup(spark, src, dst, ["o_orderstatus"], measures)
+    src.delete_where(spark, "o_orderkey % 7 = 0")
+    src.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 5000)
+        ).select(*cols)
+    )
+    r2 = refresh_rollup(spark, src, dst, ["o_orderstatus"], measures)
+    return (
+        dst.read(spark)
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("total_price").cast("double").alias("total_price"),
+            F.col("_n_rows").alias("n_rows"),
+            F.lit(r2["mode"] == "incremental").alias("second_refresh_incremental"),
+        )
+        .orderBy("status")
     )
 
 

@@ -222,6 +222,23 @@ def _cmp_vals(a: str, b: str) -> int:
         return (a > b) - (a < b)
 
 
+def _declared_spark_type(type_str: str):
+    """Snapstore's declared-type resolution: ``decimal(p,s)`` is a real
+    Iceberg primitive and the engine maintains exact decimal columns
+    (e.g. IVM rollup sums), so it maps to DecimalType here — while the
+    TEMPLATE loader keeps the reference's decimal→string demotion
+    (pinned parity, ``templates/loader.py``). Everything else delegates
+    to the loader mapping."""
+    from pyspark.sql import types as T
+
+    from iceberg_quickstart_iac_spark.templates.loader import iceberg_type_to_spark
+
+    m = re.match(r"^decimal\((\d+)\s*,\s*(\d+)\)$", type_str.strip().lower())
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    return iceberg_type_to_spark(type_str)
+
+
 def _normalize_merge_clauses(
     declared: list[str],
     when_matched: list[dict],
@@ -626,7 +643,10 @@ class SnapTable:
         materialized its directory but not yet committed can lose it.
         """
         current = self.read(spark)
-        kept = current.filter(f"NOT ({condition})")
+        # SQL DELETE removes rows where the predicate is TRUE — rows where
+        # it evaluates NULL (e.g. `region = 'us'` on a NULL region) are
+        # KEPT. A bare NOT(cond) filter would silently drop them.
+        kept = current.filter(f"NOT (({condition}) <=> TRUE)")
         dir_name, rows, files = self._write_data(kept)
         entry = self._commit(
             lambda entries: {
@@ -1139,11 +1159,9 @@ class SnapTable:
             return df
         from pyspark.sql import functions as F
 
-        from iceberg_quickstart_iac_spark.templates.loader import iceberg_type_to_spark
-
         out = []
         for c in declared:
-            typ = iceberg_type_to_spark(c["type"])
+            typ = _declared_spark_type(c["type"])
             name = c["name"]
             source = None
             if written_ids is None:
@@ -1253,11 +1271,9 @@ class SnapTable:
     def _empty_declared(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import types as T
 
-        from iceberg_quickstart_iac_spark.templates.loader import iceberg_type_to_spark
-
         schema = T.StructType(
             [
-                T.StructField(c["name"], iceberg_type_to_spark(c["type"]))
+                T.StructField(c["name"], _declared_spark_type(c["type"]))
                 for c in self.meta.get("columns", [])
             ]
         )

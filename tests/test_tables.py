@@ -1217,3 +1217,22 @@ def test_verify_integrity_detects_row_count_tamper(spark, table, events_df):
     report = table.verify_integrity()
     assert not report["ok"]
     assert report["row_count_mismatch"] == {"expected": 10, "actual": 3}
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; a NULL
+    evaluation (NULL = 'x') keeps the row — three-valued logic that a
+    bare NOT(cond) filter gets wrong."""
+    t = SnapTable.create(
+        tmp_path / "nd",
+        {
+            "name": "nd", "namespace": "lakehouse",
+            "columns": [{"name": "k", "type": "long"}, {"name": "g", "type": "string"}],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(1, "us"), (2, "eu"), (3, None)], "k LONG, g STRING"
+    ))
+    t.delete_where(spark, "g = 'us'")
+    left = {(r.k, r.g) for r in t.read(spark).collect()}
+    assert left == {(2, "eu"), (3, None)}
