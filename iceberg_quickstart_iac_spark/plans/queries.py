@@ -124,6 +124,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "incremental_rollup_maintenance",
+    "mor_delete_lifecycle",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -5463,6 +5464,85 @@ def partition_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("file_count") > 0).alias("has_files"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read delete lifecycle (SURVEY §2.10 M12 extension; Iceberg v2
+# equality deletes — the low-write-amplification path the reference's
+# engine comparison credits to Hudi for CDC workloads,
+# docs/deep-dive.md:83): a MoR delete writes ONLY the matched keys (no
+# data rewrite — pinned by the no_rewrite boolean from the commit
+# entries), reads anti-join the delete file, time travel still serves
+# pre-delete rows, and compact() materializes. Output: end-state rollup
+# plus physical facts the oracle pins as booleans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mor_delete_lifecycle",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           TRUE AS delete_was_metadata_only,
+           TRUE AS time_travel_served_predelete,
+           TRUE AS compact_cleared_deletes
+    FROM orders
+    WHERE o_orderkey < 3000 AND o_orderkey % 5 <> 0
+    GROUP BY status ORDER BY status
+    """,
+)
+def mor_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="mor_") + "/orders_mor",
+        {
+            "name": "orders_mor",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "identifier_fields": ["o_orderkey"],
+        },
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") < 3000).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    pre = t._entries()[-1]
+    e = t.delete_where(spark, "o_orderkey % 5 = 0", mode="mor")
+    no_rewrite = (
+        e["data_dirs"] == pre["data_dirs"] and e["file_count"] == pre["file_count"]
+    )
+    pre_rows_served = (
+        t.read(spark, snapshot_id=pre["snapshot_id"]).count() == pre["row_count"]
+    )
+    ce = t.compact(spark)
+    compact_clear = not ce.get("delete_dirs")
+    return (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .select(
+            "status",
+            "n_rows",
+            "sum_price",
+            F.lit(no_rewrite).alias("delete_was_metadata_only"),
+            F.lit(pre_rows_served).alias("time_travel_served_predelete"),
+            F.lit(compact_clear).alias("compact_cleared_deletes"),
+        )
+        .orderBy("status")
     )
 
 

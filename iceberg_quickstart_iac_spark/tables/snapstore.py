@@ -328,6 +328,9 @@ class SnapTable:
             "next_field_id": len(columns) + 1,
             "partition_spec": (template or {}).get("partition_spec", []) or [],
             "sort_order": (template or {}).get("sort_order", []) or [],
+            # Iceberg identifier-field-ids analog: the row-key columns
+            # merge-on-read equality deletes are keyed on
+            "identifier_fields": (template or {}).get("identifier_fields", []) or [],
             "properties": {**((template or {}).get("properties") or {}), **(properties or {})},
         }
         (table.root / "table.json").write_text(json.dumps(meta, indent=2))
@@ -617,7 +620,11 @@ class SnapTable:
         return entry
 
     def delete_where(
-        self, spark: SparkSession, condition: str, hard: bool = False
+        self,
+        spark: SparkSession,
+        condition: str,
+        hard: bool = False,
+        mode: str = "cow",
     ) -> dict:
         """Row-level delete: commit a snapshot WITHOUT the rows matching
         ``condition`` (a SQL boolean expression) — the copy-on-write form
@@ -641,7 +648,27 @@ class SnapTable:
         hard path drops unreferenced directories with NO grace window —
         run it without concurrent writers, or an in-flight write that has
         materialized its directory but not yet committed can lose it.
+
+        ``mode='mor'`` is the merge-on-read form (Iceberg v2 equality
+        deletes — the low-write-amplification path the reference's engine
+        comparison credits to Hudi for CDC workloads): instead of
+        rewriting the table, the matched rows' identifier-field tuples
+        land in a tiny delete file and every read anti-joins it until
+        :meth:`compact` materializes. Write cost is O(deleted keys), not
+        O(table). Requires ``identifier_fields`` in the table template;
+        deletes at KEY granularity (every row sharing a matched row's key
+        dies — identifier fields are expected unique, Iceberg's
+        identifier-field contract). ``hard=True`` is CoW-only.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete_where: mode must be 'cow' or 'mor', got {mode!r}")
+        if mode == "mor":
+            if hard:
+                raise ValueError(
+                    "delete_where: hard erasure requires mode='cow' — a MoR "
+                    "delete leaves the bytes in the data files by design"
+                )
+            return self._delete_where_mor(spark, condition)
         current = self.read(spark)
         # SQL DELETE removes rows where the predicate is TRUE — rows where
         # it evaluates NULL (e.g. `region = 'us'` on a NULL region) are
@@ -678,6 +705,59 @@ class SnapTable:
             # is that the bytes are gone)
             self.expire_snapshots(older_than_ms=_now_ms() + 1)
             self.remove_orphan_files(grace_ms=0)
+        return entry
+
+    def _delete_where_mor(self, spark: SparkSession, condition: str) -> dict:
+        ids = self.meta.get("identifier_fields")
+        if not ids:
+            raise ValueError(
+                "delete_where(mode='mor') needs 'identifier_fields' in the "
+                f"table template of {self.fq_name} — equality deletes are "
+                "keyed on them (Iceberg identifier-field-ids)"
+            )
+        declared = [c["name"] for c in self.meta.get("columns", [])]
+        missing = [c for c in ids if c not in declared]
+        if missing:
+            raise ValueError(
+                f"delete_where(mode='mor'): identifier fields {missing} "
+                f"not table columns"
+            )
+        current = self.read(spark)
+        matched = (
+            current.filter(f"({condition}) <=> TRUE").select(*ids).dropDuplicates()
+        )
+        dir_name = f"mordel-{uuid.uuid4().hex}"
+        matched.write.parquet(str(self.data_dir / dir_name))
+        # key-granular row count: every row carrying a matched key dies
+        deleted = current.join(matched, list(ids), "left_semi").count()
+
+        def build(entries: list[dict]) -> dict:
+            prev = entries[-1] if entries else None
+            return {
+                "operation": "delete",
+                "data_dirs": list(prev["data_dirs"]) if prev else [],
+                "delete_dirs": (
+                    list(prev.get("delete_dirs") or []) if prev else []
+                ) + [dir_name],
+                "row_count": (prev["row_count"] if prev else 0) - deleted,
+                "file_count": prev["file_count"] if prev else 0,
+                **{
+                    k: prev[k]
+                    for k in ("column_ids", "column_types", "partition_spec")
+                    if prev and k in prev
+                },
+            }
+
+        entry = self._commit(build)
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={
+                "mode": "delete_mor",
+                "condition": condition,
+                "deleted_count": deleted,
+            },
+        )
         return entry
 
     def update_where(
@@ -1031,6 +1111,7 @@ class SnapTable:
             lambda entries: {
                 "operation": "rollback",
                 "data_dirs": list(target["data_dirs"]),
+                "delete_dirs": list(target.get("delete_dirs") or []),
                 "row_count": target["row_count"],
                 "file_count": target["file_count"],
                 # restore the WRITE EPOCH of the target so epoch-grouped
@@ -1076,6 +1157,13 @@ class SnapTable:
         return inserts.unionByName(deletes)
 
     # -- reads -------------------------------------------------------------
+
+    @staticmethod
+    def _entry_dirs(e: dict) -> list[str]:
+        """Every directory a log entry references: data dirs plus any
+        merge-on-read equality-delete dirs — retention/orphan logic must
+        protect both."""
+        return list(e.get("data_dirs", [])) + list(e.get("delete_dirs") or [])
 
     def _snapshot_for(self, snapshot_id: str | None, as_of_ms: int | None) -> dict:
         entries = self._entries()
@@ -1330,7 +1418,18 @@ class SnapTable:
         )
         if not snap["data_dirs"]:
             raise ValueError(f"Snapshot {snap['snapshot_id']} has no data")
-        return self._read_dirs(spark, snap["data_dirs"], filters)
+        out = self._read_dirs(spark, snap["data_dirs"], filters)
+        # merge-on-read: equality-delete files (Iceberg v2) are applied at
+        # read time as an anti-join on the identifier fields — each
+        # snapshot carries exactly the delete files committed up to it, so
+        # time travel before a MoR delete still serves the deleted rows
+        ddirs = snap.get("delete_dirs") or []
+        if ddirs:
+            keys = spark.read.parquet(
+                *[str(self.data_dir / d) for d in ddirs]
+            ).dropDuplicates()
+            out = out.join(keys, on=list(keys.columns), how="left_anti")
+        return out
 
     def _written_name(self, name: str, written_ids: dict | None) -> str | None:
         """The file-column name serving declared column ``name`` in a dir
@@ -1785,9 +1884,11 @@ class SnapTable:
         """
         if older_than_ms is None:
             older_than_ms = _now_ms() - grace_ms
-        referenced = {d for e in self._entries() for d in e["data_dirs"]}
+        referenced = {d for e in self._entries() for d in self._entry_dirs(e)}
         # branch commits reference dirs main never will — protect them
-        referenced |= {d for e in self._all_branch_entries() for d in e["data_dirs"]}
+        referenced |= {
+            d for e in self._all_branch_entries() for d in self._entry_dirs(e)
+        }
         removed: list[str] = []
         for child in sorted(self.data_dir.iterdir()):
             if not child.is_dir() or child.name in referenced:
@@ -1865,8 +1966,20 @@ class SnapTable:
                 continue
             total_rows += _footer_row_count(files)
             total_files += len(files)
+        for d in snap.get("delete_dirs") or []:
+            if not (self.data_dir / d).is_dir():
+                report["missing_dirs"].append(d)
         if not report["missing_dirs"] and not report["empty_dirs"]:
-            if total_rows != snap["row_count"]:
+            if snap.get("delete_dirs"):
+                # MoR snapshot: footers count PRE-delete rows; the exact
+                # visible count would need a data scan (anti-join), which
+                # fsck deliberately never does — verify the bound only
+                if total_rows < snap["row_count"]:
+                    report["row_count_mismatch"] = {
+                        "expected_at_most": total_rows,
+                        "actual": snap["row_count"],
+                    }
+            elif total_rows != snap["row_count"]:
                 report["row_count_mismatch"] = {
                     "expected": snap["row_count"], "actual": total_rows,
                 }
@@ -1874,8 +1987,10 @@ class SnapTable:
                 report["file_count_mismatch"] = {
                     "expected": snap["file_count"], "actual": total_files,
                 }
-        referenced = {d for e in entries for d in e["data_dirs"]}
-        referenced |= {d for e in self._all_branch_entries() for d in e["data_dirs"]}
+        referenced = {d for e in entries for d in self._entry_dirs(e)}
+        referenced |= {
+            d for e in self._all_branch_entries() for d in self._entry_dirs(e)
+        }
         if self.data_dir.is_dir():
             report["orphan_dirs"] = sorted(
                 c.name for c in self.data_dir.iterdir()
@@ -1931,8 +2046,10 @@ class SnapTable:
                 keep.append(e)
         drop = [e for e in entries if e not in keep]
 
-        referenced = {d for e in keep for d in e["data_dirs"]}
-        referenced |= {d for e in self._all_branch_entries() for d in e["data_dirs"]}
+        referenced = {d for e in keep for d in self._entry_dirs(e)}
+        referenced |= {
+            d for e in self._all_branch_entries() for d in self._entry_dirs(e)
+        }
         for e in drop:
             (self.log_dir / f"{e['sequence']:012d}.json").unlink(missing_ok=True)
         for child in self.data_dir.iterdir():

@@ -1236,3 +1236,95 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     t.delete_where(spark, "g = 'us'")
     left = {(r.k, r.g) for r in t.read(spark).collect()}
     assert left == {(2, "eu"), (3, None)}
+
+
+# -- merge-on-read equality deletes (Iceberg v2) ----------------------------
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    t = SnapTable.create(
+        tmp_path / "mor",
+        {
+            "name": "mor", "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "g", "type": "string"},
+                {"name": "v", "type": "double"},
+            ],
+            "identifier_fields": ["k"],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(10)], "k LONG, g STRING, v DOUBLE"
+    ))
+    return t
+
+
+def test_mor_delete_no_rewrite_and_time_travel(spark, mor_table):
+    t = mor_table
+    pre = t._entries()[-1]
+    e = t.delete_where(spark, "g = 'a'", mode="mor")
+    # no write amplification: data dirs and file count UNCHANGED
+    assert e["data_dirs"] == pre["data_dirs"]
+    assert e["file_count"] == pre["file_count"]
+    assert e["row_count"] == 5
+    assert len(e["delete_dirs"]) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    # time travel BEFORE the delete still serves every row
+    assert t.read(spark, snapshot_id=pre["snapshot_id"]).count() == 10
+
+
+def test_mor_deletes_stack_and_compact_materializes(spark, mor_table):
+    t = mor_table
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    t.delete_where(spark, "k = 1", mode="mor")
+    assert sorted(r.k for r in t.read(spark).collect()) == [3, 5, 7, 9]
+    ce = t.compact(spark)
+    assert not ce.get("delete_dirs")  # deletes applied into the rewrite
+    assert ce["row_count"] == 4
+    assert sorted(r.k for r in t.read(spark).collect()) == [3, 5, 7, 9]
+    # retention then reclaims the historical delete files with the
+    # expired snapshots that referenced them
+    assert any(p.name.startswith("mordel-") for p in t.data_dir.iterdir())
+    t.expire_snapshots(older_than_ms=2**52)
+    assert not any(p.name.startswith("mordel-") for p in t.data_dir.iterdir())
+    assert t.verify_integrity()["ok"]
+
+
+def test_mor_delete_validation(spark, mor_table, tmp_path):
+    with pytest.raises(ValueError, match="hard erasure requires mode='cow'"):
+        mor_table.delete_where(spark, "k = 0", mode="mor", hard=True)
+    with pytest.raises(ValueError, match="mode must be"):
+        mor_table.delete_where(spark, "k = 0", mode="nope")
+    t2 = SnapTable.create(
+        tmp_path / "noid",
+        {"name": "noid", "namespace": "lakehouse",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    t2.append(spark.createDataFrame([(1,)], "k LONG"))
+    with pytest.raises(ValueError, match="identifier_fields"):
+        t2.delete_where(spark, "k = 1", mode="mor")
+
+
+def test_mor_delete_is_key_granular(spark, tmp_path):
+    """Equality deletes kill every row sharing a matched key — the
+    Iceberg identifier-field contract (keys are expected unique; when
+    they are not, key granularity is the defined semantics)."""
+    t = SnapTable.create(
+        tmp_path / "kg",
+        {
+            "name": "kg", "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": "string"},
+            ],
+            "identifier_fields": ["k"],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k LONG, v STRING"
+    ))
+    e = t.delete_where(spark, "v = 'x'", mode="mor")
+    assert e["row_count"] == 1  # both k=1 rows die
+    assert [r.k for r in t.read(spark).collect()] == [2]
