@@ -125,6 +125,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_ivfpq_topk",
     "incremental_rollup_maintenance",
     "mor_delete_lifecycle",
+    "catalog_branch_lifecycle",
     # round-4 additions: need their FIRST driver row
     "bucketed_join_orders_lineitem",
     "partition_evolution_lifecycle",
@@ -5743,6 +5744,95 @@ def streaming_cdc_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
 # end-state summary pinned against a VALUES oracle, like the snapshot
 # lifecycle query.
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "catalog_branch_lifecycle",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nat FROM nation),
+         r AS (SELECT CAST(COUNT(*) AS BIGINT) AS reg FROM region)
+    SELECT stage, main_nation, main_region, branch_nation, branch_region,
+           region_untouched_on_branch
+    FROM (
+      SELECT 'forked' AS stage, n.nat AS main_nation, r.reg AS main_region,
+             n.nat AS branch_nation, r.reg AS branch_region,
+             TRUE AS region_untouched_on_branch
+      FROM n, r
+      UNION ALL
+      SELECT 'branch_write', n.nat, r.reg, n.nat * 2, r.reg, TRUE FROM n, r
+      UNION ALL
+      SELECT 'published', n.nat * 2, r.reg, n.nat * 2, r.reg, TRUE FROM n, r
+    ) ORDER BY stage
+    """,
+)
+def catalog_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level (multi-table) branching — the Nessie pitch lifted to
+    the whole lakehouse (deep-dive.md:262-303): fork ONE catalog branch
+    over nation+region, double nation on the branch while region is never
+    touched (lazy per-table refs: no branch materializes for it), verify
+    main is isolated, then publish. Oracle derives every count
+    relationally from the source tables."""
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    lake = Lakehouse(tempfile.mkdtemp(prefix="cat_") + "/lake")
+    tn = lake.create_table(
+        {
+            "name": "nation",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "n_nationkey", "type": "long"},
+                {"name": "n_name", "type": "string"},
+                {"name": "n_regionkey", "type": "long"},
+            ],
+        }
+    )
+    tn.append(nation)
+    tr = lake.create_table(
+        {
+            "name": "region",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "r_regionkey", "type": "long"},
+                {"name": "r_name", "type": "string"},
+            ],
+        }
+    )
+    tr.append(region)
+    br = lake.create_branch("expansion")
+
+    def snap(stage: str) -> tuple:
+        return (
+            stage,
+            lake.table("nation").read(spark).count(),
+            lake.table("region").read(spark).count(),
+            br.table("nation").read(spark).count() if stage != "published" else lake.table("nation").read(spark).count(),
+            br.table("region").read(spark).count() if stage != "published" else lake.table("region").read(spark).count(),
+        )
+
+    rows = [snap("forked")]
+    br.table("nation").append(
+        nation.withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    )
+    # region was READ through the branch (which materializes its ref) but
+    # never written: its branch log must hold zero commits
+    rb = lake.table("region").branch("cat-expansion")
+    region_clean = len(lake.table("region")._read_log(rb.log_dir)) == 0
+    rows.append(snap("branch_write"))
+    br.merge()
+    rows.append(snap("published"))
+    return spark.createDataFrame(
+        rows,
+        "stage STRING, main_nation LONG, main_region LONG, "
+        "branch_nation LONG, branch_region LONG",
+    ).withColumn("region_untouched_on_branch", F.lit(bool(region_clean))).orderBy(
+        "stage"
+    )
 
 
 @query(

@@ -1,0 +1,174 @@
+"""Catalog-level data versioning: Nessie's actual value proposition.
+
+The reference ships a Nessie catalog module whose reason to exist is
+git-like versioning of the WHOLE lakehouse, not one table
+(``docs/deep-dive.md:262-303``: test a schema migration on an isolated
+branch, "readers on main see the old schema", merge when ready, roll back
+by resetting the pointer). :class:`SnapTable` gives those semantics per
+table; this module lifts them to the catalog:
+
+- :class:`Lakehouse` — a directory of snapstore tables addressed by name;
+- ``lakehouse.create_branch("migration")`` — a CATALOG branch: every
+  table accessed through the branch resolves to a per-table branch forked
+  lazily at first access, so branching a 1000-table catalog costs one
+  ref file (+ one per table actually touched — exactly Nessie's
+  commit-graph laziness, where untouched tables share the main pointer);
+- ``branch.merge()`` — two-phase publish: every touched table is
+  VALIDATED as mergeable first (schema conflicts, non-append rebases),
+  then merged one commit per table. Validation-first shrinks the
+  non-atomic window to the merge loop itself — a conflict is detected
+  before anything lands on main (Nessie's whole-commit validation
+  against a single store; with per-table logs this is the honest
+  equivalent, and the remaining window is documented);
+- cross-table WAP: stage multiple tables on one catalog branch, audit
+  them together, publish together or drop the branch.
+
+Scale notes: everything here is metadata-only (refs + per-commit JSON);
+data files are never copied. Table discovery is a directory listing —
+O(tables) on the driver, the same contract a real catalog serves.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from iceberg_quickstart_iac_spark.tables.snapstore import (
+    CommitConflictError,
+    SnapTable,
+    TableNotFoundError,
+)
+
+_REFS = "_catalog_refs"
+
+
+class Lakehouse:
+    """A directory of :class:`SnapTable` roots + catalog-level refs."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- tables ------------------------------------------------------------
+
+    def create_table(self, template: dict) -> SnapTable:
+        name = template["name"]
+        if (self.root / name / "table.json").exists():
+            raise ValueError(f"Table {name!r} already exists in {self.root}")
+        return SnapTable.create(self.root / name, template)
+
+    def table(self, name: str) -> SnapTable:
+        return SnapTable.load(self.root / name)
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            p.parent.name for p in self.root.glob("*/table.json")
+        )
+
+    # -- catalog branches --------------------------------------------------
+
+    def _ref_path(self, name: str) -> Path:
+        from urllib.parse import quote
+
+        return self.root / _REFS / (quote(name, safe="") + ".json")
+
+    def create_branch(self, name: str) -> "CatalogBranch":
+        """Fork a catalog branch at every table's CURRENT state. One ref
+        file; per-table branches materialize lazily at first access."""
+        path = self._ref_path(name)
+        if path.exists():
+            raise ValueError(f"Catalog branch {name!r} already exists")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps({"name": name}, indent=2))
+        return CatalogBranch(self, name)
+
+    def branch(self, name: str) -> "CatalogBranch":
+        if not self._ref_path(name).exists():
+            raise ValueError(f"No catalog branch {name!r} in {self.root}")
+        return CatalogBranch(self, name)
+
+    def list_branches(self) -> list[str]:
+        refs = self.root / _REFS
+        if not refs.exists():
+            return []
+        return sorted(json.loads(p.read_text())["name"] for p in refs.glob("*.json"))
+
+
+class CatalogBranch:
+    """A catalog-level branch: table access scoped to per-table branches
+    forked lazily from main. Tables never touched on the branch keep
+    reading main directly — zero per-table cost until first access."""
+
+    def __init__(self, lakehouse: Lakehouse, name: str):
+        self.lakehouse = lakehouse
+        self.name = name
+        self._table_branch = f"cat-{name}"
+
+    def _touched(self) -> list[str]:
+        out = []
+        for tname in self.lakehouse.list_tables():
+            t = self.lakehouse.table(tname)
+            if any(b["name"] == self._table_branch for b in t.list_branches()):
+                out.append(tname)
+        return out
+
+    def table(self, name: str) -> SnapTable:
+        t = self.lakehouse.table(name)
+        if not any(b["name"] == self._table_branch for b in t.list_branches()):
+            t.create_branch(self._table_branch)
+        return t.branch(self._table_branch)
+
+    def merge(self) -> dict:
+        """Publish the branch: merge every touched table into main.
+
+        Two-phase: (1) VALIDATE all touched tables are mergeable —
+        a schema conflict or a non-append rebase against a moved main
+        fails the whole publish before anything lands; (2) merge each.
+        The validation is a point-in-time check, so the remaining
+        non-atomic window is the merge loop itself (a concurrent main
+        writer racing INTO that window surfaces as CommitConflictError
+        with earlier tables already merged — the branch keeps the full
+        state of the unmerged remainder for manual resolution, the same
+        contract as :meth:`SnapTable.merge_branch`)."""
+        touched = self._touched()
+        problems = []
+        for tname in touched:
+            t = self.lakehouse.table(tname)
+            bv = t.branch(self._table_branch)
+            ref = bv._ref
+            fork = ref["fork_sequence"]
+            entries = t._entries()
+            head = entries[-1]["sequence"] if entries else -1
+            if "columns" in ref and t.meta.get("columns", []) != ref["base_columns"]:
+                problems.append(
+                    f"{tname}: branch evolved the schema but main's schema "
+                    "also changed since the fork"
+                )
+                continue
+            if head != fork:
+                branch_entries = t._read_log(bv.log_dir)
+                if any(e["operation"] != "append" for e in branch_entries):
+                    problems.append(
+                        f"{tname}: main advanced past the fork and the branch "
+                        "holds non-append commits (rewrites do not commute)"
+                    )
+        if problems:
+            raise CommitConflictError(
+                f"Catalog branch {self.name!r} cannot publish — nothing was "
+                f"merged: " + "; ".join(problems)
+            )
+        merged = {}
+        for tname in touched:
+            t = self.lakehouse.table(tname)
+            entry = t.merge_branch(self._table_branch)
+            t.delete_branch(self._table_branch)
+            merged[tname] = entry["snapshot_id"] if entry else None
+        self.lakehouse._ref_path(self.name).unlink(missing_ok=True)
+        return {"branch": self.name, "merged_tables": merged}
+
+    def delete(self) -> None:
+        """Drop the branch and every per-table branch under it — main is
+        untouched (the abandon path of cross-table WAP)."""
+        for tname in self._touched():
+            self.lakehouse.table(tname).delete_branch(self._table_branch)
+        self.lakehouse._ref_path(self.name).unlink(missing_ok=True)
