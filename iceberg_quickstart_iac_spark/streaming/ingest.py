@@ -149,6 +149,7 @@ def incremental_cdc_ingest(
     seq_col: str | None = None,
     fmt: str = "parquet",
     available_now: bool = True,
+    mode: str = "cow",
 ) -> StreamingQuery:
     """Continuously apply a CDC changelog stream (Debezium-style I/U/D
     rows landing as files) to a snapshot-log table — each micro-batch is
@@ -171,7 +172,10 @@ def incremental_cdc_ingest(
     Scale: each micro-batch shuffles once on the merge keys (the
     full-outer join inside ``merge_into``); state lives in the table, not
     the state store, so watermarks are unnecessary and batch size is the
-    only memory knob.
+    only memory knob. ``mode='mor'`` lands each micro-batch as a
+    merge-on-read commit instead — delete keys + new images, O(batch)
+    write cost, no table rewrite (the Hudi-MoR streaming-upsert shape;
+    run :meth:`SnapTable.compact` on a maintenance cadence).
     """
     import hashlib
 
@@ -192,6 +196,7 @@ def incremental_cdc_ingest(
             op_col=op_col,
             seq_col=seq_col,
             txn=(app_id, batch_id),
+            mode=mode,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

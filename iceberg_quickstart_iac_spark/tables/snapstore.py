@@ -1042,6 +1042,7 @@ class SnapTable:
         op_col: str = "op",
         seq_col: str | None = None,
         txn: tuple[str, int] | None = None,
+        mode: str = "cow",
     ) -> dict:
         """Apply a CDC changelog (Debezium/Hudi-style ``I``/``U``/``D``
         rows) as ONE merge commit — the upsert workload the reference's
@@ -1068,6 +1069,10 @@ class SnapTable:
         missing = [c for c in key_cols if c not in declared]
         if missing:
             raise ValueError(f"apply_changelog: keys {missing} not table columns")
+        if mode not in ("cow", "mor"):
+            raise ValueError(
+                f"apply_changelog: mode must be 'cow' or 'mor', got {mode!r}"
+            )
         if seq_col is not None:
             w = Window.partitionBy(*key_cols).orderBy(
                 F.col(seq_col).desc(), F.col(op_col).desc()
@@ -1076,6 +1081,10 @@ class SnapTable:
                 changes.withColumn("__sg_rn", F.row_number().over(w))
                 .filter("__sg_rn = 1")
                 .drop("__sg_rn")
+            )
+        if mode == "mor":
+            return self._apply_changelog_mor(
+                spark, changes, key_cols, op_col, txn
             )
         on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
         data_cols = [c for c in declared if c not in key_cols]
@@ -1096,6 +1105,76 @@ class SnapTable:
             ],
             txn=txn,
         )
+
+    def _apply_changelog_mor(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key_cols: list[str],
+        op_col: str,
+        txn: tuple[str, int] | None,
+    ) -> dict:
+        """Merge-on-read CDC apply — the Hudi-MoR upsert shape the
+        reference's engine comparison credits for CDC workloads
+        (``docs/deep-dive.md:83``): ONE commit carrying (a) an
+        equality-delete file with every changed key and (b) a data file
+        with the new images of upserted rows. Write cost is O(changes),
+        never O(table) — no full-outer join, no table rewrite. Reads
+        resolve by sequence scoping: the delete file erases OLD images
+        only (strictly lower commit sequence), so the same commit's new
+        images survive; :meth:`compact` folds everything down.
+        """
+        from pyspark.sql import functions as F
+
+        skipped = self._txn_already_applied(txn)
+        if skipped is not None:
+            return skipped
+        declared = [c["name"] for c in self.meta.get("columns", [])]
+        changes = changes.persist()
+        try:
+            upserts = changes.filter(f"{op_col} <> 'D'").select(*declared)
+            touched = changes.select(*key_cols).dropDuplicates()
+            # rows the delete file will erase (current images of touched
+            # keys) — needed only for the snapshot's row accounting
+            removed = (
+                self.read(spark).join(touched, key_cols, "left_semi").count()
+            )
+            del_dir = f"mordel-{uuid.uuid4().hex}"
+            touched.write.parquet(str(self.data_dir / del_dir))
+            up_dir, up_rows, up_files = self._write_data(upserts)
+        finally:
+            changes.unpersist()
+
+        def build(entries: list[dict]) -> dict:
+            prev = entries[-1] if entries else None
+            return {
+                "operation": "merge",
+                "data_dirs": (list(prev["data_dirs"]) if prev else []) + [up_dir],
+                "delete_dirs": (
+                    list(prev.get("delete_dirs") or []) if prev else []
+                ) + [del_dir],
+                "row_count": (prev["row_count"] if prev else 0) - removed + up_rows,
+                "file_count": (prev["file_count"] if prev else 0) + up_files,
+                "merge_stats": {
+                    "upserted": up_rows,
+                    "erased_images": removed,
+                    "mode": "mor",
+                },
+                **self._write_epoch(),
+                **self._txn_meta(txn),
+            }
+
+        entry = self._commit(build)
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={
+                "mode": "merge_mor",
+                "upserted": up_rows,
+                "erased_images": removed,
+            },
+        )
+        return entry
 
     def rollback_to(self, snapshot_id: str) -> dict:
         """Roll the table back to an earlier snapshot — Iceberg's
@@ -1157,6 +1236,16 @@ class SnapTable:
         return inserts.unionByName(deletes)
 
     # -- reads -------------------------------------------------------------
+
+    def _dir_intro_seqs(self) -> dict[str, int]:
+        """Directory (data or delete) → the sequence of the first log
+        entry referencing it — the commit-sequence ordering Iceberg scopes
+        delete-file applicability by."""
+        seen: dict[str, int] = {}
+        for e in self._entries():
+            for d in self._entry_dirs(e):
+                seen.setdefault(d, e["sequence"])
+        return seen
 
     @staticmethod
     def _entry_dirs(e: dict) -> list[str]:
@@ -1418,17 +1507,36 @@ class SnapTable:
         )
         if not snap["data_dirs"]:
             raise ValueError(f"Snapshot {snap['snapshot_id']} has no data")
-        out = self._read_dirs(spark, snap["data_dirs"], filters)
         # merge-on-read: equality-delete files (Iceberg v2) are applied at
-        # read time as an anti-join on the identifier fields — each
-        # snapshot carries exactly the delete files committed up to it, so
-        # time travel before a MoR delete still serves the deleted rows
+        # read time as an anti-join on the key columns — each snapshot
+        # carries exactly the delete files committed up to it, so time
+        # travel before a MoR delete still serves the deleted rows.
+        # SEQUENCE SCOPING (Iceberg's rule): a delete file applies only to
+        # data files with a STRICTLY LOWER commit sequence — a MoR upsert
+        # commits its delete keys and replacement rows together, and the
+        # delete must not erase its own replacements.
         ddirs = snap.get("delete_dirs") or []
-        if ddirs:
-            keys = spark.read.parquet(
-                *[str(self.data_dir / d) for d in ddirs]
-            ).dropDuplicates()
-            out = out.join(keys, on=list(keys.columns), how="left_anti")
+        if not ddirs:
+            return self._read_dirs(spark, snap["data_dirs"], filters)
+        intro = self._dir_intro_seqs()
+        groups: dict[frozenset, list[str]] = {}
+        for d in snap["data_dirs"]:
+            applicable = frozenset(
+                dd for dd in ddirs if intro.get(dd, -1) > intro.get(d, -1)
+            )
+            groups.setdefault(applicable, []).append(d)
+        parts = []
+        for applicable, dirs_ in groups.items():
+            df = self._read_dirs(spark, dirs_, filters)
+            if applicable:
+                keys = spark.read.parquet(
+                    *[str(self.data_dir / dd) for dd in sorted(applicable)]
+                ).dropDuplicates()
+                df = df.join(keys, on=list(keys.columns), how="left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
 
     def _written_name(self, name: str, written_ids: dict | None) -> str | None:

@@ -470,7 +470,133 @@ def wl_cdc_apply(spark, sf_dir: str, factor: int) -> int:
     return t.read(spark).count()
 
 
-CDC_WORKLOADS = {"cdc_apply_changelog": wl_cdc_apply}
+def _cdc_changes(spark, orders, factor: int):
+    from pyspark.sql import functions as F
+
+    mod = F.col("o_orderkey") % 10
+    touched = orders.filter(mod < 3).select(
+        "o_orderkey",
+        F.lit("chg").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(mod == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    insert_offset = (factor + 1) * 10_000_000
+    inserts = orders.filter(mod == 3).select(
+        (F.col("o_orderkey") + F.lit(insert_offset)).alias("o_orderkey"),
+        F.lit("new").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    return touched.unionByName(inserts)
+
+
+def wl_cdc_apply_mor(spark, sf_dir: str, factor: int) -> int:
+    """The same changelog applied MERGE-ON-READ: write cost should be
+    O(changes) — flat across factors where CoW grows with the table."""
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="cdc_mor_sweep_")
+    t = SnapTable.create(
+        os.path.join(scratch, "t"),
+        {
+            "name": "sweep_orders_mor",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    t.overwrite(orders)
+    t.apply_changelog(
+        spark, _cdc_changes(spark, orders, factor),
+        key_cols=["o_orderkey"], op_col="op", mode="mor",
+    )
+    return t.read(spark).count()
+
+
+_CDC_BASE_CACHE: dict = {}
+
+
+def _cdc_base(spark, sf_dir: str):
+    """Table at the sweep factor, built ONCE per corpus and reset via a
+    metadata-only rollback between measurements — so the fixed-batch
+    workloads time the APPLY, not the table build."""
+    if sf_dir not in _CDC_BASE_CACHE:
+        import tempfile
+
+        from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+        orders = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        t = SnapTable.create(
+            os.path.join(tempfile.mkdtemp(prefix="cdc_fixed_"), "t"),
+            {
+                "name": "sweep_orders_fixed",
+                "namespace": "lakehouse",
+                "columns": [
+                    {"name": "o_orderkey", "type": "long"},
+                    {"name": "o_orderstatus", "type": "string"},
+                    {"name": "o_totalprice", "type": "double"},
+                ],
+            },
+        )
+        e = t.overwrite(orders)
+        _CDC_BASE_CACHE[sf_dir] = (t, e["snapshot_id"])
+    return _CDC_BASE_CACHE[sf_dir]
+
+
+def _fixed_changes(spark, sf_dir: str):
+    """A CONSTANT-size changelog (30% of the 1x key range) regardless of
+    factor — the realistic CDC shape: batch size is set by the upstream
+    change rate, not by how big the table has grown."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 1_500_000)  # the 1x replica's key range
+    mod = F.col("o_orderkey") % 10
+    touched = orders.filter(mod < 3).select(
+        "o_orderkey",
+        F.lit("chg").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(mod == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    inserts = orders.filter(mod == 3).select(
+        (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+        F.lit("new").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    return touched.unionByName(inserts)
+
+
+def _wl_cdc_fixed(mode):
+    def run(spark, sf_dir: str, factor: int) -> int:
+        t, base = _cdc_base(spark, sf_dir)
+        t.rollback_to(base)  # metadata-only reset between measurements
+        e = t.apply_changelog(
+            spark, _fixed_changes(spark, sf_dir),
+            key_cols=["o_orderkey"], op_col="op", mode=mode,
+        )
+        return e["row_count"]
+
+    return run
+
+
+CDC_WORKLOADS = {
+    "cdc_apply_changelog": wl_cdc_apply,
+    "cdc_apply_changelog_mor": wl_cdc_apply_mor,
+    "cdc_fixed_batch_cow": _wl_cdc_fixed("cow"),
+    "cdc_fixed_batch_mor": _wl_cdc_fixed("mor"),
+}
 
 
 def main() -> None:

@@ -281,3 +281,74 @@ def test_merge_into_sql_validates_clauses(table):
             "v", "t.id = s.id",
             when_matched=[{"action": "update", "set": {"nope": "s.nope"}}],
         )
+
+
+# -- merge-on-read CDC apply (Hudi-MoR upsert shape) ------------------------
+
+
+def _mor_fixture(spark, tmp_path, name):
+    t = SnapTable.create(
+        tmp_path / name,
+        {
+            "name": name, "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": "string"},
+                {"name": "p", "type": "double"},
+            ],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "base", float(i)) for i in range(10)], "k LONG, v STRING, p DOUBLE"
+    ))
+    return t
+
+
+def test_mor_changelog_equals_cow_across_batches(spark, tmp_path):
+    cow = _mor_fixture(spark, tmp_path, "cow")
+    mor = _mor_fixture(spark, tmp_path, "mor")
+    batches = [
+        [(2, "up", 20.0, "U"), (3, None, None, "D"), (100, "new", 1.0, "I")],
+        [(2, "up2", 22.0, "U"), (100, None, None, "D"), (5, "x", 5.5, "U")],
+    ]
+    for rows in batches:
+        ch = spark.createDataFrame(rows, "k LONG, v STRING, p DOUBLE, op STRING")
+        cow.apply_changelog(spark, ch, key_cols=["k"])
+        mor.apply_changelog(spark, ch, key_cols=["k"], mode="mor")
+        assert sorted(tuple(r) for r in cow.read(spark).collect()) == sorted(
+            tuple(r) for r in mor.read(spark).collect()
+        )
+    # write amplification: every MoR commit added exactly ONE data dir
+    # (the new images), never rewrote the table
+    dirs_per_entry = [len(e["data_dirs"]) for e in mor._entries()]
+    assert dirs_per_entry == [1, 2, 3]
+    assert mor._entries()[-1]["merge_stats"]["mode"] == "mor"
+
+
+def test_mor_changelog_sequence_scoping_and_time_travel(spark, tmp_path):
+    t = _mor_fixture(spark, tmp_path, "seq")
+    pre = t._entries()[-1]["snapshot_id"]
+    ch = spark.createDataFrame(
+        [(2, "up", 20.0, "U")], "k LONG, v STRING, p DOUBLE, op STRING"
+    )
+    t.apply_changelog(spark, ch, key_cols=["k"], mode="mor")
+    # the delete file must erase the OLD image only — not the new one
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows[2] == "up" and len(rows) == 10
+    # time travel before the upsert serves the original image
+    old = {r.k: r.v for r in t.read(spark, snapshot_id=pre).collect()}
+    assert old[2] == "base"
+    # compact folds delete files away; state unchanged
+    t.compact(spark)
+    assert {r.k: r.v for r in t.read(spark).collect()} == rows
+
+
+def test_mor_changelog_txn_replay_skipped(spark, tmp_path):
+    t = _mor_fixture(spark, tmp_path, "txn_mor")
+    ch = spark.createDataFrame(
+        [(2, "up", 20.0, "U")], "k LONG, v STRING, p DOUBLE, op STRING"
+    )
+    e1 = t.apply_changelog(spark, ch, key_cols=["k"], mode="mor", txn=("w", 3))
+    n = len(t._entries())
+    e2 = t.apply_changelog(spark, ch, key_cols=["k"], mode="mor", txn=("w", 3))
+    assert e2["snapshot_id"] == e1["snapshot_id"] and len(t._entries()) == n
