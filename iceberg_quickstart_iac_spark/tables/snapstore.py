@@ -1676,6 +1676,35 @@ class SnapTable:
             "record_count LONG, file_size_bytes LONG",
         )
 
+    def delete_files(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """The equality-delete-file metadata table (Iceberg's
+        ``t.delete_files``): one row per delete file of the selected
+        snapshot with its key count and the commit sequence scoping which
+        data files it applies to — the read-amplification audit for MoR
+        tables (big counts here = time to :meth:`compact`). Metadata-only:
+        footers + paths, no data scan."""
+        snap = self._snapshot_for(snapshot_id, None)
+        intro = self._dir_intro_seqs()
+        rows = []
+        for d in snap.get("delete_dirs") or []:
+            base = self.data_dir / d
+            files = sorted(base.rglob("*.parquet")) if base.is_dir() else []
+            rows.append(
+                (
+                    d,
+                    intro.get(d),
+                    _footer_row_count(files) if files else 0,
+                    sum(f.stat().st_size for f in files),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "delete_dir STRING, applies_after_sequence LONG, "
+            "key_count LONG, file_size_bytes LONG",
+        )
+
     def partitions(
         self, spark: SparkSession, snapshot_id: str | None = None
     ) -> DataFrame:

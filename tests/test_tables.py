@@ -1328,3 +1328,16 @@ def test_mor_delete_is_key_granular(spark, tmp_path):
     e = t.delete_where(spark, "v = 'x'", mode="mor")
     assert e["row_count"] == 1  # both k=1 rows die
     assert [r.k for r in t.read(spark).collect()] == [2]
+
+
+def test_delete_files_metadata_table(spark, mor_table):
+    t = mor_table
+    assert t.delete_files(spark).count() == 0
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    rows = t.delete_files(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["key_count"] == 5
+    assert rows[0]["applies_after_sequence"] == t._entries()[-1]["sequence"]
+    # compaction clears the table's delete-file inventory
+    t.compact(spark)
+    assert t.delete_files(spark).count() == 0
