@@ -117,6 +117,7 @@ _GATE_PRIORITY: list[str] = [
     # round-5 additions: need their FIRST driver row
     "merge_upsert_lifecycle",
     "cdc_changelog_apply",
+    "cdc_changelog_apply_mor",
     "tag_retention_lifecycle",
     "partition_stats_table",
     "streaming_cdc_ingest_lifecycle",
@@ -5238,9 +5239,7 @@ def merge_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "cdc_changelog_apply",
-    oracle="""
+_CDC_APPLY_ORACLE = """
     WITH t AS (SELECT o_orderkey k, o_orderstatus st, o_totalprice p
                FROM orders WHERE o_orderkey < 2500),
          c AS (SELECT o_orderkey k,
@@ -5261,9 +5260,26 @@ def merge_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM m GROUP BY st ORDER BY st
-    """,
-)
+    """
+
+
+@query("cdc_changelog_apply", oracle=_CDC_APPLY_ORACLE)
 def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc_changelog_demo(spark, sf_dir, mode="cow")
+
+
+@query("cdc_changelog_apply_mor", oracle=_CDC_APPLY_ORACLE)
+def cdc_changelog_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sequenced changelog applied MERGE-ON-READ
+    (`apply_changelog(mode='mor')`: one commit = delete keys + new
+    images, sequence-scoped — O(batch) write cost, the Hudi-MoR upsert
+    shape; CoW-vs-MoR divergence measured in PERFORMANCE.md). End state
+    is identical by design, so both modes share one oracle — the
+    equivalence IS the certification."""
+    return _cdc_changelog_demo(spark, sf_dir, mode="mor")
+
+
+def _cdc_changelog_demo(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     import tempfile
 
     from iceberg_quickstart_iac_spark.tables import SnapTable
@@ -5312,6 +5328,7 @@ def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["o_orderkey"],
         op_col="op",
         seq_col="seq",
+        mode=mode,
     )
     return (
         t.read(spark)
