@@ -275,6 +275,7 @@ def ivf_index(
     fit_sample: int = 100_000,
     order_col: str | None = None,
     assign: str = "gemm",
+    sample_vectors: list | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF coarse quantizer: (cell-tagged corpus, centroid list).
 
@@ -306,18 +307,24 @@ def ivf_index(
     # Deterministic fit sample (ADVICE r2: a bare limit() takes whichever
     # partitions answer first — biased on clustered layouts, unstable
     # between runs). Both forms are distributed partial top-k sorts.
-    sample_src = corpus.select(F.col(corpus_vec).alias("__v"), *( [F.col(order_col)] if order_col else [] ))
-    if order_col is not None:
-        sample = sample_src.orderBy(order_col).limit(fit_sample).collect()
+    # ``sample_vectors`` short-circuits the collect so a caller fitting
+    # BOTH an IVF quantizer and PQ codebooks (the IVF-PQ funnel) pays for
+    # one sample job, not two.
+    if sample_vectors is not None:
+        mat = np.array(sample_vectors, dtype="float64")
     else:
-        sample = (
-            sample_src
-            .withColumn("__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>"))))
-            .orderBy("__h")
-            .limit(fit_sample)
-            .collect()
-        )
-    mat = np.array([r["__v"] for r in sample], dtype="float64")  # S x d
+        sample_src = corpus.select(F.col(corpus_vec).alias("__v"), *( [F.col(order_col)] if order_col else [] ))
+        if order_col is not None:
+            sample = sample_src.orderBy(order_col).limit(fit_sample).collect()
+        else:
+            sample = (
+                sample_src
+                .withColumn("__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>"))))
+                .orderBy("__h")
+                .limit(fit_sample)
+                .collect()
+            )
+        mat = np.array([r["__v"] for r in sample], dtype="float64")  # S x d
     if len(mat) == 0:
         raise ValueError("ivf_index: corpus has no vectors to fit on")
     cent = fit_centroids(mat, n_cells, max_iter, seed)
@@ -592,6 +599,7 @@ def pq_fit(
     corpus_vec: str = "embedding",
     fit_sample: int = 100_000,
     order_col: str | None = None,
+    sample_vectors: list | None = None,
 ) -> list[list[list[float]]]:
     """Fit per-subspace PQ codebooks on a driver-side sample (same
     deterministic sampling contract as :func:`ivf_index`: ``order_col``
@@ -602,22 +610,25 @@ def pq_fit(
     """
     import numpy as np
 
-    sample_src = corpus.select(
-        F.col(corpus_vec).alias("__v"),
-        *([F.col(order_col)] if order_col else []),
-    )
-    if order_col is not None:
-        sample = sample_src.orderBy(order_col).limit(fit_sample).collect()
+    if sample_vectors is not None:
+        mat = np.array(sample_vectors, dtype="float64")
     else:
-        sample = (
-            sample_src.withColumn(
-                "__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>")))
-            )
-            .orderBy("__h")
-            .limit(fit_sample)
-            .collect()
+        sample_src = corpus.select(
+            F.col(corpus_vec).alias("__v"),
+            *([F.col(order_col)] if order_col else []),
         )
-    mat = np.array([r["__v"] for r in sample], dtype="float64")
+        if order_col is not None:
+            sample = sample_src.orderBy(order_col).limit(fit_sample).collect()
+        else:
+            sample = (
+                sample_src.withColumn(
+                    "__h", F.xxhash64(F.to_json(F.col("__v").cast("array<double>")))
+                )
+                .orderBy("__h")
+                .limit(fit_sample)
+                .collect()
+            )
+        mat = np.array([r["__v"] for r in sample], dtype="float64")
     if len(mat) == 0:
         raise ValueError("pq_fit: corpus has no vectors to fit on")
     dim = mat.shape[1]

@@ -3578,14 +3578,22 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE sample collect serves both fits (same rows, same order — the
+    # oracle refits from the identical ORDER BY vec_id LIMIT n contract)
+    sample = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id")
+        .limit(_IVF_CONF["fit_sample"])
+        .select("embedding")
+        .collect()
+    ]
     tagged, centroids = ivf_index(
         emb,
         n_cells=_IVF_CONF["n_cells"],
         max_iter=_IVF_CONF["max_iter"],
         seed=_IVF_CONF["seed"],
-        fit_sample=_IVF_CONF["fit_sample"],
-        order_col="vec_id",
         assign="fold",
+        sample_vectors=sample,
     )
     books = pq_fit(
         emb,
@@ -3593,8 +3601,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=_PQ_CONF["n_codes"],
         max_iter=_PQ_CONF["max_iter"],
         seed=_PQ_CONF["seed"],
-        fit_sample=_PQ_CONF["fit_sample"],
-        order_col="vec_id",
+        sample_vectors=sample,
     )
     encoded = pq_encode(tagged, books, assign="fold")
     qrows = (
