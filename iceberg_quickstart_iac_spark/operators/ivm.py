@@ -106,19 +106,39 @@ def refresh_rollup(
     First refresh (no watermark) computes the full rollup; later
     refreshes read only the changelog since the watermark and MERGE the
     per-group deltas: matched groups update (or delete when their row
-    count hits zero), new groups insert. The applied source snapshot id
-    is recorded in ``dst``'s table properties as the next watermark.
+    count hits zero), new groups insert.
+
+    The watermark (applied source snapshot id) is recorded INSIDE the
+    refresh's own commit entry on ``dst`` — watermark and merge are one
+    atomic commit, so a crash can never land the non-idempotent delta
+    merge without its watermark and double-count sums on the next
+    refresh. The merge is additionally stamped into the transaction
+    ledger (``txn``) keyed on the source head sequence, so replaying the
+    SAME watermark transition after a crash is an idempotent skip.
+    ``dst``'s table properties keep a copy purely as a legacy fallback.
     Returns ``{"refreshed", "mode", "src_snapshot"}``.
     """
     _validate_measures(measures)
-    cur = src._entries()[-1]["snapshot_id"]
-    props = dst.meta.get("properties", {}) or {}
-    last = props.get("ivm_src_snapshot")
+    head = src._entries()[-1]
+    cur = head["snapshot_id"]
+    # watermark truth lives in dst's commit entries (atomic with the
+    # refresh that applied it); properties are the pre-atomicity fallback
+    last = None
+    for e in reversed(dst._entries()):
+        if "ivm_src_snapshot" in e:
+            last = e["ivm_src_snapshot"]
+            break
+    if last is None:
+        last = (dst.meta.get("properties", {}) or {}).get("ivm_src_snapshot")
     if last == cur:
         return {"refreshed": False, "mode": "noop", "src_snapshot": cur}
 
+    watermark = {"ivm_src_snapshot": cur}
     if last is None:
-        dst.overwrite(_aggregate(src.read(spark), group_cols, measures))
+        dst.overwrite(
+            _aggregate(src.read(spark), group_cols, measures),
+            entry_extra=watermark,
+        )
         mode = "full"
     else:
         changes = src.read_changes(spark, last, cur)
@@ -131,6 +151,8 @@ def refresh_rollup(
             spark,
             deltas,
             on,
+            txn=(f"ivm:{src.fq_name}->{dst.fq_name}", head["sequence"]),
+            entry_extra=watermark,
             when_matched=[
                 {
                     "action": "delete",

@@ -114,69 +114,72 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-5 additions: need their FIRST driver row
-    "merge_upsert_lifecycle",
-    "cdc_changelog_apply",
-    "cdc_changelog_apply_mor",
-    "tag_retention_lifecycle",
-    "partition_stats_table",
-    "streaming_cdc_ingest_lifecycle",
-    "weighted_doc_sample",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "incremental_rollup_maintenance",
-    "mor_delete_lifecycle",
-    "catalog_branch_lifecycle",
-    # round-4 additions: need their FIRST driver row
-    "bucketed_join_orders_lineitem",
-    "partition_evolution_lifecycle",
-    "incremental_dedup_new_docs",
-    "semantic_dedup_cells_gemm",
-    "media_header_roundtrip",
-    "doc_token_rarity",
-    "dml_lifecycle",
-    "zorder_compact_lifecycle",
-    # rotation (VERDICT r3 #6): the 37 queries whose driver rows date from
-    # r1/r2 — after this gate every catalog query has a row ≤2 rounds old.
-    # The 50 r3-certified queries stay covered by the pytest oracle replay
-    # and fill the gate's remaining slots in registry order.
-    "json_props_rollup",
-    "monthly_order_stats",
-    "pii_safe_events",
-    "dedup_docs_by_key",
-    "doc_token_stats",
-    "asof_last_click_before_purchase",
-    "scd2_chain_from_orders",
-    "doc_fingerprint_dedup",
-    "doc_quality_scores",
-    "embedding_cosine_topk",
-    "doc_language_id",
-    "user_sessions",
-    "event_minute_windows",
-    "q13_customer_order_histogram",
-    "above_customer_avg_orders",
-    "q18_large_orders",
-    "distinct_customers_per_priority",
-    "rollup_order_status",
-    "pivot_segment_status",
-    "embedding_near_dup_pairs",
-    "event_value_by_nation",
-    "q10_returned_item_customers",
-    "q14_promo_revenue_pct",
-    "cube_status_year",
-    "brand_size_stats",
-    "ngram_jaccard_dups_block1k",
-    "snapshot_metadata_lifecycle",
-    "order_price_stats",
-    "q7_nation_volume",
-    "q8_market_share",
+    # round-6 gate (VERDICT r5 next #1): the 7 queries whose driver rows
+    # date from r2 lead — customer_spend_quartiles FIRST (rewritten to the
+    # two-phase distributed NTILE after its last driver row, so its current
+    # form has never been driver-certified).
+    "customer_spend_quartiles",
+    "customer_running_totals",
+    "q6_flat_revenue",
     "q9_product_profit",
+    "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q22_dormant_rich_customers",
-    "customer_running_totals",
-    "customer_spend_quartiles",
-    "q6_flat_revenue",
-    "q15_top_supplier",
+    # round-6 additions: need their FIRST driver row
+    # (inserted here as they are built)
+    # then the 50 queries last certified in r3 (3 rounds old by now);
+    # r4/r5-certified queries fall to registry order behind them and stay
+    # covered by the pytest oracle replay.
+    "branch_lifecycle",
+    "cohort_retention",
+    "corpus_filter_funnel",
+    "customers_without_big_orders",
+    "doc_benchmark_contamination",
+    "doc_bpe_token_stats",
+    "doc_chunks",
+    "doc_hash_split",
+    "doc_pii_redaction",
+    "doc_repetition_signals",
+    "drift_sensor_cycle",
+    "embedding_ann_ivf",
+    "embedding_int8_audit",
+    "embedding_label_centroids",
+    "embedding_lsh_topk",
+    "enrich_orders_by_segment",
+    "event_followup_pairs",
+    "event_time_hierarchy_rollup",
+    "flagship_event_type_counts",
+    "funnel_click_to_purchase",
+    "inter_source_overlap",
+    "latest_event_per_user",
+    "latest_order_per_customer",
+    "multimodal_media_stats",
+    "near_dup_doc_clusters",
+    "near_dup_minhash_pairs",
+    "packed_context_windows",
+    "partitioned_table_pruning",
+    "pseudonymized_user_activity",
+    "q11_top_nation_share",
+    "q12_shipmode_priority",
+    "q16_supplier_variety",
+    "q17_small_qty_avg_yearly",
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q21_sole_late_shippers",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "quality_checks_events",
+    "row_policy_events",
+    "semantic_dedup_cells",
+    "setops_customer_cohorts",
+    "simhash_near_pairs_block2k",
+    "soda_yaml_checks",
+    "source_mixture_weights",
+    "stratified_doc_sample",
+    "token_vocabulary",
+    "topk_orders",
 ]
 
 

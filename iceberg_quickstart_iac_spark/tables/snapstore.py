@@ -405,6 +405,21 @@ class SnapTable:
                 "parent_id": parent,
                 "committed_at_ms": _now_ms(),
             }
+            # Persist each directory's INTRO sequence in the entry itself
+            # (Iceberg's per-file data_sequence_number, at dir granularity).
+            # Inferring it from surviving log entries breaks after
+            # expire_snapshots drops the entry that introduced a data dir:
+            # the dir's inferred intro collapses to a later sequence, the
+            # MoR strictly-lower applicability test fails, and equality-
+            # deleted rows resurrect. The map is cumulative (copied from
+            # the parent entry) and pruned to dirs still referenced by any
+            # surviving entry so it cannot grow past the live dir set.
+            dir_seqs = dict(entries[-1].get("dir_sequences") or {}) if entries else {}
+            for d in self._entry_dirs(full):
+                dir_seqs.setdefault(d, seq)
+            live = {d for e in entries for d in self._entry_dirs(e)}
+            live |= set(self._entry_dirs(full))
+            full["dir_sequences"] = {d: s for d, s in dir_seqs.items() if d in live}
             tmp.write_text(json.dumps(full))
             target = self.log_dir / f"{seq:012d}.json"
             try:
@@ -532,13 +547,17 @@ class SnapTable:
                 f"Table columns: {sorted(declared)}, Data columns: {sorted(df.columns)}"
             )
 
-    def overwrite(self, df: DataFrame) -> dict:
+    def overwrite(self, df: DataFrame, entry_extra: dict | None = None) -> dict:
         """Atomic full-refresh replace (the reference's write model,
-        ``resources/iceberg.py:78``, ``docs/bring-your-own-data.md:220-224``)."""
+        ``resources/iceberg.py:78``, ``docs/bring-your-own-data.md:220-224``).
+
+        ``entry_extra`` — extra application fields recorded IN the commit
+        entry (atomically with the data), e.g. an IVM watermark."""
         self._check_columns(df)
         dir_name, rows, files = self._write_data(df)
         entry = self._commit(
             lambda entries: {
+                **(entry_extra or {}),
                 "operation": "overwrite",
                 "data_dirs": [dir_name],
                 "row_count": rows,
@@ -607,6 +626,10 @@ class SnapTable:
             return {
                 "operation": "append",
                 "data_dirs": dirs,
+                # an append is a pure add: any live equality-delete files
+                # carry forward (they scope to STRICTLY LOWER sequences, so
+                # they can never erase the rows appended here)
+                "delete_dirs": list(current.get("delete_dirs") or []) if current else [],
                 # cumulative like row_count — Iceberg snapshot summaries track
                 # TOTAL files in the snapshot, not just the new manifest's
                 "row_count": prev_rows + rows,
@@ -728,6 +751,16 @@ class SnapTable:
         )
         dir_name = f"mordel-{uuid.uuid4().hex}"
         matched.write.parquet(str(self.data_dir / dir_name))
+        # Sidecar: the key columns' name→field-id mapping AT WRITE TIME
+        # (underscore prefix keeps Spark's parquet scan from reading it).
+        # Delete files are keyed by field id like data files: a later
+        # evolve_rename_column on an identifier field must not break the
+        # read-time anti-join — reads resolve these ids back to the
+        # then-current declared names (see _read_delete_keys).
+        col_ids = self._column_ids()
+        (self.data_dir / dir_name / "_key_ids.json").write_text(
+            json.dumps({c: col_ids.get(c) for c in ids})
+        )
         # key-granular row count: every row carrying a matched key dies
         deleted = current.join(matched, list(ids), "left_semi").count()
 
@@ -813,6 +846,7 @@ class SnapTable:
         when_not_matched: list[dict] | None = None,
         when_not_matched_by_source: list[dict] | None = None,
         txn: tuple[str, int] | None = None,
+        entry_extra: dict | None = None,
     ) -> dict:
         """``MERGE INTO`` — the copy-on-write upsert completing the DML
         triad (Iceberg's flagship CDC write path; the reference weighs
@@ -968,6 +1002,7 @@ class SnapTable:
         }
         entry = self._commit(
             lambda entries: {
+                **(entry_extra or {}),
                 "operation": "merge",
                 "data_dirs": [dir_name],
                 "row_count": rows,
@@ -1141,6 +1176,10 @@ class SnapTable:
             )
             del_dir = f"mordel-{uuid.uuid4().hex}"
             touched.write.parquet(str(self.data_dir / del_dir))
+            col_ids = self._column_ids()
+            (self.data_dir / del_dir / "_key_ids.json").write_text(
+                json.dumps({c: col_ids.get(c) for c in key_cols})
+            )
             up_dir, up_rows, up_files = self._write_data(upserts)
         finally:
             changes.unpersist()
@@ -1238,13 +1277,27 @@ class SnapTable:
     # -- reads -------------------------------------------------------------
 
     def _dir_intro_seqs(self) -> dict[str, int]:
-        """Directory (data or delete) → the sequence of the first log
-        entry referencing it — the commit-sequence ordering Iceberg scopes
-        delete-file applicability by."""
+        """Directory (data or delete) → the sequence of the log entry that
+        INTRODUCED it — the commit-sequence ordering Iceberg scopes
+        delete-file applicability by.
+
+        Source of truth is the persisted ``dir_sequences`` map stamped on
+        every commit entry: a log scan alone mis-dates a dir once
+        ``expire_snapshots`` drops its introducing entry (the dir then
+        first appears at a surviving carry-forward entry, which can sit
+        AFTER a MoR delete commit and un-apply it — resurrecting deleted
+        rows). The scan remains only as the fallback for entries committed
+        before the map existed."""
         seen: dict[str, int] = {}
-        for e in self._entries():
+        entries = self._entries()
+        for e in entries:
             for d in self._entry_dirs(e):
                 seen.setdefault(d, e["sequence"])
+        for e in reversed(entries):
+            persisted = e.get("dir_sequences")
+            if persisted is not None:
+                seen.update(persisted)
+                break
         return seen
 
     @staticmethod
@@ -1529,15 +1582,60 @@ class SnapTable:
         for applicable, dirs_ in groups.items():
             df = self._read_dirs(spark, dirs_, filters)
             if applicable:
-                keys = spark.read.parquet(
-                    *[str(self.data_dir / dd) for dd in sorted(applicable)]
-                ).dropDuplicates()
+                keys = self._read_delete_keys(spark, sorted(applicable))
                 df = df.join(keys, on=list(keys.columns), how="left_anti")
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_delete_keys(self, spark: SparkSession, ddirs: list[str]) -> DataFrame:
+        """Load equality-delete key tuples from ``ddirs``, with every key
+        column resolved BY FIELD ID to its CURRENT declared name — the
+        same id-first resolution data files get in :meth:`_read_dirs`.
+        Each delete dir carries a ``_key_ids.json`` sidecar (name→field id
+        at write time); without it, a rename of an identifier field after
+        a MoR delete would break every subsequent read (the anti-join
+        would look for the old column name). Dirs sharing one rename map
+        are scanned together, so the common no-rename case stays a single
+        parquet scan regardless of delete-file count."""
+        from pyspark.sql import functions as F
+
+        id_to_name = {
+            c["id"]: c["name"]
+            for c in self.meta.get("columns", [])
+            if c.get("id") is not None
+        }
+        groups: dict[tuple, tuple[dict | None, list[str]]] = {}
+        for dd in ddirs:
+            sidecar = self.data_dir / dd / "_key_ids.json"
+            renames: dict[str, str] | None = None
+            if sidecar.exists():
+                renames = {}
+                for written, fid in json.loads(sidecar.read_text()).items():
+                    current = id_to_name.get(fid) if fid is not None else written
+                    if current is None:
+                        raise ValueError(
+                            f"MoR delete file {dd} on {self.fq_name} is keyed "
+                            f"on field id {fid} ({written!r} at write time), "
+                            "which is no longer a declared column"
+                        )
+                    renames[written] = current
+            key = tuple(sorted(renames.items())) if renames is not None else ("__legacy__",)
+            groups.setdefault(key, (renames, []))[1].append(str(self.data_dir / dd))
+        parts = []
+        for renames, paths in groups.values():
+            df = spark.read.parquet(*paths)
+            if renames:
+                df = df.select(
+                    *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates()
 
     def _written_name(self, name: str, written_ids: dict | None) -> str | None:
         """The file-column name serving declared column ``name`` in a dir
@@ -1808,6 +1906,12 @@ class SnapTable:
         for o in meta.get("sort_order") or []:
             if o.get("column") == old:
                 o["column"] = new
+        # identifier_fields too — or the next MoR delete/upsert on a
+        # renamed key column fails its declared-column validation
+        if meta.get("identifier_fields"):
+            meta["identifier_fields"] = [
+                new if f == old else f for f in meta["identifier_fields"]
+            ]
         self._write_meta(meta)
         log_audit_event(
             "schema_evolution",
@@ -2057,8 +2161,13 @@ class SnapTable:
           what a partial S3 restore produces);
         - footer row counts sum to the entry's ``row_count``;
         - physical file count matches ``file_count``;
-        - the commit log itself is well-formed (contiguous sequences, each
-          entry's parent chains to its predecessor).
+        - the commit log itself is well-formed: wherever two surviving
+          entries have CONSECUTIVE sequences, the later one's parent must
+          chain to the earlier. Non-consecutive neighbors are NOT errors —
+          tag-/fork-pinned ``expire_snapshots`` legitimately keeps e.g.
+          {seq 0, seq 2} (Iceberg retention does the same), so gaps are
+          reported informationally as ``retention_gaps`` without failing
+          ``ok``.
 
         Also inventories orphan directories (referenced by NO snapshot or
         branch) — debris, not corruption; ``remove_orphan_files``
@@ -2074,6 +2183,7 @@ class SnapTable:
             "row_count_mismatch": None,
             "file_count_mismatch": None,
             "log_errors": [],
+            "retention_gaps": [],
             "orphan_dirs": [],
         }
         entries = self._entries()
@@ -2081,13 +2191,18 @@ class SnapTable:
             report["log_errors"].append("no snapshots")
             report["ok"] = False
             return report
-        seqs = [e["sequence"] for e in entries]
-        if seqs != list(range(seqs[0], seqs[0] + len(seqs))):
-            report["log_errors"].append(f"non-contiguous sequences: {seqs}")
         for prev, e in zip(entries, entries[1:]):
-            if e.get("parent_id") != prev["snapshot_id"]:
-                report["log_errors"].append(
-                    f"sequence {e['sequence']} parent_id does not chain"
+            if e["sequence"] == prev["sequence"] + 1:
+                # adjacent survivors: the parent chain must hold exactly
+                if e.get("parent_id") != prev["snapshot_id"]:
+                    report["log_errors"].append(
+                        f"sequence {e['sequence']} parent_id does not chain"
+                    )
+            else:
+                # expected after tag-/fork-pinned retention — informational,
+                # never a corruption verdict
+                report["retention_gaps"].append(
+                    (prev["sequence"], e["sequence"])
                 )
         snap = self._snapshot_for(snapshot_id, None)
         total_rows = 0
@@ -2418,6 +2533,9 @@ class SnapTable:
                     return {
                         "operation": "append",
                         "data_dirs": (current["data_dirs"] if current else []) + _dd,
+                        "delete_dirs": (
+                            list(current.get("delete_dirs") or []) if current else []
+                        ),
                         "row_count": (current["row_count"] if current else 0) + _dr,
                         "file_count": (current["file_count"] if current else 0) + _df,
                         "column_ids": _e.get("column_ids"),

@@ -106,3 +106,26 @@ def test_repeated_incremental_refreshes_stay_exact(spark, src, dst):
         assert r["mode"] == "incremental"
         full, inc = _states(spark, src, dst)
         assert full == inc
+
+
+def test_crash_between_merge_and_watermark_write_is_idempotent(spark, src, dst):
+    """The watermark rides INSIDE the refresh's commit entry, so a crash
+    after the merge commit but before the properties write cannot
+    double-apply the (non-idempotent) deltas on the next refresh."""
+    refresh_rollup(spark, src, dst, ["region"], MEASURES)
+    src.append(spark.createDataFrame(
+        [("eu", 100.0, 50)], "region STRING, amount DOUBLE, id LONG"
+    ))
+    # simulate the crash: the incremental merge commits, but the
+    # properties-cache write never lands
+    dst._write_meta = lambda meta: None  # instance shadow, dst only
+    r = refresh_rollup(spark, src, dst, ["region"], MEASURES)
+    assert r["mode"] == "incremental"
+    assert (dst.meta.get("properties", {}) or {}).get("ivm_src_snapshot") != \
+        src._entries()[-1]["snapshot_id"]  # the cache really is stale
+    del dst.__dict__["_write_meta"]  # "restart": un-shadow the method
+    # replay: watermark is read from the commit entry -> noop, no re-apply
+    r2 = refresh_rollup(spark, src, dst, ["region"], MEASURES)
+    assert r2["mode"] == "noop"
+    full, inc = _states(spark, src, dst)
+    assert full == inc  # eu total is 115.0, not 215.0

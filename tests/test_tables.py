@@ -1330,6 +1330,65 @@ def test_mor_delete_is_key_granular(spark, tmp_path):
     assert [r.k for r in t.read(spark).collect()] == [2]
 
 
+def test_mor_delete_survives_expire_snapshots(spark, mor_table):
+    """Expiring the append that INTRODUCED the data dirs must not
+    un-apply a later MoR delete: applicability sequences are persisted in
+    the commit entries (dir_sequences), not inferred from whichever log
+    entries happen to survive retention — without that, the data dir's
+    inferred intro collapses to the delete commit's own sequence, the
+    strictly-lower test fails, and the deleted rows resurrect."""
+    t = mor_table
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    # expire everything but the head (which references data + delete dirs)
+    t.expire_snapshots(older_than_ms=2**52)
+    assert len(t._entries()) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    # the delete stays correctly scoped for NEW appends too: rows appended
+    # after the delete commit must NOT be erased by it
+    t.append(spark.createDataFrame([(100, "a", 1.0)], "k LONG, g STRING, v DOUBLE"))
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9, 100]
+
+
+def test_mor_delete_survives_identifier_rename(spark, mor_table):
+    """Equality-delete files are keyed by FIELD ID like data files: a
+    rename of an identifier field after a MoR delete must leave every
+    read (and compact) working, with the delete still applied."""
+    t = mor_table
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    t.evolve_rename_column("k", "key")
+    assert t.meta["identifier_fields"] == ["key"]
+    assert sorted(r.key for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    # a second MoR delete under the NEW name composes with the old file
+    t.delete_where(spark, "key = 9", mode="mor")
+    assert sorted(r.key for r in t.read(spark).collect()) == [1, 3, 5, 7]
+    # compact (reads first) can still materialize everything
+    ce = t.compact(spark)
+    assert not ce.get("delete_dirs")
+    assert sorted(r.key for r in t.read(spark).collect()) == [1, 3, 5, 7]
+
+
+def test_verify_integrity_accepts_tag_pinned_retention_gaps(spark, tmp_path):
+    """Tag-pinned expiration legitimately keeps a non-contiguous log
+    (e.g. tagged seq 0 + head seq 2); fsck must report that as an
+    informational retention_gap, not corruption."""
+    t = SnapTable.create(
+        tmp_path / "gaps",
+        {"name": "gaps", "namespace": "lakehouse",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "k LONG"))
+    t.create_tag("v0", snapshot_id=t._entries()[0]["snapshot_id"])
+    t.expire_snapshots(older_than_ms=2**52)
+    seqs = [e["sequence"] for e in t._entries()]
+    assert seqs == [0, 2]
+    report = t.verify_integrity()
+    assert report["ok"], report
+    assert report["retention_gaps"] == [(0, 2)]
+    assert report["log_errors"] == []
+
+
 def test_delete_files_metadata_table(spark, mor_table):
     t = mor_table
     assert t.delete_files(spark).count() == 0
