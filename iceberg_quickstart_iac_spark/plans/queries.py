@@ -126,7 +126,7 @@ _GATE_PRIORITY: list[str] = [
     "q19_disjunctive_revenue",
     "q22_dormant_rich_customers",
     # round-6 additions: need their FIRST driver row
-    # (inserted here as they are built)
+    "orc_table_lifecycle",
     # then the 50 queries last certified in r3 (3 rounds old by now);
     # r4/r5-certified queries fall to registry order behind them and stay
     # covered by the pytest oracle replay.
@@ -5918,3 +5918,76 @@ def branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage STRING, main_rows LONG, branch_rows LONG, "
         "main_has_col BOOLEAN, branch_has_col BOOLEAN",
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# ORC write-format lifecycle (SURVEY §2.1 S7 + template property
+# `write_format: orc`, reference `_schema.json:97-104` /
+# `docs/table-template-reference.md:195-210`): the declared format is
+# EXECUTED, not just mapped to DDL — the table's data files are physically
+# ORC, hidden-partition pruning and row-level DELETE work identically to
+# the parquet path, and the layout facts (all-ORC, pruned scan) are pinned
+# as booleans. The oracle derives every count relationally from orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orc_table_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderdate >= DATE '1999-01-01')
+                AS BIGINT) AS rows_recent,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+             AS rows_after_delete,
+           TRUE AS all_orc,
+           TRUE AS scan_pruned
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def orc_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 3000
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="orc_") + "/orders_orc",
+        {
+            "name": "orders_orc",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "o_orderdate", "type": "date"},
+            ],
+            "partition_spec": [{"column": "o_orderdate", "transform": "month"}],
+            "sort_order": [
+                {"column": "o_orderkey", "direction": "asc",
+                 "null_order": "nulls_last"}
+            ],
+            "properties": {"write_format": "orc"},
+        },
+    )
+    t.append(orders)
+    full = t.read(spark)
+    rows_total = full.count()
+    all_orc = all(f.endswith(".orc") for f in full.inputFiles()) and not any(
+        p.suffix == ".parquet" for p in t.data_dir.rglob("*")
+    )
+    from datetime import date
+
+    recent = t.read(spark, filters=[("o_orderdate", ">=", date(1999, 1, 1))])
+    rows_recent = recent.count()
+    # hidden partitioning: the filtered scan must touch strictly fewer
+    # month directories than the full scan lists
+    scan_pruned = 0 < len(set(recent.inputFiles())) < len(set(full.inputFiles()))
+    t.delete_where(spark, "o_orderstatus = 'F'")
+    rows_after_delete = t.read(spark).count()
+    return spark.createDataFrame(
+        [(rows_total, rows_recent, rows_after_delete, all_orc, scan_pruned)],
+        "rows_total LONG, rows_recent LONG, rows_after_delete LONG, "
+        "all_orc BOOLEAN, scan_pruned BOOLEAN",
+    )

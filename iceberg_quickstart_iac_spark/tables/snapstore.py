@@ -236,6 +236,12 @@ def _declared_spark_type(type_str: str):
     m = re.match(r"^decimal\((\d+)\s*,\s*(\d+)\)$", type_str.strip().lower())
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    # Iceberg list type (`list<int>`; `array<int>` accepted as an alias):
+    # needed for real columns like embeddings and PQ code arrays — the
+    # loader's unknown→string demotion would destroy them on projection
+    m = re.match(r"^(?:list|array)<(.+)>$", type_str.strip().lower())
+    if m:
+        return T.ArrayType(_declared_spark_type(m.group(1)))
     return iceberg_type_to_spark(type_str)
 
 
@@ -289,10 +295,25 @@ def _normalize_merge_clauses(
 
 
 def _footer_row_count(files: list[Path]) -> int:
-    """Sum of parquet footer row counts — metadata-only, no data read."""
-    import pyarrow.parquet as pq
+    """Sum of file footer row counts (parquet or ORC, by extension) —
+    metadata-only, no data read."""
+    total = 0
+    for f in files:
+        if f.suffix == ".orc":
+            import pyarrow.orc as po
 
-    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+            total += po.ORCFile(str(f)).nrows
+        else:
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(str(f)).metadata.num_rows
+    return total
+
+
+def _list_data_files(base: Path) -> list[Path]:
+    """Every data file under ``base``, whichever columnar format the dir
+    was written in (`write_format: parquet|orc`)."""
+    return sorted(list(base.rglob("*.parquet")) + list(base.rglob("*.orc")))
 
 
 class SnapTable:
@@ -333,6 +354,22 @@ class SnapTable:
             "identifier_fields": (template or {}).get("identifier_fields", []) or [],
             "properties": {**((template or {}).get("properties") or {}), **(properties or {})},
         }
+        fmt = meta["properties"].get("write_format", "parquet")
+        if fmt == "avro":
+            # loud S5-style rejection, not a silent parquet fallback: row-
+            # oriented avro needs the external spark-avro runtime jar,
+            # which this build does not bundle
+            raise ValueError(
+                "write_format 'avro' requires the spark-avro runtime jar "
+                "(org.apache.spark:spark-avro), which is not bundled — "
+                "declare 'parquet' (default) or 'orc' (both built into "
+                "Spark), or add the jar via spark.jars.packages"
+            )
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(
+                f"Unsupported write_format {fmt!r} — the template schema "
+                "allows parquet | orc | avro (table-template-reference.md)"
+            )
         (table.root / "table.json").write_text(json.dumps(meta, indent=2))
         return table
 
@@ -519,25 +556,41 @@ class SnapTable:
 
             sort_exprs = [F.col(name) for name, _ in pcols]
             for item in order:
-                c = F.col(item["column"])
-                c = c.desc() if item.get("direction", "asc") == "desc" else c.asc()
-                if item.get("null_order") == "nulls_first":
-                    c = (
-                        F.col(item["column"]).desc_nulls_first()
-                        if item.get("direction") == "desc"
-                        else F.col(item["column"]).asc_nulls_first()
-                    )
+                direction = item.get("direction", "asc")
+                # default null order follows Iceberg/SQL: NULLS FIRST for
+                # asc, NULLS LAST for desc; both explicit declarations are
+                # honored (the reference's schema allows all four combos,
+                # _schema.json:74-96 — Spark's bare asc() would silently
+                # cluster an asc+nulls_last template nulls-first)
+                null_order = item.get("null_order") or (
+                    "nulls_first" if direction == "asc" else "nulls_last"
+                )
+                col = F.col(item["column"])
+                c = {
+                    ("asc", "nulls_first"): col.asc_nulls_first,
+                    ("asc", "nulls_last"): col.asc_nulls_last,
+                    ("desc", "nulls_first"): col.desc_nulls_first,
+                    ("desc", "nulls_last"): col.desc_nulls_last,
+                }[(direction, null_order)]()
                 sort_exprs.append(c)
             wdf = wdf.sortWithinPartitions(*sort_exprs)
         if drop_cols:
             wdf = wdf.drop(*drop_cols)
+        fmt = self.write_format()
+        writer = wdf.write.format(fmt)
         if pcols:
-            wdf.write.partitionBy(*[name for name, _ in pcols]).parquet(str(out))
-        else:
-            wdf.write.parquet(str(out))
-        files = list(out.rglob("*.parquet"))
+            writer = writer.partitionBy(*[name for name, _ in pcols])
+        writer.save(str(out))
+        files = _list_data_files(out)
         rows = _footer_row_count(files)
         return dir_name, rows, len(files)
+
+    def write_format(self) -> str:
+        """The template's declared data-file format (``write_format``
+        property, the reference's ``write.format.default``;
+        ``table-templates/_schema.json:97-104``): parquet (default) or
+        orc — both executed natively by Spark's columnar writers."""
+        return self.meta.get("properties", {}).get("write_format", "parquet")
 
     def _check_columns(self, df: DataFrame) -> None:
         declared = [c["name"] for c in self.meta.get("columns", [])]
@@ -776,7 +829,7 @@ class SnapTable:
                 "file_count": prev["file_count"] if prev else 0,
                 **{
                     k: prev[k]
-                    for k in ("column_ids", "column_types", "partition_spec")
+                    for k in ("column_ids", "column_types", "partition_spec", "write_format")
                     if prev and k in prev
                 },
             }
@@ -1237,7 +1290,7 @@ class SnapTable:
                 # schema/spec, not the current one
                 **{
                     k: target[k]
-                    for k in ("column_ids", "column_types", "partition_spec")
+                    for k in ("column_ids", "column_types", "partition_spec", "write_format")
                     if k in target
                 },
             }
@@ -1349,6 +1402,9 @@ class SnapTable:
             "column_ids": {c["name"]: c.get("id") for c in meta.get("columns", [])},
             "column_types": {c["name"]: c["type"] for c in meta.get("columns", [])},
             "partition_spec": meta.get("partition_spec") or [],
+            # the file format the dir was physically written in — reads
+            # must pick the matching Spark data source per epoch
+            "write_format": meta.get("properties", {}).get("write_format", "parquet"),
         }
 
     def _dir_epochs(self) -> dict[str, dict | None]:
@@ -1364,6 +1420,7 @@ class SnapTable:
                     "column_ids": ids,
                     "column_types": e.get("column_types"),
                     "partition_spec": e.get("partition_spec"),
+                    "write_format": e.get("write_format"),
                 }
             for d in e["data_dirs"]:
                 if d not in seen:
@@ -1707,7 +1764,8 @@ class SnapTable:
             paths = self._leaf_dirs(roots, gfilters, spec)
             if not paths:
                 continue
-            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            fmt = (epoch or {}).get("write_format") or "parquet"
+            df = spark.read.option("mergeSchema", "true").format(fmt).load(list(paths))
             if gfilters and any(col not in df.columns for col, _, _ in gfilters):
                 continue
             df = self._apply_row_filters(df, gfilters)
@@ -1753,7 +1811,7 @@ class SnapTable:
         rows = []
         for d in snap["data_dirs"]:
             base = self.data_dir / d
-            for f in sorted(base.rglob("*.parquet")):
+            for f in _list_data_files(base):
                 parts = {}
                 for seg in f.relative_to(base).parts[:-1]:
                     if "=" in seg:
@@ -1788,7 +1846,7 @@ class SnapTable:
         rows = []
         for d in snap.get("delete_dirs") or []:
             base = self.data_dir / d
-            files = sorted(base.rglob("*.parquet")) if base.is_dir() else []
+            files = _list_data_files(base) if base.is_dir() else []
             rows.append(
                 (
                     d,
@@ -2212,7 +2270,7 @@ class SnapTable:
             if not base.is_dir():
                 report["missing_dirs"].append(d)
                 continue
-            files = sorted(base.rglob("*.parquet"))
+            files = _list_data_files(base)
             if not files:
                 report["empty_dirs"].append(d)
                 continue

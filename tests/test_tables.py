@@ -1400,3 +1400,116 @@ def test_delete_files_metadata_table(spark, mor_table):
     # compaction clears the table's delete-file inventory
     t.compact(spark)
     assert t.delete_files(spark).count() == 0
+
+
+# -- write_format: orc (executed, not just declared) -------------------------
+
+
+@pytest.fixture()
+def orc_table(spark, tmp_path):
+    return SnapTable.create(
+        tmp_path / "orc",
+        {
+            "name": "orc_events", "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "string"},
+                {"name": "event_type", "type": "string"},
+                {"name": "ts", "type": "timestamptz"},
+            ],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+            "sort_order": [{"column": "ts", "direction": "asc"}],
+            "properties": {"write_format": "orc"},
+        },
+    )
+
+
+def test_orc_write_read_prune_roundtrip(spark, orc_table):
+    from datetime import datetime
+
+    t = orc_table
+    df = spark.createDataFrame(
+        [(f"e{i}", "click", datetime(2024, 1, 1 + i % 3, i % 24)) for i in range(48)],
+        "event_id STRING, event_type STRING, ts TIMESTAMP",
+    )
+    e = t.append(df)
+    # physically ORC: footer row counts came from ORC metadata
+    files = list(t.data_dir.rglob("*.orc"))
+    assert files and not list(t.data_dir.rglob("*.parquet"))
+    assert e["row_count"] == 48
+    assert t.read(spark).count() == 48
+    # hidden-partition pruning still works on the source column
+    pruned = t.read(spark, filters=[("ts", ">=", datetime(2024, 1, 3))])
+    assert pruned.count() == 16
+    assert all("ts_day=2024-01-03" in f for f in pruned.inputFiles())
+    # DML + time travel on the ORC path
+    pre = t.current_snapshot()
+    t.delete_where(spark, "event_id = 'e0'")
+    assert t.read(spark).count() == 47
+    assert t.read(spark, snapshot_id=pre["snapshot_id"]).count() == 48
+    assert t.verify_integrity()["ok"]
+
+
+def test_orc_schema_evolution_epochs(spark, orc_table):
+    """Widen after an ORC write: epoch-grouped reads must scan each epoch
+    with its own format/type and cast up to the declared schema."""
+    from datetime import datetime
+
+    t = orc_table
+    t.append(spark.createDataFrame(
+        [("a", "click", datetime(2024, 1, 1))],
+        "event_id STRING, event_type STRING, ts TIMESTAMP",
+    ))
+    t.evolve_add_column("n", "int")
+    t.append(spark.createDataFrame(
+        [("b", "view", datetime(2024, 1, 2), 7)],
+        "event_id STRING, event_type STRING, ts TIMESTAMP, n INT",
+    ))
+    rows = {(r.event_id, r.n) for r in t.read(spark).collect()}
+    assert rows == {("a", None), ("b", 7)}
+
+
+def test_avro_write_format_rejected_loudly(tmp_path):
+    with pytest.raises(ValueError, match="spark-avro runtime jar"):
+        SnapTable.create(
+            tmp_path / "avro",
+            {"name": "a", "namespace": "x",
+             "columns": [{"name": "k", "type": "long"}],
+             "properties": {"write_format": "avro"}},
+        )
+    with pytest.raises(ValueError, match="Unsupported write_format"):
+        SnapTable.create(
+            tmp_path / "csvfmt",
+            {"name": "c", "namespace": "x",
+             "columns": [{"name": "k", "type": "long"}],
+             "properties": {"write_format": "csv"}},
+        )
+
+
+def test_write_clustering_honors_all_null_orders(spark, tmp_path):
+    """asc+nulls_last (previously silently nulls-first) and the other
+    three direction x null_order combinations cluster written files
+    exactly as declared."""
+    import pyarrow.parquet as pq
+
+    cases = {
+        ("asc", "nulls_last"): [1.0, 2.0, 3.0, None, None],
+        ("asc", "nulls_first"): [None, None, 1.0, 2.0, 3.0],
+        ("desc", "nulls_first"): [None, None, 3.0, 2.0, 1.0],
+        ("desc", "nulls_last"): [3.0, 2.0, 1.0, None, None],
+    }
+    for (direction, null_order), expected in cases.items():
+        t = SnapTable.create(
+            tmp_path / f"no-{direction}-{null_order}",
+            {
+                "name": f"no_{direction}_{null_order}", "namespace": "x",
+                "columns": [{"name": "v", "type": "double"}],
+                "sort_order": [
+                    {"column": "v", "direction": direction, "null_order": null_order}
+                ],
+            },
+        )
+        t.overwrite(spark.createDataFrame(
+            [(2.0,), (None,), (3.0,), (None,), (1.0,)], "v DOUBLE"
+        ).coalesce(1))
+        [f] = list(t.data_dir.rglob("*.parquet"))
+        assert pq.read_table(str(f))["v"].to_pylist() == expected, (direction, null_order)
