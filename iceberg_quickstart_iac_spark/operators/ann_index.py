@@ -1,0 +1,210 @@
+"""Persisted IVF-PQ index: fit once, query many (SURVEY §2.13 X26 —
+the production shape of the ANN funnel).
+
+The catalog's composed funnel (:func:`~.similarity.ivfpq_topk`) is
+certified by refitting the quantizer + codebooks inside the query so a
+SQL oracle can replay the whole pipeline; a production engine at 100 TB
+does neither per query. FAISS separates ``train``/``add`` from
+``search``; Milvus/Vespa persist the trained index next to the data.
+This module is that separation on the snapstore table format:
+
+- :func:`build_ivfpq_index` — ONE sample collect, one IVF fit, one PQ
+  fit, one distributed encode pass; the (vec_id, cell, codes) corpus
+  lands in a SnapTable **partitioned by cell** (every probe can prune
+  whole cell directories before a scan), and the trained model —
+  centroids, codebooks, fit/encode configuration — rides in the table's
+  own properties (table metadata IS the index metadata; snapshot commits
+  version the index like any other table).
+- :func:`load_ivfpq_index` — reopen the table, verify the stored
+  configuration matches, deserialize the model. No fit, no encode.
+- :func:`query_ivfpq_index` — route + ADC-score against the stored
+  codes; cost is O(probed cells), independent of index build cost.
+
+Reference parity: the reference materializes derived assets once and
+serves queries from the materialized form (``docs/architecture.md``);
+this is the same asset/query split for the ANN index. Determinism: the
+fit is a seeded pure-numpy Lloyd's over an ``ORDER BY order_col LIMIT
+fit_sample`` sample and the fold-encode is element-ordered SQL, so a
+freshly built index is bit-identical to a refit with the same config —
+which is what lets the certified catalog query serve from the persisted
+index while its DuckDB oracle refits from the raw parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.operators.similarity import (
+    ivf_index,
+    ivfpq_topk,
+    pq_encode,
+    pq_fit,
+)
+from iceberg_quickstart_iac_spark.tables import SnapTable, TableNotFoundError
+
+#: properties keys the trained model is stored under
+_PROP_MODEL = "ann_ivfpq_model"
+_PROP_CONF = "ann_ivfpq_conf"
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str | Path,
+    *,
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    ivf_max_iter: int = 8,
+    pq_max_iter: int = 8,
+    ivf_seed: int = 42,
+    pq_seed: int = 7,
+    fit_sample: int = 100_000,
+    order_col: str = "vec_id",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    assign: str = "fold",
+) -> SnapTable:
+    """Train and materialize an IVF-PQ index table at ``root``.
+
+    One deterministic sample collect feeds BOTH fits (the funnel's
+    shared-sample contract); the corpus is then cell-tagged and
+    PQ-encoded in one distributed pass and written partitioned by
+    ``cell``. Build is atomic: everything lands in a temp directory that
+    is renamed into place, so a crashed build never leaves a loadable
+    half-index and a concurrent winner is kept, not clobbered.
+    """
+    root = Path(root)
+    conf = {
+        "n_cells": n_cells, "m": m, "n_codes": n_codes,
+        "ivf_max_iter": ivf_max_iter, "pq_max_iter": pq_max_iter,
+        "ivf_seed": ivf_seed, "pq_seed": pq_seed,
+        "fit_sample": fit_sample, "order_col": order_col,
+        "corpus_id": corpus_id, "corpus_vec": corpus_vec, "assign": assign,
+    }
+    sample = [
+        r["__v"]
+        for r in corpus.orderBy(order_col)
+        .limit(fit_sample)
+        .select(F.col(corpus_vec).alias("__v"))
+        .collect()
+    ]
+    tagged, centroids = ivf_index(
+        corpus, n_cells=n_cells, max_iter=ivf_max_iter, seed=ivf_seed,
+        corpus_vec=corpus_vec, assign=assign, sample_vectors=sample,
+    )
+    books = pq_fit(
+        corpus, m=m, n_codes=n_codes, max_iter=pq_max_iter, seed=pq_seed,
+        corpus_vec=corpus_vec, sample_vectors=sample,
+    )
+    encoded = pq_encode(tagged, books, corpus_vec=corpus_vec, assign=assign)
+
+    tmp = root.parent / f".build-{uuid.uuid4().hex}"
+    t = SnapTable.create(
+        tmp,
+        {
+            "name": root.name,
+            "namespace": "ann",
+            "columns": [
+                {"name": corpus_id, "type": "long"},
+                {"name": "cell", "type": "int"},
+                {"name": "codes", "type": "list<int>"},
+            ],
+            # identity-partition by cell: a probe of c cells scans c dirs
+            "partition_spec": [{"column": "cell", "transform": "identity"}],
+            "sort_order": [{"column": corpus_id, "direction": "asc"}],
+            "properties": {
+                _PROP_MODEL: json.dumps(
+                    {"centroids": centroids, "codebooks": books}
+                ),
+                _PROP_CONF: json.dumps(conf, sort_keys=True),
+            },
+        },
+    )
+    t.overwrite(encoded.select(corpus_id, "cell", "codes"))
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # a concurrent builder won the rename race — keep the winner
+        # (same config -> bit-identical index), drop our duplicate
+        shutil.rmtree(tmp, ignore_errors=True)
+    return SnapTable.load(root)
+
+
+def load_ivfpq_index(
+    root: str | Path, expect_conf: dict | None = None
+) -> tuple[SnapTable, list[list[float]], list[list[list[float]]]]:
+    """Reopen a persisted index: (table, centroids, codebooks).
+
+    ``expect_conf`` (the kwargs :func:`build_ivfpq_index` was called
+    with) guards against serving a stale index built under different
+    parameters — a mismatch raises instead of silently answering from
+    the wrong quantizer.
+    """
+    t = SnapTable.load(root)
+    props = t.meta.get("properties", {})
+    if _PROP_MODEL not in props:
+        raise TableNotFoundError(f"{root} is not an ANN index table")
+    if expect_conf is not None:
+        stored = json.loads(props.get(_PROP_CONF, "{}"))
+        want = json.loads(json.dumps(expect_conf, sort_keys=True))
+        if stored != want:
+            raise ValueError(
+                f"ANN index at {root} was built with different parameters "
+                f"(stored {stored} != requested {want}) — rebuild it"
+            )
+    model = json.loads(props[_PROP_MODEL])
+    return t, model["centroids"], model["codebooks"]
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    index: SnapTable | str | Path,
+    queries: list[tuple],
+    k: int = 10,
+    nprobe: int = 6,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted index: route each query to ``nprobe`` cells and
+    ADC-score the stored codes — no fit, no encode, no raw vectors."""
+    root = index.root if isinstance(index, SnapTable) else index
+    t, centroids, books = load_ivfpq_index(root)
+    encoded = t.read(spark)
+    return ivfpq_topk(
+        encoded, centroids, books, queries,
+        k=k, nprobe=nprobe, corpus_id=corpus_id,
+    )
+
+
+def load_or_build_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str | Path,
+    **conf,
+) -> tuple[SnapTable, list[list[float]], list[list[list[float]]]]:
+    """The query-side entry point: serve from the persisted index when
+    one with matching parameters exists, otherwise build it once."""
+    full = {
+        "n_cells": conf["n_cells"], "m": conf["m"], "n_codes": conf["n_codes"],
+        "ivf_max_iter": conf.get("ivf_max_iter", 8),
+        "pq_max_iter": conf.get("pq_max_iter", 8),
+        "ivf_seed": conf.get("ivf_seed", 42),
+        "pq_seed": conf.get("pq_seed", 7),
+        "fit_sample": conf.get("fit_sample", 100_000),
+        "order_col": conf.get("order_col", "vec_id"),
+        "corpus_id": conf.get("corpus_id", "vec_id"),
+        "corpus_vec": conf.get("corpus_vec", "embedding"),
+        "assign": conf.get("assign", "fold"),
+    }
+    try:
+        return load_ivfpq_index(root, expect_conf=full)
+    except (TableNotFoundError, ValueError):
+        build_ivfpq_index(spark, corpus, root, **full)
+        return load_ivfpq_index(root, expect_conf=full)

@@ -1,0 +1,121 @@
+"""Persisted IVF-PQ index: fit-once/load-many must be bit-identical to
+the refit-per-query funnel, guard against stale configs, and never
+re-train when a matching index exists."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.operators.ann_index import (
+    build_ivfpq_index,
+    load_ivfpq_index,
+    load_or_build_ivfpq_index,
+    query_ivfpq_index,
+)
+from iceberg_quickstart_iac_spark.operators.similarity import (
+    ivf_index,
+    ivfpq_topk,
+    pq_encode,
+    pq_fit,
+)
+
+CONF = {"n_cells": 4, "m": 4, "n_codes": 8, "fit_sample": 200}
+
+
+@pytest.fixture()
+def corpus(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_persisted_index_matches_refit_exactly(spark, corpus, tmp_path):
+    root = tmp_path / "idx"
+    t, centroids, books = load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    # the stored model equals an in-process refit (deterministic fits)
+    sample = [
+        r["embedding"]
+        for r in corpus.orderBy("vec_id").limit(CONF["fit_sample"]).collect()
+    ]
+    tagged, cent2 = ivf_index(
+        corpus, n_cells=CONF["n_cells"], max_iter=8, seed=42,
+        assign="fold", sample_vectors=sample,
+    )
+    books2 = pq_fit(
+        corpus, m=CONF["m"], n_codes=CONF["n_codes"], max_iter=8, seed=7,
+        sample_vectors=sample,
+    )
+    assert centroids == cent2
+    assert books == books2
+    # stored (cell, codes) equal the fold-encode recomputation
+    enc2 = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode(tagged, books2, assign="fold")
+        .select("vec_id", "cell", "codes").collect()
+    }
+    stored = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in t.read(spark).collect()
+    }
+    assert stored == enc2
+    # end to end: the search result over the persisted index equals the
+    # refit funnel's
+    queries = [(i, [float(x) for x in sample[i]]) for i in range(3)]
+    via_index = query_ivfpq_index(spark, root, queries, k=5, nprobe=2).collect()
+    direct = ivfpq_topk(
+        pq_encode(tagged, books2, assign="fold"), cent2, books2, queries,
+        k=5, nprobe=2,
+    ).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, direct))
+
+
+def test_load_skips_training_and_conf_mismatch_rebuilds(spark, corpus, tmp_path):
+    root = tmp_path / "idx"
+    t1, *_ = load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    built_at = t1.current_snapshot()["snapshot_id"]
+    # second call LOADS: no new snapshot commit, same table
+    t2, *_ = load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    assert t2.current_snapshot()["snapshot_id"] == built_at
+    # changed parameters must not silently serve the stale index
+    with pytest.raises(ValueError, match="different parameters"):
+        load_ivfpq_index(root, expect_conf={**_full_conf(), "n_cells": 8})
+
+
+def _full_conf() -> dict:
+    return {
+        "n_cells": CONF["n_cells"], "m": CONF["m"], "n_codes": CONF["n_codes"],
+        "ivf_max_iter": 8, "pq_max_iter": 8, "ivf_seed": 42, "pq_seed": 7,
+        "fit_sample": CONF["fit_sample"], "order_col": "vec_id",
+        "corpus_id": "vec_id", "corpus_vec": "embedding", "assign": "fold",
+    }
+
+
+def test_index_table_is_cell_partitioned(spark, corpus, tmp_path):
+    """The 100 TB shape: identity partitioning by cell means a probe of c
+    cells is a c-directory pruned scan, not a full-corpus filter."""
+    root = tmp_path / "idx"
+    t, *_ = load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    cells = sorted(
+        p.name for p in t.data_dir.iterdir() if p.is_dir()
+    )
+    [data_dir] = cells
+    subdirs = sorted(p.name for p in (t.data_dir / data_dir).iterdir() if p.is_dir())
+    assert subdirs and all(s.startswith("__p_cell=") for s in subdirs)
+    pruned = t.read(spark, filters=[("cell", "=", 0)])
+    assert all("__p_cell=0" in f for f in pruned.inputFiles())
+
+
+def test_rebuild_guard_is_not_table_not_found(spark, corpus, tmp_path):
+    from iceberg_quickstart_iac_spark.tables import SnapTable, TableNotFoundError
+
+    plain = SnapTable.create(
+        tmp_path / "plain",
+        {"name": "p", "namespace": "x",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    plain.append(spark.createDataFrame([(1,)], "k LONG"))
+    with pytest.raises(TableNotFoundError, match="not an ANN index"):
+        load_ivfpq_index(plain.root)
