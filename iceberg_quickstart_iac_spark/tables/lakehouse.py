@@ -31,6 +31,7 @@ O(tables) on the driver, the same contract a real catalog serves.
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 from iceberg_quickstart_iac_spark.tables.snapstore import (
@@ -125,11 +126,15 @@ class CatalogBranch:
         a schema conflict or a non-append rebase against a moved main
         fails the whole publish before anything lands; (2) merge each.
         The validation is a point-in-time check, so the remaining
-        non-atomic window is the merge loop itself (a concurrent main
-        writer racing INTO that window surfaces as CommitConflictError
-        with earlier tables already merged — the branch keeps the full
-        state of the unmerged remainder for manual resolution, the same
-        contract as :meth:`SnapTable.merge_branch`)."""
+        non-atomic window is the merge loop itself. A concurrent main
+        writer racing INTO that window is RETRIED per table with
+        backoff — :meth:`SnapTable.merge_branch` re-bases append-only
+        branches on every attempt, so commuting races resolve instead of
+        stopping mid-loop with earlier tables already published. Only a
+        genuine conflict (non-append remainder against a moved main, or
+        retry exhaustion) raises, and the error then reports exactly
+        which tables merged and that the remainder keeps its branch
+        state for manual resolution."""
         touched = self._touched()
         problems = []
         for tname in touched:
@@ -160,7 +165,25 @@ class CatalogBranch:
         merged = {}
         for tname in touched:
             t = self.lakehouse.table(tname)
-            entry = t.merge_branch(self._table_branch)
+            last_err: Exception | None = None
+            entry = None
+            for attempt in range(4):
+                try:
+                    entry = t.merge_branch(self._table_branch)
+                    last_err = None
+                    break
+                except CommitConflictError as e:
+                    # a main writer claimed a slot mid-merge; merge_branch
+                    # re-bases from the new head on the next attempt
+                    last_err = e
+                    time.sleep(0.05 * 2**attempt)
+            if last_err is not None:
+                raise CommitConflictError(
+                    f"Catalog branch {self.name!r}: {tname} failed to merge "
+                    f"after retries ({last_err}). Already merged: "
+                    f"{sorted(merged)}; {tname} and later tables keep their "
+                    "full branch state for manual resolution."
+                )
             t.delete_branch(self._table_branch)
             merged[tname] = entry["snapshot_id"] if entry else None
         self.lakehouse._ref_path(self.name).unlink(missing_ok=True)

@@ -846,3 +846,26 @@ def test_ivfpq_funnel_prunes_and_degenerates_to_full_adc(spark, sf_dir):
         rs = sorted(by_q[qid], key=lambda r: r.rank)
         assert rs[0].vec_id == qid  # self lives in the nearest probed cell
         assert all(cell_of[r.vec_id] in allowed[qid] for r in rs)
+
+
+def test_near_dup_clusters_driver_path_never_collects_ids(spark):
+    """A huge corpus with a handful of verified pairs must stay
+    distributed on the ids side: only pair MEMBERS are driver-side, and
+    the singleton contract resolves via a broadcast join (plan-pinned),
+    not an ids.collect()."""
+    from iceberg_quickstart_iac_spark.operators.dedup import near_dup_clusters
+
+    ids = spark.range(0, 100_000).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 7, 0.9), (7, 42, 0.9), (500, 501, 0.8)],
+        "id_a LONG, id_b LONG, jaccard DOUBLE",
+    )
+    out = near_dup_clusters(pairs, ids, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert out.count() == 100_000
+    got = {
+        r.doc_id: r.cluster_id
+        for r in out.filter("doc_id IN (1, 7, 42, 500, 501, 9999)").collect()
+    }
+    assert got == {1: 1, 7: 1, 42: 1, 500: 500, 501: 500, 9999: 9999}

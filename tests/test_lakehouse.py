@@ -82,3 +82,65 @@ def test_lakehouse_table_registry(lake, tmp_path):
         lake.table("nope")
     with pytest.raises(ValueError, match="No catalog branch"):
         lake.branch("ghost")
+
+
+def test_catalog_merge_retries_per_table_conflicts(spark, lake, monkeypatch):
+    """A transient CommitConflictError mid-loop (a main writer racing
+    into the merge window) is retried per table instead of aborting with
+    earlier tables already published."""
+    br = lake.create_branch("racy")
+    for n in ("a", "b"):
+        br.table(n).append(spark.createDataFrame([(9, n)], "k LONG, v STRING"))
+    flaked = {}
+    orig = SnapTable.merge_branch
+
+    def flaky(self, name):
+        if self.fq_name not in flaked:
+            flaked[self.fq_name] = True
+            raise CommitConflictError("simulated slot race")
+        return orig(self, name)
+
+    monkeypatch.setattr(SnapTable, "merge_branch", flaky)
+    out = br.merge()
+    assert sorted(out["merged_tables"]) == ["a", "b"]
+    assert len(flaked) == 2  # each table failed once, then merged
+    assert lake.table("a").read(spark).count() == 2
+    assert lake.table("b").read(spark).count() == 2
+
+
+def test_catalog_merge_survives_concurrent_main_writer(spark, lake):
+    """Race a real main appender into the merge loop: append-only
+    branches commute, so the publish must finish with ALL touched tables
+    merged and the racer's rows intact."""
+    import threading
+
+    br = lake.create_branch("race2")
+    for n in ("a", "b", "c"):
+        br.table(n).append(spark.createDataFrame([(10, n)], "k LONG, v STRING"))
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        i = 0
+        while not stop.is_set() and i < 30:
+            try:
+                lake.table("abc"[i % 3]).append(
+                    spark.createDataFrame([(100 + i, "w")], "k LONG, v STRING")
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+                return
+            i += 1
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        out = br.merge()
+    finally:
+        stop.set()
+        th.join()
+    assert not errs
+    assert sorted(out["merged_tables"]) == ["a", "b", "c"]
+    for n in ("a", "b", "c"):
+        vals = {r.k for r in lake.table(n).read(spark).collect()}
+        assert 10 in vals and 1 in vals  # branch row + original row
