@@ -183,6 +183,50 @@ def query_ivfpq_index(
     )
 
 
+def extend_ivfpq_index(
+    spark: SparkSession,
+    root: str | Path,
+    new_vectors: DataFrame,
+) -> dict:
+    """Incrementally ADD vectors to a persisted index — FAISS's
+    ``add`` after ``train``: the stored quantizer/codebooks encode the
+    new batch (cell tag + PQ codes, one distributed map-only pass) and
+    the rows land as an append commit on the index table. O(batch), no
+    refit, no touch of existing rows; searches see the union immediately.
+
+    The standard IVF-PQ caveat applies and is deliberately inherited:
+    the model is NOT refit, so if the new data's distribution drifts far
+    from the training sample, recall degrades until a rebuild — drift
+    monitoring belongs to the governance layer, rebuild is
+    :func:`build_ivfpq_index` at a fresh root.
+    """
+    t, centroids, books = load_ivfpq_index(root)
+    conf = json.loads(t.meta["properties"][_PROP_CONF])
+    corpus_vec, corpus_id = conf["corpus_vec"], conf["corpus_id"]
+    # encode with the STORED model: cell assignment against persisted
+    # centroids, codes against persisted codebooks
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        nearest_cell_sql,
+    )
+
+    vn2 = F.aggregate(
+        F.transform(F.col(corpus_vec), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    tagged = (
+        new_vectors.withColumn("__vn2", vn2)
+        .withColumn(
+            "cell",
+            F.expr(nearest_cell_sql(f"`{corpus_vec}`", "__vn2", centroids)),
+        )
+        .drop("__vn2")
+    )
+    encoded = pq_encode(tagged, books, corpus_vec=corpus_vec, assign=conf["assign"])
+    entry = t.append(encoded.select(corpus_id, "cell", "codes"))
+    return {"appended_snapshot": entry["snapshot_id"], "row_count": entry["row_count"]}
+
+
 def load_or_build_ivfpq_index(
     spark: SparkSession,
     corpus: DataFrame,

@@ -599,12 +599,100 @@ CDC_WORKLOADS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# MoR read-amplification suite (--suite morread, VERDICT r5 #2): the
+# factor axis is the NUMBER OF ACCUMULATED EQUALITY-DELETE FILES on a
+# constant-size table (orders at the base SF), not corpus size — the
+# read-side half of the write-optimized/read-optimized dial the write
+# sweep (cdc suite) already measured. Each delete batch removes a tiny
+# disjoint key slice so the surviving row count stays ~constant and any
+# slope is pure delete-file overhead. Workloads (dict order matters —
+# the framework runs them in order per factor, and compact mutates the
+# shared table AFTER the with-deletes read is measured):
+#   mor_read_n_delete_files  — read latency with N live delete files
+#   mor_compact_n_delete_files — cost of materializing them away
+#   mor_read_post_compact    — read latency after compaction (the floor)
+# ---------------------------------------------------------------------------
+
+
+def build_morread_corpus(factor: int) -> str:
+    return BASE_SF_DIR  # constant table; the factor only drives N deletes
+
+
+_MORREAD_CACHE: dict = {}
+
+
+def _morread_table(spark, sf_dir: str, n_deletes: int):
+    key = (sf_dir, n_deletes)
+    if key not in _MORREAD_CACHE:
+        import tempfile
+
+        from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = SnapTable.create(
+            os.path.join(tempfile.mkdtemp(prefix="morread_"), "t"),
+            {
+                "name": "sweep_orders_morread",
+                "namespace": "lakehouse",
+                "columns": [
+                    {"name": "o_orderkey", "type": "long"},
+                    {"name": "o_orderstatus", "type": "string"},
+                    {"name": "o_totalprice", "type": "double"},
+                ],
+                "identifier_fields": ["o_orderkey"],
+            },
+        )
+        t.overwrite(orders)
+        # N disjoint tiny batches -> N delete files (each ~0.1% of keys)
+        for i in range(n_deletes):
+            t.delete_where(spark, f"o_orderkey % 1000 = {i}", mode="mor")
+        _MORREAD_CACHE[key] = t
+    return _MORREAD_CACHE[key]
+
+
+def wl_morread_read(spark, sf_dir: str, factor: int) -> int:
+    # first run per factor also pays the cached-table build; run with
+    # --runs >= 2 so min() keeps only the pure read
+    return _morread_table(spark, sf_dir, factor).read(spark).count()
+
+
+def wl_morread_compact(spark, sf_dir: str, factor: int) -> int:
+    """Times compact WITH N live delete files, then rolls back
+    (metadata-only) so every run — and the read workload's cache —
+    keeps the N-delete-file state."""
+    t = _morread_table(spark, sf_dir, factor)
+    pre = t.current_snapshot()["snapshot_id"]
+    e = t.compact(spark)
+    t.rollback_to(pre)
+    return e["row_count"]
+
+
+def wl_morread_post_compact(spark, sf_dir: str, factor: int) -> int:
+    """Read latency floor after materialization: compacts on the first
+    run (discarded by min() with --runs >= 2), pure read after."""
+    t = _morread_table(spark, sf_dir, factor)
+    if t.current_snapshot().get("delete_dirs"):
+        t.compact(spark)
+    return t.read(spark).count()
+
+
+MORREAD_WORKLOADS = {
+    "mor_read_n_delete_files": wl_morread_read,
+    "mor_compact_n_delete_files": wl_morread_compact,
+    "mor_read_post_compact": wl_morread_post_compact,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
-        "--suite", default="text", choices=["text", "rel", "stream", "cdc"]
+        "--suite", default="text",
+        choices=["text", "rel", "stream", "cdc", "morread"],
     )
     ap.add_argument(
         "--only", default=None,
@@ -623,6 +711,8 @@ def main() -> None:
         workloads, builder = STREAM_WORKLOADS, build_stream_corpus
     elif args.suite == "cdc":
         workloads, builder = CDC_WORKLOADS, build_cdc_corpus
+    elif args.suite == "morread":
+        workloads, builder = MORREAD_WORKLOADS, build_morread_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     if args.only:

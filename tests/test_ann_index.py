@@ -119,3 +119,39 @@ def test_rebuild_guard_is_not_table_not_found(spark, corpus, tmp_path):
     plain.append(spark.createDataFrame([(1,)], "k LONG"))
     with pytest.raises(TableNotFoundError, match="not an ANN index"):
         load_ivfpq_index(plain.root)
+
+
+def test_extend_index_appends_with_stored_model(spark, corpus, tmp_path):
+    """FAISS add-after-train: new vectors are encoded with the PERSISTED
+    quantizer/codebooks (no refit) and land as an append commit; the
+    encoded rows are bit-identical to encoding them against the loaded
+    model directly, and searches see old + new rows."""
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.ann_index import (
+        extend_ivfpq_index,
+    )
+
+    root = tmp_path / "idx"
+    t, centroids, books = load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    pre_rows = t.read(spark).count()
+    pre_snap = t.current_snapshot()["snapshot_id"]
+
+    rng = np.random.default_rng(99)
+    new = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = extend_ivfpq_index(spark, root, new)
+    assert out["row_count"] == pre_rows + 40
+    t2, cent2, books2 = load_ivfpq_index(root)
+    assert (cent2, books2) == (centroids, books)  # model untouched
+    assert t2.current_snapshot()["parent_id"] == pre_snap  # one append commit
+    stored_new = {
+        r["vec_id"] for r in t2.read(spark).filter("vec_id >= 1000").collect()
+    }
+    assert stored_new == {1000 + i for i in range(40)}
+    # a query vector equal to a NEW row finds it (self-hit) via the index
+    qv = new.filter("vec_id = 1005").collect()[0]["embedding"]
+    hits = query_ivfpq_index(spark, root, [(777, list(qv))], k=3, nprobe=CONF["n_cells"])
+    assert 1005 in {r["vec_id"] for r in hits.collect()}

@@ -1513,3 +1513,36 @@ def test_write_clustering_honors_all_null_orders(spark, tmp_path):
         ).coalesce(1))
         [f] = list(t.data_dir.rglob("*.parquet"))
         assert pq.read_table(str(f))["v"].to_pylist() == expected, (direction, null_order)
+
+
+# -- MoR maintenance policy (compact-cadence dial) ---------------------------
+
+
+def test_maintain_mor_thresholds(spark, mor_table):
+    from iceberg_quickstart_iac_spark.operators.maintenance import (
+        maintain_mor,
+        mor_read_amplification,
+    )
+
+    t = mor_table
+    # clean table: no-op
+    out = maintain_mor(spark, t)
+    assert out == {"delete_files": 0, "deferred_keys": 0, "ratio": 0.0,
+                   "compacted": False}
+    t.delete_where(spark, "k = 0", mode="mor")
+    audit = mor_read_amplification(t)
+    assert audit == {"delete_files": 1, "deferred_keys": 1, "ratio": 1 / 9}
+    # below the file threshold AND below a loose ratio: still a no-op
+    out = maintain_mor(spark, t, max_delete_files=4, max_delete_ratio=0.5)
+    assert not out["compacted"]
+    assert (t.current_snapshot().get("delete_dirs") or [])
+    # ratio threshold trips -> compaction materializes the deletes
+    out = maintain_mor(spark, t, max_delete_files=4, max_delete_ratio=0.1)
+    assert out["compacted"]
+    assert not (t.current_snapshot().get("delete_dirs") or [])
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(1, 10))
+    # file-count threshold trips independently of ratio
+    t.delete_where(spark, "k = 1", mode="mor")
+    t.delete_where(spark, "k = 2", mode="mor")
+    out = maintain_mor(spark, t, max_delete_files=2, max_delete_ratio=0.9)
+    assert out["delete_files"] == 2 and out["compacted"]
