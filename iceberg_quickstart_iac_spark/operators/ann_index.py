@@ -173,10 +173,22 @@ def query_ivfpq_index(
     corpus_id: str = "vec_id",
 ) -> DataFrame:
     """Search a persisted index: route each query to ``nprobe`` cells and
-    ADC-score the stored codes — no fit, no encode, no raw vectors."""
+    ADC-score the stored codes — no fit, no encode, no raw vectors.
+
+    The probed cell set is pushed into the table read as a
+    ``("cell", "in", cells)`` filter: the index is identity-partitioned
+    by cell, so the scan lists ONLY the probed cells' directories before
+    Spark sees a file — at 100 TB the search touches nprobe/n_cells of
+    the index, physically, not just logically (the in-query funnel can
+    only filter after a full scan)."""
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        route_queries_python,
+    )
+
     root = index.root if isinstance(index, SnapTable) else index
     t, centroids, books = load_ivfpq_index(root)
-    encoded = t.read(spark)
+    probed = sorted({c for _, c in route_queries_python(centroids, queries, nprobe)})
+    encoded = t.read(spark, filters=[("cell", "in", probed)])
     return ivfpq_topk(
         encoded, centroids, books, queries,
         k=k, nprobe=nprobe, corpus_id=corpus_id,

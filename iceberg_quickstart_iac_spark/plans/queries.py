@@ -128,6 +128,7 @@ _GATE_PRIORITY: list[str] = [
     "q22_dormant_rich_customers",
     # round-6 additions: need their FIRST driver row
     "orc_table_lifecycle",
+    "mor_maintenance_lifecycle",
     # then the 50 queries last certified in r3 (3 rounds old by now);
     # r4/r5-certified queries fall to registry order behind them and stay
     # covered by the pytest oracle replay.
@@ -5990,4 +5991,79 @@ def orc_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rows_total, rows_recent, rows_after_delete, all_orc, scan_pruned)],
         "rows_total LONG, rows_recent LONG, rows_after_delete LONG, "
         "all_orc BOOLEAN, scan_pruned BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MoR maintenance lifecycle (SURVEY §2.10 maintenance + the morread
+# sweep's compact-cadence dial, SCALE_SWEEP_r06.json): accumulate three
+# equality-delete files, audit the deferred-delete debt from metadata
+# (delete-file count + deferred keys), then let the policy
+# (operators/maintenance.py::maintain_mor) trip its file threshold and
+# materialize. Every count is pure orders-table arithmetic for the
+# oracle; the file counts are structural invariants of the lifecycle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mor_maintenance_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_initial,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 IN (0, 1, 2))
+                AS BIGINT) AS deferred_keys,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 NOT IN (0, 1, 2))
+                AS BIGINT) AS rows_after,
+           CAST(3 AS BIGINT) AS files_before,
+           TRUE AS compacted,
+           CAST(0 AS BIGINT) AS files_after
+    FROM orders WHERE o_orderkey < 2500
+    """,
+)
+def mor_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.operators.maintenance import (
+        maintain_mor,
+        mor_read_amplification,
+    )
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2500
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="mormaint_") + "/orders_mm",
+        {
+            "name": "orders_mm",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "identifier_fields": ["o_orderkey"],
+        },
+    )
+    t.overwrite(orders)
+    rows_initial = t.read(spark).count()
+    for i in range(3):
+        t.delete_where(spark, f"o_orderkey % 7 = {i}", mode="mor")
+    audit = mor_read_amplification(t)
+    # below both thresholds: the policy must NOT compact yet
+    noop = maintain_mor(spark, t, max_delete_files=10, max_delete_ratio=0.9)
+    assert not noop["compacted"]
+    # file threshold trips at 3 accumulated delete files
+    acted = maintain_mor(spark, t, max_delete_files=3, max_delete_ratio=0.9)
+    files_after = len(t.current_snapshot().get("delete_dirs") or [])
+    return spark.createDataFrame(
+        [(
+            rows_initial,
+            audit["deferred_keys"],
+            t.read(spark).count(),
+            audit["delete_files"],
+            bool(acted["compacted"]),
+            files_after,
+        )],
+        "rows_initial LONG, deferred_keys LONG, rows_after LONG, "
+        "files_before LONG, compacted BOOLEAN, files_after LONG",
     )

@@ -1488,7 +1488,9 @@ class SnapTable:
         levels that cannot match ``filters``.
 
         ``filters`` are simple conjunctive predicates ``(column, op, value)``
-        with op in ``= >= > <= <`` on the partition SOURCE columns (hidden
+        with op in ``= >= > <= < in`` (``in`` takes an iterable of values —
+        the probe-pruning shape: an IVF cell set, a key list) on the
+        partition SOURCE columns (hidden
         partitioning: callers never name ``ts_day``, they constrain ``ts``).
         Range ops relax to the transformed granularity (``ts > X`` keeps the
         whole day-partition holding X); the residual row filter restores
@@ -1506,6 +1508,21 @@ class SnapTable:
                 if col != p["column"]:
                     continue
                 t = p["transform"]
+                if op == "in":
+                    # dir survives iff its value matches ANY member's
+                    # rendering; an unrenderable member makes the whole
+                    # IN unprunable (residual row filter restores exactness)
+                    opts = []
+                    prunable = True
+                    for b in bound:
+                        r = _bucket_of(b, t) if t.startswith("bucket[") else _transform_bound(b, t)
+                        if r is None:
+                            prunable = False
+                            break
+                        opts.append(r)
+                    if prunable and all(_cmp_vals(val, r) != 0 for r in opts):
+                        return False
+                    continue
                 if op == "=" and t.startswith("bucket["):
                     b = _bucket_of(bound, t)
                     if b is not None and val != b:
@@ -1580,7 +1597,10 @@ class SnapTable:
             "<": lambda c, v: c < v,
         }
         for col, op, value in filters:
-            df = df.filter(ops[op](F.col(col), F.lit(value)))
+            if op == "in":
+                df = df.filter(F.col(col).isin(*[F.lit(v) for v in value]))
+            else:
+                df = df.filter(ops[op](F.col(col), F.lit(value)))
         return df
 
     def read(

@@ -155,3 +155,23 @@ def test_extend_index_appends_with_stored_model(spark, corpus, tmp_path):
     qv = new.filter("vec_id = 1005").collect()[0]["embedding"]
     hits = query_ivfpq_index(spark, root, [(777, list(qv))], k=3, nprobe=CONF["n_cells"])
     assert 1005 in {r["vec_id"] for r in hits.collect()}
+
+
+def test_probe_scan_is_partition_pruned(spark, corpus, tmp_path):
+    """query_ivfpq_index pushes the probed cell set into the read as an
+    IN filter: with nprobe=1 and one query, the scan's input files come
+    from exactly one cell directory."""
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        route_queries_python,
+    )
+
+    root = tmp_path / "idx"
+    _, centroids, _ = load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    qv = corpus.filter("vec_id = 3").collect()[0]["embedding"]
+    queries = [(3, [float(x) for x in qv])]
+    [(_, cell)] = route_queries_python(centroids, queries, 1)
+    out = query_ivfpq_index(spark, root, queries, k=5, nprobe=1)
+    files = set(out.inputFiles())
+    assert files and all(f"__p_cell={cell}" in f for f in files)
+    # and the self-hit still comes back
+    assert 3 in {r["vec_id"] for r in out.collect()}

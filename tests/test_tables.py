@@ -1546,3 +1546,43 @@ def test_maintain_mor_thresholds(spark, mor_table):
     t.delete_where(spark, "k = 2", mode="mor")
     out = maintain_mor(spark, t, max_delete_files=2, max_delete_ratio=0.9)
     assert out["delete_files"] == 2 and out["compacted"]
+
+
+def test_in_filter_prunes_partitions_and_filters_rows(spark, tmp_path):
+    """("col", "in", values) prunes identity/time partition dirs to the
+    member set and re-applies exactly as a row filter."""
+    from datetime import datetime
+
+    t = SnapTable.create(
+        tmp_path / "inf",
+        {
+            "name": "inf", "namespace": "x",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "g", "type": "string"},
+                {"name": "ts", "type": "timestamptz"},
+            ],
+            "partition_spec": [
+                {"column": "g", "transform": "identity"},
+                {"column": "ts", "transform": "day"},
+            ],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "abc"[i % 3], datetime(2024, 1, 1 + i % 4)) for i in range(24)],
+        "k LONG, g STRING, ts TIMESTAMP",
+    ))
+    out = t.read(spark, filters=[("g", "in", ["a", "c"])])
+    assert out.count() == 16
+    assert all("__p_g=a" in f or "__p_g=c" in f for f in out.inputFiles())
+    # composes with a day-transform IN on the source column
+    both = t.read(spark, filters=[
+        ("g", "in", ["a"]),
+        ("ts", "in", [datetime(2024, 1, 2), datetime(2024, 1, 4)]),
+    ])
+    assert all(
+        "__p_g=a" in f and ("ts_day=2024-01-02" in f or "ts_day=2024-01-04" in f)
+        for f in both.inputFiles()
+    )
+    rows = {(r.k, r.g) for r in both.collect()}
+    assert rows and all(g == "a" for _, g in rows)
