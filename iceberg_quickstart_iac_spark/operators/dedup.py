@@ -460,7 +460,7 @@ def verify_pairs_exact_jaccard(
 
 def near_dup_clusters(
     pairs: DataFrame,
-    ids: DataFrame,
+    ids: DataFrame | None,
     id_col: str,
     max_iter: int = 10,
     driver_edge_threshold: int = 5_000_000,
@@ -468,7 +468,9 @@ def near_dup_clusters(
     """Connected components over the duplicate graph.
 
     Returns (id, cluster_id) where cluster_id is the smallest doc id in the
-    component; singletons map to themselves.
+    component; singletons map to themselves. ``ids=None`` restricts the
+    output to PAIR MEMBERS (no singleton rows) — the common funnel tail,
+    where it skips the singleton-resolution join entirely.
 
     ADAPTIVE, like GraphFrames' connected components: the verified
     near-dup pair set is small relative to the corpus by construction
@@ -515,6 +517,10 @@ def near_dup_clusters(
             [(m, find(m)) for m in sorted(members)],
             f"{id_col} long, __cc long",
         )
+        if ids is None:
+            return mapping.select(
+                id_col, F.col("__cc").alias("cluster_id")
+            )
         return (
             ids.select(id_col)
             .join(F.broadcast(mapping), id_col, "left")
@@ -524,6 +530,12 @@ def near_dup_clusters(
             )
         )
 
+    if ids is None:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
     # Iterative algorithm on lazy frames: WITHOUT materialization each
     # iteration's convergence check re-executes the ENTIRE upstream DAG
     # (signatures + banding + verify) times the growing join lineage —

@@ -1368,16 +1368,12 @@ def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.dedup import near_dup_clusters
 
-    # materialize the verified pair set ONCE (tiny): it feeds the edge set,
-    # the member list, and every propagation iteration
+    # materialize the verified pair set ONCE (tiny): it feeds the edge set
+    # and every propagation iteration. ids=None = pair members only — the
+    # driver union-find emits the mapping directly, no singleton join.
     pairs = _verified_near_dup_pairs(spark, sf_dir, block=2000).localCheckpoint()
-    members = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
     return (
-        near_dup_clusters(pairs, members, "doc_id")
+        near_dup_clusters(pairs, None, "doc_id")
         .select("doc_id", "cluster_id")
         .orderBy("doc_id")
     )
@@ -5964,7 +5960,7 @@ def orc_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "o_totalprice", "type": "double"},
                 {"name": "o_orderdate", "type": "date"},
             ],
-            "partition_spec": [{"column": "o_orderdate", "transform": "month"}],
+            "partition_spec": [{"column": "o_orderdate", "transform": "year"}],
             "sort_order": [
                 {"column": "o_orderkey", "direction": "asc",
                  "null_order": "nulls_last"}
@@ -5983,7 +5979,7 @@ def orc_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = t.read(spark, filters=[("o_orderdate", ">=", date(1999, 1, 1))])
     rows_recent = recent.count()
     # hidden partitioning: the filtered scan must touch strictly fewer
-    # month directories than the full scan lists
+    # year directories than the full scan lists
     scan_pruned = 0 < len(set(recent.inputFiles())) < len(set(full.inputFiles()))
     t.delete_where(spark, "o_orderstatus = 'F'")
     rows_after_delete = t.read(spark).count()
