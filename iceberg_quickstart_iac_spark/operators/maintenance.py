@@ -54,17 +54,37 @@ def maintain_mor(
     max_delete_files: int = 16,
     max_delete_ratio: float = 0.05,
 ) -> dict:
-    """Compact ``table`` iff its deferred-delete debt exceeds either
-    threshold; otherwise a metadata-only no-op. Returns the audit plus
-    ``{"compacted": bool}`` (and the compact commit's snapshot id when
-    one happened) — idempotent and safe on a fresh or delete-free table.
+    """Two-tier MoR maintenance, the Iceberg/Hudi compactor split:
+
+    - deferred-KEY ratio over ``max_delete_ratio`` → full
+      :meth:`~..tables.snapstore.SnapTable.compact` (materialize the
+      deletes; O(table) — the only way to shrink the anti-join);
+    - delete-FILE count over ``max_delete_files`` with the ratio still
+      healthy → :meth:`~..tables.snapstore.SnapTable.rewrite_delete_files`
+      (merge the files; O(delete keys)); falls through to a full compact
+      only if merging could not get back under the file bound (heavily
+      interleaved appends);
+    - neither → metadata-only no-op.
+
+    Returns the audit plus ``{"action": "none"|"rewrite_deletes"|
+    "compact", "compacted": bool}`` (+ the commit's snapshot id when one
+    happened) — idempotent and safe on a fresh or delete-free table.
     """
     audit = mor_read_amplification(table)
-    should = (
-        audit["delete_files"] >= max_delete_files
-        or audit["ratio"] >= max_delete_ratio
-    )
-    if not should or audit["delete_files"] == 0:
-        return {**audit, "compacted": False}
-    entry = table.compact(spark)
-    return {**audit, "compacted": True, "snapshot_id": entry["snapshot_id"]}
+    if audit["delete_files"] == 0:
+        return {**audit, "compacted": False, "action": "none"}
+    if audit["ratio"] >= max_delete_ratio:
+        entry = table.compact(spark)
+        return {**audit, "compacted": True, "action": "compact",
+                "snapshot_id": entry["snapshot_id"]}
+    if audit["delete_files"] >= max_delete_files:
+        entry = table.rewrite_delete_files(spark)
+        after = mor_read_amplification(table)
+        if after["delete_files"] >= max_delete_files:
+            entry = table.compact(spark)
+            return {**audit, "compacted": True, "action": "compact",
+                    "snapshot_id": entry["snapshot_id"]}
+        return {**audit, "compacted": False, "action": "rewrite_deletes",
+                "delete_files_after": after["delete_files"],
+                "snapshot_id": entry["snapshot_id"]}
+    return {**audit, "compacted": False, "action": "none"}

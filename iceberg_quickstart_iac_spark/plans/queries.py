@@ -6010,8 +6010,9 @@ def orc_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 NOT IN (0, 1, 2))
                 AS BIGINT) AS rows_after,
            CAST(3 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after_rewrite,
            TRUE AS compacted,
-           CAST(0 AS BIGINT) AS files_after
+           CAST(0 AS BIGINT) AS files_final
     FROM orders WHERE o_orderkey < 2500
     """,
 )
@@ -6045,21 +6046,28 @@ def mor_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         t.delete_where(spark, f"o_orderkey % 7 = {i}", mode="mor")
     audit = mor_read_amplification(t)
-    # below both thresholds: the policy must NOT compact yet
+    # below both thresholds: the policy must not act
     noop = maintain_mor(spark, t, max_delete_files=10, max_delete_ratio=0.9)
-    assert not noop["compacted"]
-    # file threshold trips at 3 accumulated delete files
-    acted = maintain_mor(spark, t, max_delete_files=3, max_delete_ratio=0.9)
-    files_after = len(t.current_snapshot().get("delete_dirs") or [])
+    assert noop["action"] == "none"
+    # file threshold trips with a healthy key ratio -> CHEAP tier: the 3
+    # delete files (one applicability group) merge into 1, no data rewrite
+    tier1 = maintain_mor(spark, t, max_delete_files=3, max_delete_ratio=0.9)
+    assert tier1["action"] == "rewrite_deletes" and not tier1["compacted"]
+    files_after_rewrite = len(t.current_snapshot().get("delete_dirs") or [])
+    # ratio threshold trips -> full compact materializes the deletes
+    tier2 = maintain_mor(spark, t, max_delete_files=10, max_delete_ratio=0.0)
+    files_final = len(t.current_snapshot().get("delete_dirs") or [])
     return spark.createDataFrame(
         [(
             rows_initial,
             audit["deferred_keys"],
             t.read(spark).count(),
             audit["delete_files"],
-            bool(acted["compacted"]),
-            files_after,
+            files_after_rewrite,
+            bool(tier2["compacted"]),
+            files_final,
         )],
         "rows_initial LONG, deferred_keys LONG, rows_after LONG, "
-        "files_before LONG, compacted BOOLEAN, files_after LONG",
+        "files_before LONG, files_after_rewrite LONG, compacted BOOLEAN, "
+        "files_final LONG",
     )

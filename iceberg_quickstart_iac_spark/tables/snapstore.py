@@ -452,8 +452,13 @@ class SnapTable:
             # the parent entry) and pruned to dirs still referenced by any
             # surviving entry so it cannot grow past the live dir set.
             dir_seqs = dict(entries[-1].get("dir_sequences") or {}) if entries else {}
+            # dir_sequence_overrides: an operation may pin a NEW dir to an
+            # inherited sequence — delete-file compaction merges N delete
+            # files into one that must keep the group's applicability
+            # cutoff, not the rewrite commit's own sequence
+            overrides = full.get("dir_sequence_overrides") or {}
             for d in self._entry_dirs(full):
-                dir_seqs.setdefault(d, seq)
+                dir_seqs.setdefault(d, overrides.get(d, seq))
             live = {d for e in entries for d in self._entry_dirs(e)}
             live |= set(self._entry_dirs(full))
             full["dir_sequences"] = {d: s for d, s in dir_seqs.items() if d in live}
@@ -2185,6 +2190,91 @@ class SnapTable:
         )
         return entry
 
+    def rewrite_delete_files(self, spark: SparkSession) -> dict:
+        """Merge accumulated equality-delete files WITHOUT touching any
+        data — Iceberg's ``rewrite_position_delete_files`` maintenance
+        analog, the cheap tier between "leave the deletes deferred" and a
+        full :meth:`compact`: cost is O(delete keys), never O(table).
+
+        Correctness hinges on sequence scoping: a delete file applies
+        only to data dirs with a STRICTLY LOWER intro sequence, so two
+        delete files are mergeable only when the SAME data dirs sit below
+        both (no data dir's intro falls between theirs). Delete dirs are
+        grouped by that applicability cutpoint; each multi-file group is
+        rewritten into one deduplicated key file whose intro sequence is
+        pinned to the group's minimum via ``dir_sequence_overrides`` —
+        the merged file erases exactly what its sources erased, and never
+        a row appended after them.
+        """
+        import bisect
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise TableNotFoundError(f"Table {self.fq_name} has no snapshots yet")
+        ddirs = list(snap.get("delete_dirs") or [])
+        if len(ddirs) < 2:
+            return snap
+        intro = self._dir_intro_seqs()
+        data_seqs = sorted(intro.get(d, -1) for d in snap["data_dirs"])
+        groups: dict[int, list[str]] = {}
+        for dd in ddirs:
+            cut = bisect.bisect_left(data_seqs, intro.get(dd, -1))
+            groups.setdefault(cut, []).append(dd)
+        new_ddirs: list[str] = []
+        overrides: dict[str, int] = {}
+        merged = 0
+        col_ids = self._column_ids()
+        for cut in sorted(groups):
+            dds = groups[cut]
+            if len(dds) == 1:
+                new_ddirs.append(dds[0])
+                continue
+            keys = self._read_delete_keys(spark, sorted(dds))
+            new_dir = f"mordel-{uuid.uuid4().hex}"
+            keys.write.parquet(str(self.data_dir / new_dir))
+            (self.data_dir / new_dir / "_key_ids.json").write_text(
+                json.dumps({c: col_ids.get(c) for c in keys.columns})
+            )
+            new_ddirs.append(new_dir)
+            overrides[new_dir] = min(intro[dd] for dd in dds)
+            merged += 1
+        if not merged:
+            return snap
+
+        def build(entries: list[dict]) -> dict:
+            cur = entries[-1]
+            if sorted(cur.get("delete_dirs") or []) != sorted(ddirs):
+                # a concurrent MoR write changed the delete inventory the
+                # merge was computed from — surface, caller re-runs
+                raise CommitConflictError(
+                    f"rewrite_delete_files on {self.fq_name}: delete files "
+                    "changed concurrently — re-run"
+                )
+            return {
+                "operation": "rewrite_deletes",
+                "data_dirs": list(cur["data_dirs"]),
+                "delete_dirs": new_ddirs,
+                "row_count": cur["row_count"],
+                "file_count": cur["file_count"],
+                "dir_sequence_overrides": overrides,
+                **{
+                    k: cur[k]
+                    for k in ("column_ids", "column_types", "partition_spec", "write_format")
+                    if k in cur
+                },
+            }
+
+        entry = self._commit(build)
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={
+                "mode": "rewrite_deletes",
+                "delete_files_before": len(ddirs),
+                "delete_files_after": len(new_ddirs),
+            },
+        )
+        return entry
 
     def remove_orphan_files(
         self, older_than_ms: int | None = None, grace_ms: int = 3 * 86400 * 1000

@@ -1528,24 +1528,28 @@ def test_maintain_mor_thresholds(spark, mor_table):
     # clean table: no-op
     out = maintain_mor(spark, t)
     assert out == {"delete_files": 0, "deferred_keys": 0, "ratio": 0.0,
-                   "compacted": False}
+                   "compacted": False, "action": "none"}
     t.delete_where(spark, "k = 0", mode="mor")
     audit = mor_read_amplification(t)
     assert audit == {"delete_files": 1, "deferred_keys": 1, "ratio": 1 / 9}
     # below the file threshold AND below a loose ratio: still a no-op
     out = maintain_mor(spark, t, max_delete_files=4, max_delete_ratio=0.5)
-    assert not out["compacted"]
+    assert not out["compacted"] and out["action"] == "none"
     assert (t.current_snapshot().get("delete_dirs") or [])
     # ratio threshold trips -> compaction materializes the deletes
     out = maintain_mor(spark, t, max_delete_files=4, max_delete_ratio=0.1)
-    assert out["compacted"]
+    assert out["compacted"] and out["action"] == "compact"
     assert not (t.current_snapshot().get("delete_dirs") or [])
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(1, 10))
-    # file-count threshold trips independently of ratio
+    # file-count threshold with a healthy ratio -> the CHEAP tier: merge
+    # delete files (no data rewrite), count drops back under the bound
     t.delete_where(spark, "k = 1", mode="mor")
     t.delete_where(spark, "k = 2", mode="mor")
     out = maintain_mor(spark, t, max_delete_files=2, max_delete_ratio=0.9)
-    assert out["delete_files"] == 2 and out["compacted"]
+    assert out["delete_files"] == 2 and not out["compacted"]
+    assert out["action"] == "rewrite_deletes" and out["delete_files_after"] == 1
+    assert len(t.current_snapshot()["delete_dirs"]) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(3, 10))
 
 
 def test_in_filter_prunes_partitions_and_filters_rows(spark, tmp_path):
@@ -1586,3 +1590,33 @@ def test_in_filter_prunes_partitions_and_filters_rows(spark, tmp_path):
     )
     rows = {(r.k, r.g) for r in both.collect()}
     assert rows and all(g == "a" for _, g in rows)
+
+
+def test_rewrite_delete_files_respects_sequence_scoping(spark, mor_table):
+    """Delete files separated by an append must NOT merge into one file
+    (the merged file would erase the appended rows' keys); files on the
+    same side of every append merge, pinned to the group's applicability
+    cutoff — and the scoping survives expire_snapshots."""
+    t = mor_table
+    t.delete_where(spark, "k = 0", mode="mor")
+    t.delete_where(spark, "k = 1", mode="mor")
+    # re-append key 0: the two EXISTING delete files must never erase it
+    t.append(spark.createDataFrame([(0, "z", 0.0)], "k LONG, g STRING, v DOUBLE"))
+    t.delete_where(spark, "k = 2", mode="mor")
+    t.delete_where(spark, "k = 3", mode="mor")
+    before = sorted(r.k for r in t.read(spark).collect())
+    assert before == [0, 4, 5, 6, 7, 8, 9]
+    e = t.rewrite_delete_files(spark)
+    assert e["operation"] == "rewrite_deletes"
+    # 4 files -> 2 (one merged file per side of the append)
+    assert len(e["delete_dirs"]) == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == before
+    # k=2/k=3 died even though their ORIGINAL images predate the append
+    # (post-append group applies to the old data dirs); re-appended k=0
+    # survives (pre-append group's pinned cutoff excludes the new dir)
+    t.expire_snapshots(older_than_ms=2**52)
+    assert sorted(r.k for r in t.read(spark).collect()) == before
+    # noop forms: single delete file / no delete files return the head
+    t.compact(spark)
+    assert t.rewrite_delete_files(spark)["snapshot_id"] == \
+        t.current_snapshot()["snapshot_id"]
