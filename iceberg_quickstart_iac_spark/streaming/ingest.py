@@ -150,6 +150,9 @@ def incremental_cdc_ingest(
     fmt: str = "parquet",
     available_now: bool = True,
     mode: str = "cow",
+    maintenance_every: int | None = None,
+    max_delete_files: int = 16,
+    max_delete_ratio: float = 0.05,
 ) -> StreamingQuery:
     """Continuously apply a CDC changelog stream (Debezium-style I/U/D
     rows landing as files) to a snapshot-log table — each micro-batch is
@@ -174,8 +177,15 @@ def incremental_cdc_ingest(
     the state store, so watermarks are unnecessary and batch size is the
     only memory knob. ``mode='mor'`` lands each micro-batch as a
     merge-on-read commit instead — delete keys + new images, O(batch)
-    write cost, no table rewrite (the Hudi-MoR streaming-upsert shape;
-    run :meth:`SnapTable.compact` on a maintenance cadence).
+    write cost, no table rewrite (the Hudi-MoR streaming-upsert shape).
+
+    ``maintenance_every=N`` runs the two-tier MoR maintenance policy
+    (:func:`..operators.maintenance.maintain_mor`, thresholds
+    ``max_delete_files``/``max_delete_ratio``) after every N-th
+    micro-batch — Hudi's inline-compaction cadence: the stream itself
+    keeps its read amplification bounded instead of relying on an
+    external maintenance job. Maintenance commits carry no txn stamp
+    (they are pure rewrites — replaying one is wasteful, never wrong).
     """
     import hashlib
 
@@ -198,6 +208,16 @@ def incremental_cdc_ingest(
             txn=(app_id, batch_id),
             mode=mode,
         )
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            from iceberg_quickstart_iac_spark.operators.maintenance import (
+                maintain_mor,
+            )
+
+            maintain_mor(
+                spark, table,
+                max_delete_files=max_delete_files,
+                max_delete_ratio=max_delete_ratio,
+            )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

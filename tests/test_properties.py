@@ -262,3 +262,75 @@ def test_exact_dedup_keeps_min_id_per_key(spark, rows):
         expected_min[k] = min(expected_min.get(k, i), i)
     assert {r.k: r.id for r in out} == expected_min
     assert len(out) == len(expected_min)  # exactly one row per key
+
+
+# --- randomized MoR lifecycle model check ----------------------------------
+
+
+def test_mor_lifecycle_matches_model_under_random_interleavings(spark, tmp_path):
+    """Model-based check of merge-on-read semantics: random interleavings
+    of append / MoR key-delete / rewrite_delete_files / compact /
+    expire_snapshots must always read back exactly what a dict model
+    says. Catches sequence-scoping mistakes (a delete erasing rows
+    appended after it; a merge widening applicability; expiration
+    collapsing intro sequences) that example tests can miss."""
+    import random
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        t = SnapTable.create(
+            tmp_path / f"model-{seed}",
+            {
+                "name": f"model{seed}", "namespace": "x",
+                "columns": [
+                    {"name": "k", "type": "long"},
+                    {"name": "v", "type": "long"},
+                ],
+                "identifier_fields": ["k"],
+            },
+        )
+        model: dict[int, int] = {}
+        next_k = 0
+
+        def rows_df(pairs):
+            return spark.createDataFrame(pairs, "k LONG, v LONG")
+
+        # seed rows
+        first = [(i, seed) for i in range(6)]
+        t.append(rows_df(first))
+        model.update(dict(first))
+        next_k = 6
+
+        for step in range(12):
+            op = rng.choice(["append", "mor_delete", "rewrite", "compact", "expire"])
+            if op == "append":
+                batch = [(next_k + j, seed * 100 + step) for j in range(rng.randint(1, 3))]
+                # occasionally re-append a previously deleted key: the old
+                # delete file must NOT erase the fresh row
+                dead = [k for k in range(next_k) if k not in model]
+                if dead and rng.random() < 0.5:
+                    batch.append((rng.choice(dead), seed * 100 + step))
+                t.append(rows_df(batch))
+                model.update(dict(batch))
+                next_k += len(batch)
+            elif op == "mor_delete":
+                live = sorted(model)
+                if not live:
+                    continue
+                victims = rng.sample(live, min(len(live), rng.randint(1, 3)))
+                cond = "k IN (" + ",".join(map(str, victims)) + ")"
+                t.delete_where(spark, cond, mode="mor")
+                for k in victims:
+                    model.pop(k, None)
+            elif op == "rewrite":
+                t.rewrite_delete_files(spark)
+            elif op == "compact":
+                t.compact(spark)
+            else:
+                t.expire_snapshots(older_than_ms=2**52)
+            got = {(r.k, r.v) for r in t.read(spark).collect()}
+            assert got == set(model.items()), (
+                f"seed={seed} step={step} op={op}: {got ^ set(model.items())}"
+            )

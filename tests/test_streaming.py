@@ -343,3 +343,45 @@ def test_streaming_cdc_ingest_batch_replay_is_idempotent(spark, tmp_path):
     )
     assert len(table._entries()) == n  # ledger skipped the replay
     assert {r.id: (r.status, r.amount) for r in table.read(spark).collect()} == state_once
+
+
+def test_streaming_cdc_mor_inline_maintenance(spark, tmp_path):
+    """mode='mor' with maintenance_every=1: every micro-batch lands as an
+    O(batch) MoR commit and the inline policy keeps read amplification
+    bounded — with an aggressive ratio threshold the delete files are
+    materialized away right inside the stream (Hudi inline compaction)."""
+    from iceberg_quickstart_iac_spark.streaming import incremental_cdc_ingest
+
+    src = str(tmp_path / "cdcm_src")
+    ckpt = str(tmp_path / "cdcm_ckpt")
+    table = SnapTable.create(
+        tmp_path / "cdcm_tbl",
+        {
+            "name": "accounts_cdcm", "namespace": "lakehouse",
+            "columns": [
+                {"name": "id", "type": "long"},
+                {"name": "status", "type": "string"},
+                {"name": "amount", "type": "double"},
+            ],
+            "identifier_fields": ["id"],
+        },
+    )
+    table.append(spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(8)],
+        "id LONG, status STRING, amount DOUBLE",
+    ))
+    _write_cdc(spark, src, [(0, None, None, "D", 1), (1, "u", 11.0, "U", 1)])
+    q = incremental_cdc_ingest(
+        spark, src, CDC_SCHEMA, table, ckpt, key_cols=["id"], seq_col="seq",
+        mode="mor", maintenance_every=1, max_delete_files=64,
+        max_delete_ratio=0.0,
+    )
+    q.awaitTermination(120)
+    # correctness: delete applied, update applied
+    state = {r.id: (r.status, r.amount) for r in table.read(spark).collect()}
+    assert 0 not in state and state[1] == ("u", 11.0) and len(state) == 7
+    # the inline compact ran: no delete files remain at the head
+    assert not (table.current_snapshot().get("delete_dirs") or [])
+    assert table.current_snapshot()["operation"] == "compact"
+    # and the MoR merge commit is still in history (time-travel intact)
+    assert any(e["operation"] == "merge" for e in table._entries())
