@@ -129,6 +129,7 @@ _GATE_PRIORITY: list[str] = [
     # round-6 additions: need their FIRST driver row
     "orc_table_lifecycle",
     "mor_maintenance_lifecycle",
+    "ann_index_lifecycle",
     # then the 50 queries last certified in r3 (3 rounds old by now);
     # r4/r5-certified queries fall to registry order behind them and stay
     # covered by the pytest oracle replay.
@@ -6070,4 +6071,84 @@ def mor_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_initial LONG, deferred_keys LONG, rows_after LONG, "
         "files_before LONG, files_after_rewrite LONG, compacted BOOLEAN, "
         "files_final LONG",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index lifecycle (SURVEY §2.13 X26 production shape,
+# operators/ann_index.py): train+materialize an IVF-PQ index table, then
+# ADD a batch with the STORED model (FAISS add-after-train — no refit, no
+# touch of existing rows), and verify a clone of an indexed vector is
+# found by the search. Built in a fresh temp root each run (the extend
+# commit must not pollute the shared fit-once index the topk query
+# serves from). Counts are pure embeddings-table arithmetic; the model
+# invariants are structural booleans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_index_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+           CAST(COUNT(*) FILTER (WHERE vec_id < 40) AS BIGINT) AS n_added,
+           TRUE AS model_stable,
+           TRUE AS added_by_append,
+           TRUE AS clone_found
+    FROM embeddings WHERE vec_id < 1200
+    """,
+)
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from iceberg_quickstart_iac_spark.operators.ann_index import (
+        extend_ivfpq_index,
+        load_ivfpq_index,
+        load_or_build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1200
+    )
+    conf = {
+        "n_cells": _IVF_CONF["n_cells"], "m": _PQ_CONF["m"],
+        "n_codes": _PQ_CONF["n_codes"],
+        "ivf_max_iter": _IVF_CONF["max_iter"],
+        "pq_max_iter": _PQ_CONF["max_iter"],
+        "ivf_seed": _IVF_CONF["seed"], "pq_seed": _PQ_CONF["seed"],
+        "fit_sample": _IVF_CONF["fit_sample"], "assign": "fold",
+    }
+    root = Path(tempfile.mkdtemp(prefix="annlc_")) / "idx"
+    t, centroids, books = load_or_build_ivfpq_index(spark, emb, root, **conf)
+    n_indexed = t.read(spark).count()
+    # add-after-train: clones of the first 40 vectors under fresh ids
+    clones = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    pre_snap = t.current_snapshot()["snapshot_id"]
+    extend_ivfpq_index(spark, root, clones)
+    t2, cent2, books2 = load_ivfpq_index(root)
+    model_stable = (cent2 == centroids) and (books2 == books)
+    head = t2.current_snapshot()
+    added_by_append = (
+        head["operation"] == "append" and head["parent_id"] == pre_snap
+    )
+    n_added = head["row_count"] - n_indexed
+    # the clone of vec 7 carries vec 7's exact vector: identical ADC
+    # distance, so both must surface in the top-k of that vector's query
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    hits = {
+        r["vec_id"]
+        for r in query_ivfpq_index(
+            spark, root, [(7, qv)], k=10, nprobe=conf["n_cells"]
+        ).collect()
+    }
+    clone_found = 10_000_007 in hits and 7 in hits
+    return spark.createDataFrame(
+        [(n_indexed, n_added, bool(model_stable), bool(added_by_append),
+          bool(clone_found))],
+        "n_indexed LONG, n_added LONG, model_stable BOOLEAN, "
+        "added_by_append BOOLEAN, clone_found BOOLEAN",
     )

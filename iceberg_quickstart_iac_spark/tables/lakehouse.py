@@ -94,6 +94,34 @@ class Lakehouse:
             return []
         return sorted(json.loads(p.read_text())["name"] for p in refs.glob("*.json"))
 
+    def maintain_all(
+        self,
+        spark,
+        max_delete_files: int = 16,
+        max_delete_ratio: float = 0.05,
+    ) -> dict[str, dict]:
+        """Run the two-tier MoR maintenance policy over EVERY table — the
+        catalog-wide maintenance sweep the reference's operations runbook
+        schedules (and ST4's monitor loop can drive): per table, a
+        metadata-only audit decides between no-op, delete-file merge, and
+        full compact. Tables without snapshots are skipped. Returns
+        {table: policy report}."""
+        from iceberg_quickstart_iac_spark.operators.maintenance import (
+            maintain_mor,
+        )
+
+        out: dict[str, dict] = {}
+        for name in self.list_tables():
+            t = self.table(name)
+            if t.current_snapshot() is None:
+                continue
+            out[name] = maintain_mor(
+                spark, t,
+                max_delete_files=max_delete_files,
+                max_delete_ratio=max_delete_ratio,
+            )
+        return out
+
 
 class CatalogBranch:
     """A catalog-level branch: table access scoped to per-table branches

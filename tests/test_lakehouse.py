@@ -144,3 +144,25 @@ def test_catalog_merge_survives_concurrent_main_writer(spark, lake):
     for n in ("a", "b", "c"):
         vals = {r.k for r in lake.table(n).read(spark).collect()}
         assert 10 in vals and 1 in vals  # branch row + original row
+
+
+def test_maintain_all_sweeps_catalog(spark, lake, tmp_path):
+    """Catalog-wide maintenance: only tables whose debt trips a
+    threshold act; clean tables no-op; reports keyed by table."""
+    # give table "a" identifier fields + a MoR delete backlog
+    meta = lake.table("a").meta
+    meta["identifier_fields"] = ["k"]
+    lake.table("a")._write_meta(meta)
+    ta = lake.table("a")
+    ta.append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 16)], "k LONG, v STRING"
+    ))
+    ta.delete_where(spark, "k = 10", mode="mor")
+    ta.delete_where(spark, "k = 11", mode="mor")
+    reports = lake.maintain_all(spark, max_delete_files=2, max_delete_ratio=0.9)
+    assert set(reports) == {"a", "b", "c"}
+    assert reports["a"]["action"] == "rewrite_deletes"
+    assert reports["b"]["action"] == "none" and reports["c"]["action"] == "none"
+    assert len(lake.table("a").current_snapshot()["delete_dirs"]) == 1
+    got = sorted(r.k for r in lake.table("a").read(spark).collect())
+    assert got == [1, 12, 13, 14, 15]

@@ -1620,3 +1620,35 @@ def test_rewrite_delete_files_respects_sequence_scoping(spark, mor_table):
     t.compact(spark)
     assert t.rewrite_delete_files(spark)["snapshot_id"] == \
         t.current_snapshot()["snapshot_id"]
+
+
+def test_mor_delete_on_orc_table(spark, tmp_path):
+    """MoR equality deletes compose with write_format=orc: data files are
+    ORC, delete-key files stay engine-internal parquet, reads anti-join
+    across the formats, compact materializes back to ORC."""
+    t = SnapTable.create(
+        tmp_path / "orcmor",
+        {
+            "name": "orcmor", "namespace": "x",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "g", "type": "string"},
+            ],
+            "identifier_fields": ["k"],
+            "properties": {"write_format": "orc"},
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "k LONG, g STRING"
+    ))
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    ce = t.compact(spark)
+    assert not ce.get("delete_dirs")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    # the compacted copy is ORC again; only mordel debris was parquet
+    data_dirs = set(t.current_snapshot()["data_dirs"])
+    for d in data_dirs:
+        files = list((t.data_dir / d).rglob("*"))
+        assert any(f.suffix == ".orc" for f in files)
+        assert not any(f.suffix == ".parquet" for f in files)
