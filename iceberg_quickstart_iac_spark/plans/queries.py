@@ -6117,7 +6117,11 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_max_iter": _IVF_CONF["max_iter"],
         "pq_max_iter": _PQ_CONF["max_iter"],
         "ivf_seed": _IVF_CONF["seed"], "pq_seed": _PQ_CONF["seed"],
-        "fit_sample": _IVF_CONF["fit_sample"], "assign": "fold",
+        # production encode path (Arrow-batched GEMM): this lifecycle's
+        # oracle pins counts + structural booleans, not code values (the
+        # gemm==fold equivalence is pinned separately in tests), so the
+        # certified query exercises the path a cluster would run
+        "fit_sample": _IVF_CONF["fit_sample"], "assign": "gemm",
     }
     root = Path(tempfile.mkdtemp(prefix="annlc_")) / "idx"
     t, centroids, books = load_or_build_ivfpq_index(spark, emb, root, **conf)

@@ -310,6 +310,59 @@ def _footer_row_count(files: list[Path]) -> int:
     return total
 
 
+def _footer_stats_match(f: Path, filters: list[tuple]) -> bool:
+    """Can any row group of parquet file ``f`` satisfy every conjunct in
+    ``filters``? Footer statistics only — no data read. Conservative:
+    missing/unreadable/incomparable stats answer True (keep the file);
+    only a provably-disjoint range skips it."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(str(f)).metadata
+    except Exception:
+        return True
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        stats: dict[str, tuple] = {}
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                stats[col.path_in_schema] = (st.min, st.max)
+        if _range_matches(stats, filters):
+            return True  # one viable row group keeps the whole file
+    return md.num_row_groups == 0
+
+
+def _range_matches(stats: dict[str, tuple], filters: list[tuple]) -> bool:
+    for col, op, bound in filters:
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if mn is None or mx is None:
+            continue
+        try:
+            if op == "=":
+                ok = mn <= bound <= mx
+            elif op == ">=":
+                ok = mx >= bound
+            elif op == ">":
+                ok = mx > bound
+            elif op == "<=":
+                ok = mn <= bound
+            elif op == "<":
+                ok = mn < bound
+            elif op == "in":
+                ok = any(mn <= b <= mx for b in bound)
+            else:
+                continue
+        except TypeError:
+            continue  # stats/bound types don't compare — keep the file
+        if not ok:
+            return False
+    return True
+
+
 def _list_data_files(base: Path) -> list[Path]:
     """Every data file under ``base``, whichever columnar format the dir
     was written in (`write_format: parquet|orc`)."""
@@ -1790,7 +1843,26 @@ class SnapTable:
             if not paths:
                 continue
             fmt = (epoch or {}).get("write_format") or "parquet"
-            df = spark.read.option("mergeSchema", "true").format(fmt).load(list(paths))
+            scan: list[str] = list(paths)
+            if gfilters and fmt == "parquet":
+                # FILE-level min/max skipping (Iceberg manifest-stats
+                # pruning at dir-manifest granularity): after partition
+                # dirs are pruned, parquet footer statistics on the
+                # filtered columns drop whole files — the read-side
+                # payoff of write-time sort_order clustering. Driver-side
+                # metadata only, O(files); unknown/missing stats keep the
+                # file.
+                files = [
+                    f for p_ in paths for f in sorted(Path(p_).rglob("*.parquet"))
+                ]
+                kept = [
+                    str(f) for f in files if _footer_stats_match(f, gfilters)
+                ]
+                if not kept:
+                    continue
+                if len(kept) < len(files):
+                    scan = kept
+            df = spark.read.option("mergeSchema", "true").format(fmt).load(scan)
             if gfilters and any(col not in df.columns for col, _, _ in gfilters):
                 continue
             df = self._apply_row_filters(df, gfilters)

@@ -1652,3 +1652,38 @@ def test_mor_delete_on_orc_table(spark, tmp_path):
         files = list((t.data_dir / d).rglob("*"))
         assert any(f.suffix == ".orc" for f in files)
         assert not any(f.suffix == ".parquet" for f in files)
+
+
+def test_footer_minmax_file_skipping(spark, tmp_path):
+    """Write-time sort order pays off at read time: on an UNPARTITIONED
+    table (no dir pruning available), footer min/max statistics on the
+    filtered column skip whole files before Spark reads a row."""
+    t = SnapTable.create(
+        tmp_path / "mm",
+        {
+            "name": "mm", "namespace": "x",
+            "columns": [{"name": "k", "type": "long"},
+                        {"name": "v", "type": "string"}],
+            "sort_order": [{"column": "k", "direction": "asc"}],
+        },
+    )
+    # three appends = three files with disjoint k ranges
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo+i}") for i in range(50)], "k LONG, v STRING"
+        ).coalesce(1))
+    full = t.read(spark)
+    assert len(full.inputFiles()) == 3
+    mid = t.read(spark, filters=[("k", ">=", 100), ("k", "<", 200)])
+    assert len(mid.inputFiles()) == 1  # two files provably disjoint
+    assert mid.count() == 50
+    assert sorted(r.k for r in mid.collect())[:3] == [100, 101, 102]
+    # IN-list hits two of three files
+    two = t.read(spark, filters=[("k", "in", [5, 205])])
+    assert len(two.inputFiles()) == 2 and two.count() == 2
+    # no-match range: empty result, empty scan, schema intact
+    none = t.read(spark, filters=[("k", ">", 10_000)])
+    assert none.count() == 0 and none.columns == ["k", "v"]
+    # string stats skip too
+    sv = t.read(spark, filters=[("v", "=", "v42")])
+    assert len(sv.inputFiles()) == 1 and sv.count() == 1
