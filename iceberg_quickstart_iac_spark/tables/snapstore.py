@@ -334,6 +334,35 @@ def _footer_stats_match(f: Path, filters: list[tuple]) -> bool:
     return md.num_row_groups == 0
 
 
+def _footer_bounds(f: Path) -> dict[str, list]:
+    """File-level ``{column: [min, max]}`` from parquet footer statistics
+    (merged across row groups); ``{}`` for ORC or unreadable footers."""
+    if f.suffix != ".parquet":
+        return {}
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(str(f)).metadata
+    except Exception:
+        return {}
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            st = group.column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = group.column(ci).path_in_schema
+            if name in out:
+                try:
+                    out[name] = [min(out[name][0], st.min), max(out[name][1], st.max)]
+                except TypeError:
+                    out.pop(name, None)
+            else:
+                out[name] = [st.min, st.max]
+    return out
+
+
 def _range_matches(stats: dict[str, tuple], filters: list[tuple]) -> bool:
     for col, op, bound in filters:
         if col not in stats:
@@ -1899,10 +1928,13 @@ class SnapTable:
     ) -> DataFrame:
         """The per-file metadata table (M1), like Iceberg's ``t.files``:
         one row per data file of the selected (default current) snapshot
-        with its partition values, record count, and size — the input to
-        small-file/compaction planning and partition-balance audits.
-        Driver-side metadata only (footers + paths), O(files), no data
-        scan — exactly what Iceberg serves from manifests.
+        with its partition values, record count, size, and per-column
+        value bounds (Iceberg's ``lower_bounds``/``upper_bounds`` — the
+        stats the file-skipping read path prunes on, surfaced for audits:
+        "which files would a predicate touch?"). Driver-side metadata
+        only (footers + paths), O(files), no data scan — exactly what
+        Iceberg serves from manifests. Bounds are JSON ``{col: [lo, hi]}``
+        strings (parquet files only; ORC reports ``{}``).
         """
         snap = self._snapshot_for(snapshot_id, None)
         rows = []
@@ -1921,12 +1953,13 @@ class SnapTable:
                         json.dumps(parts, sort_keys=True),
                         _footer_row_count([f]),
                         f.stat().st_size,
+                        json.dumps(_footer_bounds(f), sort_keys=True, default=str),
                     )
                 )
         return spark.createDataFrame(
             rows,
             "file_path STRING, data_dir STRING, partition STRING, "
-            "record_count LONG, file_size_bytes LONG",
+            "record_count LONG, file_size_bytes LONG, column_bounds STRING",
         )
 
     def delete_files(

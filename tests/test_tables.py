@@ -1687,3 +1687,22 @@ def test_footer_minmax_file_skipping(spark, tmp_path):
     # string stats skip too
     sv = t.read(spark, filters=[("v", "=", "v42")])
     assert len(sv.inputFiles()) == 1 and sv.count() == 1
+
+
+def test_files_table_reports_column_bounds(spark, tmp_path):
+    import json as _json
+
+    t = SnapTable.create(
+        tmp_path / "fb",
+        {"name": "fb", "namespace": "x",
+         "columns": [{"name": "k", "type": "long"},
+                     {"name": "v", "type": "string"}]},
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10, 20)], "k LONG, v STRING"
+    ).coalesce(1))
+    [row] = t.files(spark).collect()
+    bounds = _json.loads(row["column_bounds"])
+    assert bounds["k"] == [10, 19]
+    assert bounds["v"] == ["s10", "s19"]
+    assert row["record_count"] == 10
