@@ -334,3 +334,45 @@ def test_mor_lifecycle_matches_model_under_random_interleavings(spark, tmp_path)
             assert got == set(model.items()), (
                 f"seed={seed} step={step} op={op}: {got ^ set(model.items())}"
             )
+
+
+def test_footer_skipping_never_changes_results(spark, tmp_path):
+    """File-level min/max skipping is an optimization, not a semantics
+    change: for random multi-file tables and random predicates, a
+    filtered read must equal filtering the full read — regardless of
+    which files the stats pruned."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        t = SnapTable.create(
+            tmp_path / f"skip-{seed}",
+            {"name": f"skip{seed}", "namespace": "x",
+             "columns": [{"name": "k", "type": "long"},
+                         {"name": "s", "type": "string"}]},
+        )
+        for _ in range(4):
+            lo = rng.randint(-50, 400)
+            t.append(spark.createDataFrame(
+                [(lo + j, f"x{(lo + j) % 37}") for j in range(rng.randint(5, 40))],
+                "k LONG, s STRING",
+            ).coalesce(1))
+        full = t.read(spark).persist()
+        try:
+            for _ in range(8):
+                op = rng.choice(["=", ">=", ">", "<=", "<", "in"])
+                if op == "in":
+                    bound = rng.sample(range(-60, 460), rng.randint(1, 4))
+                    expected = full.filter(F.col("k").isin(bound))
+                else:
+                    bound = rng.randint(-60, 460)
+                    expected = full.filter(f"k {op} {bound}")
+                got = t.read(spark, filters=[("k", op, bound)])
+                assert sorted(map(tuple, got.collect())) == \
+                    sorted(map(tuple, expected.collect())), (seed, op, bound)
+        finally:
+            full.unpersist()
