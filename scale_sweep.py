@@ -686,13 +686,71 @@ MORREAD_WORKLOADS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# ANN serving suite (--suite annserve): the persisted-index production
+# claim — SEARCH cost versus corpus scale with a prebuilt index. n_cells
+# scales with the factor (constant expected cell occupancy, the
+# documented IVF scale path) and nprobe is fixed, so routing + ADC over
+# the probed cells should stay near-FLAT while the corpus grows; the
+# one-time build cost is reported separately (first run builds, second
+# loads — min() over runs>=2 gives the load/serve floor).
+# ---------------------------------------------------------------------------
+
+
+def _annserve_conf(factor: int) -> dict:
+    return {
+        "n_cells": BASE_N_CELLS * factor, "m": 8, "n_codes": 16,
+        "ivf_max_iter": 8, "pq_max_iter": 8, "ivf_seed": 42, "pq_seed": 7,
+        "fit_sample": 100_000, "assign": "gemm",
+    }
+
+
+def _annserve_index(spark, sf_dir: str, factor: int):
+    from iceberg_quickstart_iac_spark.operators.ann_index import (
+        load_or_build_ivfpq_index,
+    )
+
+    emb = _load_emb(spark, sf_dir)
+    root = os.path.join(SWEEP_ROOT, f"ann_idx_x{factor}")
+    return load_or_build_ivfpq_index(spark, emb, root, **_annserve_conf(factor))
+
+
+def wl_ann_index_build_or_load(spark, sf_dir: str, factor: int) -> int:
+    t, _, _ = _annserve_index(spark, sf_dir, factor)
+    return t.current_snapshot()["row_count"]
+
+
+def wl_ann_serve_topk(spark, sf_dir: str, factor: int) -> int:
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.ann_index import (
+        query_ivfpq_index,
+    )
+
+    t, _, _ = _annserve_index(spark, sf_dir, factor)
+    qrows = (
+        _load_emb(spark, sf_dir)
+        .filter(F.col("vec_id") < IVF_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    return query_ivfpq_index(spark, t.root, queries, k=10, nprobe=6).count()
+
+
+ANNSERVE_WORKLOADS = {
+    "ann_index_build_or_load": wl_ann_index_build_or_load,
+    "ann_serve_topk": wl_ann_serve_topk,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--suite", default="text",
-        choices=["text", "rel", "stream", "cdc", "morread"],
+        choices=["text", "rel", "stream", "cdc", "morread", "annserve"],
     )
     ap.add_argument(
         "--only", default=None,
@@ -713,6 +771,8 @@ def main() -> None:
         workloads, builder = CDC_WORKLOADS, build_cdc_corpus
     elif args.suite == "morread":
         workloads, builder = MORREAD_WORKLOADS, build_morread_corpus
+    elif args.suite == "annserve":
+        workloads, builder = ANNSERVE_WORKLOADS, build_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     if args.only:
