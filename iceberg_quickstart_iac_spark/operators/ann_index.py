@@ -195,6 +195,34 @@ def query_ivfpq_index(
     )
 
 
+def query_ivfpq_index_rerank(
+    spark: SparkSession,
+    index: SnapTable | str | Path,
+    corpus: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    nprobe: int = 6,
+    k_cand: int = 50,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The full production retrieval pipeline over a persisted index:
+    route → ADC over stored codes in the probed cells (``k_cand``
+    candidates per query) → EXACT re-rank against the raw vectors in
+    ``corpus``. The index stays compact (codes only, by design — the 32×
+    compression is the point); full-precision vectors are read from the
+    source table only for the O(queries × k_cand) candidate set. Returns
+    (query_id, corpus_id, exact_d2, rank)."""
+    from iceberg_quickstart_iac_spark.operators.similarity import exact_rerank
+
+    cand = query_ivfpq_index(
+        spark, index, queries, k=k_cand, nprobe=nprobe, corpus_id=corpus_id
+    ).select("query_id", corpus_id)
+    return exact_rerank(
+        cand, corpus, queries, k=k, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+
+
 def extend_ivfpq_index(
     spark: SparkSession,
     root: str | Path,

@@ -838,13 +838,33 @@ def pq_adc_rerank_topk(
     per query (a semi-join against the candidate ids, then one small
     Arrow batch of exact math).
     """
+    cand = pq_adc_topk(
+        encoded, codebooks, queries, k=k_cand, corpus_id=corpus_id
+    ).select("query_id", corpus_id)
+    return exact_rerank(
+        cand, encoded.select(corpus_id, corpus_vec), queries,
+        k=k, corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact-distance re-rank of ``candidates`` (query_id, corpus_id
+    pairs): join back to the raw vectors and score one Arrow batch of
+    ``(v - q)²`` per partition — full-precision work is O(|candidates|),
+    never O(corpus). The shared tail of every ANN funnel's recall knob
+    (PQ/ADC candidates, persisted-index probes). Returns
+    (query_id, corpus_id, exact_d2, rank)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cand = pq_adc_topk(
-        encoded, codebooks, queries, k=k_cand, corpus_id=corpus_id
-    ).select("query_id", corpus_id)
     qmap = {int(qid): np.asarray(qv, dtype="float64") for qid, qv in queries}
 
     @pandas_udf("double")
@@ -853,8 +873,8 @@ def pq_adc_rerank_topk(
         qm = np.stack([qmap[int(q)] for q in qids.to_numpy()])
         return pd.Series(((mat - qm) ** 2).sum(1))
 
-    joined = cand.join(
-        encoded.select(corpus_id, corpus_vec), corpus_id
+    joined = candidates.select("query_id", corpus_id).join(
+        corpus.select(corpus_id, corpus_vec), corpus_id
     ).withColumn(
         "exact_d2",
         exact_d2(F.col(corpus_vec).cast("array<double>"), F.col("query_id")),

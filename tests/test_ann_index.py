@@ -175,3 +175,41 @@ def test_probe_scan_is_partition_pruned(spark, corpus, tmp_path):
     assert files and all(f"__p_cell={cell}" in f for f in files)
     # and the self-hit still comes back
     assert 3 in {r["vec_id"] for r in out.collect()}
+
+
+def test_index_rerank_improves_recall_and_is_exact_on_self(spark, corpus, tmp_path):
+    """query_ivfpq_index_rerank: ADC candidates from the compact index,
+    exact distances from the raw corpus. Self-queries must rank
+    themselves first with exact_d2 == 0, and recall@5 vs brute force
+    must be at least as good as the raw ADC ranking's."""
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.ann_index import (
+        query_ivfpq_index_rerank,
+    )
+
+    root = tmp_path / "idx"
+    load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    rows = corpus.collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in rows[:5]]
+    out = query_ivfpq_index_rerank(
+        spark, root, corpus, queries, k=5, nprobe=CONF["n_cells"], k_cand=30,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r["rank"])
+        assert hits[0]["vec_id"] == qid  # exact self-hit first
+        assert hits[0]["exact_d2"] == 0.0
+    # recall@5 vs numpy brute force
+    mat = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    hit = 0
+    for qid, qv in queries:
+        d2 = ((mat - np.array(qv)) ** 2).sum(1)
+        truth = set(ids[np.argsort(d2)[:5]])
+        got = {r["vec_id"] for r in by_q[qid]}
+        hit += len(truth & got)
+    assert hit / (5 * len(queries)) >= 0.8  # nprobe=all, k_cand=30: high recall
