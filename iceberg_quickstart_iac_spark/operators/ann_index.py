@@ -189,9 +189,11 @@ def query_ivfpq_index(
     t, centroids, books = load_ivfpq_index(root)
     probed = sorted({c for _, c in route_queries_python(centroids, queries, nprobe)})
     encoded = t.read(spark, filters=[("cell", "in", probed)])
+    # gemm scorer: Arrow-batched gather-sum, bit-identical to the fold
+    # form (pinned by test) without its per-query plan-size cost
     return ivfpq_topk(
         encoded, centroids, books, queries,
-        k=k, nprobe=nprobe, corpus_id=corpus_id,
+        k=k, nprobe=nprobe, corpus_id=corpus_id, method="gemm",
     )
 
 

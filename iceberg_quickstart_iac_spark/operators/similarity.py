@@ -785,12 +785,47 @@ def _adc_inline_sql(
     return "inline(array(" + ", ".join(structs) + "))"
 
 
+def _adc_scores_gemm(encoded: DataFrame, queries: list[tuple],
+                     tables: list, m: int, extra_cols: list[str]) -> DataFrame:
+    """Arrow-batched ADC scoring (the production serve path): one numpy
+    gather-sum per batch computes ALL queries' distances for every row
+    (``d2[b, q] = Σ_j T[q, j, codes[b, j]]``), then one ``posexplode``
+    lands (query_id, adc_d2) rows. Accumulation order matches the fold
+    form exactly (j ascending, left-associative; the leading ``0.0 +`` is
+    exact), so results are bit-identical to :func:`_adc_inline_sql` —
+    pinned by test. Batch cost is BLAS-free numpy indexing, independent
+    of the |queries| × plan-size costs the literal forms pay."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    T = np.asarray(tables, dtype="float64")  # Q x m x n_codes
+    qids = [int(q) for q, _ in queries]
+
+    @pandas_udf("array<double>")
+    def score(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy()).astype("int64")  # B x m
+        out = np.zeros((C.shape[0], T.shape[0]))
+        for j in range(m):
+            out += T[:, j, :][:, C[:, j]].T  # B x Q
+        return pd.Series(list(out))
+
+    qid_arr = "array(" + ", ".join(f"CAST({q} AS BIGINT)" for q in qids) + ")"
+    return (
+        encoded.withColumn("__d2s", score(F.col("codes")))
+        .select(*extra_cols, F.posexplode("__d2s").alias("__qi", "adc_d2"))
+        .withColumn("query_id", F.expr(f"element_at({qid_arr}, __qi + 1)"))
+        .drop("__qi")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],
     queries: list[tuple],
     k: int = 10,
     corpus_id: str = "vec_id",
+    method: str = "fold",
 ) -> DataFrame:
     """Top-k nearest corpus vectors per query by ADC distance over PQ
     codes. ``queries`` is a driver-side list of ``(query_id, vector)`` —
@@ -807,9 +842,12 @@ def pq_adc_topk(
     """
     tables = adc_tables(codebooks, [qv for _, qv in queries])
     m = len(codebooks)
-    exploded = encoded.selectExpr(
-        corpus_id, _adc_inline_sql(queries, tables, m)
-    )
+    if method == "gemm":
+        exploded = _adc_scores_gemm(encoded, queries, tables, m, [corpus_id])
+    else:
+        exploded = encoded.selectExpr(
+            corpus_id, _adc_inline_sql(queries, tables, m)
+        )
     w = W.partitionBy("query_id").orderBy("adc_d2", corpus_id)
     return (
         exploded.withColumn("rank", F.row_number().over(w))
@@ -925,6 +963,7 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 6,
     corpus_id: str = "vec_id",
+    method: str = "fold",
 ) -> DataFrame:
     """The full FAISS IVF-PQ funnel: route each query to its ``nprobe``
     nearest IVF cells, then score ONLY those cells' vectors by ADC over
@@ -944,9 +983,14 @@ def ivfpq_topk(
         route_queries_python(centroids, queries, nprobe),
         "query_id LONG, cell INT",
     )
-    exploded = encoded_tagged.selectExpr(
-        corpus_id, "cell", _adc_inline_sql(queries, tables, m)
-    )
+    if method == "gemm":
+        exploded = _adc_scores_gemm(
+            encoded_tagged, queries, tables, m, [corpus_id, "cell"]
+        )
+    else:
+        exploded = encoded_tagged.selectExpr(
+            corpus_id, "cell", _adc_inline_sql(queries, tables, m)
+        )
     probed = exploded.join(
         F.broadcast(routed), ["query_id", "cell"], "inner"
     )

@@ -213,3 +213,28 @@ def test_index_rerank_improves_recall_and_is_exact_on_self(spark, corpus, tmp_pa
         got = {r["vec_id"] for r in by_q[qid]}
         hit += len(truth & got)
     assert hit / (5 * len(queries)) >= 0.8  # nprobe=all, k_cand=30: high recall
+
+
+def test_adc_gemm_scorer_bit_identical_to_fold(spark, corpus, tmp_path):
+    """The Arrow-batched gather-sum ADC scorer must produce EXACTLY the
+    fold/SQL form's distances (same accumulation order; the leading
+    0.0 + is exact) — full result-set equality including float bits."""
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        ivf_index, ivfpq_topk, pq_adc_topk, pq_encode, pq_fit,
+    )
+
+    sample = [r["embedding"] for r in corpus.orderBy("vec_id").limit(200).collect()]
+    tagged, cent = ivf_index(corpus, n_cells=4, max_iter=8, seed=42,
+                             assign="fold", sample_vectors=sample)
+    books = pq_fit(corpus, m=4, n_codes=8, max_iter=8, seed=7,
+                   sample_vectors=sample)
+    enc = pq_encode(tagged, books, assign="fold").persist()
+    try:
+        queries = [(i, [float(x) for x in sample[i]]) for i in range(6)]
+        for fn, kw in ((pq_adc_topk, {}), (ivfpq_topk, {"nprobe": 2})):
+            args = (enc, books, queries) if fn is pq_adc_topk else (enc, cent, books, queries)
+            fold = fn(*args, k=7, method="fold", **kw).collect()
+            gemm = fn(*args, k=7, method="gemm", **kw).collect()
+            assert sorted(map(tuple, fold)) == sorted(map(tuple, gemm))
+    finally:
+        enc.unpersist()
