@@ -670,6 +670,17 @@ def wl_morread_compact(spark, sf_dir: str, factor: int) -> int:
     return e["row_count"]
 
 
+def wl_morread_post_rewrite(spark, sf_dir: str, factor: int) -> int:
+    """Read latency after the CHEAP maintenance tier merged the N delete
+    files into one (rewrite on the first run, discarded by min()) — the
+    policy claim: rewrite_delete_files restores near-floor reads at
+    O(keys) cost, deferring the O(table) compact."""
+    t = _morread_table(spark, sf_dir, factor)
+    if len(t.current_snapshot().get("delete_dirs") or []) > 1:
+        t.rewrite_delete_files(spark)
+    return t.read(spark).count()
+
+
 def wl_morread_post_compact(spark, sf_dir: str, factor: int) -> int:
     """Read latency floor after materialization: compacts on the first
     run (discarded by min() with --runs >= 2), pure read after."""
@@ -682,6 +693,7 @@ def wl_morread_post_compact(spark, sf_dir: str, factor: int) -> int:
 MORREAD_WORKLOADS = {
     "mor_read_n_delete_files": wl_morread_read,
     "mor_compact_n_delete_files": wl_morread_compact,
+    "mor_read_post_rewrite": wl_morread_post_rewrite,
     "mor_read_post_compact": wl_morread_post_compact,
 }
 
