@@ -132,9 +132,35 @@ def build_ivfpq_index(
     try:
         os.rename(tmp, root)
     except OSError:
-        # a concurrent builder won the rename race — keep the winner
-        # (same config -> bit-identical index), drop our duplicate
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Something already sits at root. Only a SAME-CONFIG concurrent
+        # builder is a benign race (bit-identical index — keep the winner);
+        # a different-config index must not be silently served from.
+        try:
+            existing = SnapTable.load(root)
+            stored = json.loads(
+                existing.meta.get("properties", {}).get(_PROP_CONF, "{}")
+            )
+        except Exception:
+            stored = None
+        if stored == json.loads(json.dumps(conf, sort_keys=True)):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale/mismatched index: swap the fresh build into place
+            # (move the old one aside first — rename over a non-empty dir
+            # fails on POSIX), so a parameter change rebuilds rather than
+            # wasting the train and then erroring at load time
+            stale = root.parent / f".stale-{uuid.uuid4().hex}"
+            try:
+                os.rename(root, stale)
+                os.rename(tmp, root)
+                shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ValueError(
+                    f"ANN index root {root} holds an index built with "
+                    "different parameters and could not be replaced — "
+                    "remove it or build at a fresh root"
+                ) from None
     return SnapTable.load(root)
 
 

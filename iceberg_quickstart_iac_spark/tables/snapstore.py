@@ -533,7 +533,19 @@ class SnapTable:
             # deleted rows resurrect. The map is cumulative (copied from
             # the parent entry) and pruned to dirs still referenced by any
             # surviving entry so it cannot grow past the live dir set.
-            dir_seqs = dict(entries[-1].get("dir_sequences") or {}) if entries else {}
+            parent_map = entries[-1].get("dir_sequences") if entries else {}
+            if parent_map is None:
+                # legacy log: the parent entry predates the persisted map.
+                # Seed every already-referenced dir from the log-scan intro
+                # sequences — starting from {} would setdefault long-existing
+                # data AND delete dirs to THIS commit's sequence, destroying
+                # the strictly-greater ordering MoR delete applicability
+                # relies on (deleted rows would resurrect).
+                parent_map = {}
+                for e in entries:
+                    for d in self._entry_dirs(e):
+                        parent_map.setdefault(d, e["sequence"])
+            dir_seqs = dict(parent_map)
             # dir_sequence_overrides: an operation may pin a NEW dir to an
             # inherited sequence — delete-file compaction merges N delete
             # files into one that must keep the group's applicability
@@ -1436,7 +1448,13 @@ class SnapTable:
         for e in reversed(entries):
             persisted = e.get("dir_sequences")
             if persisted is not None:
-                seen.update(persisted)
+                # A dir's intro is by definition <= the first surviving
+                # entry that references it, so min(scan, persisted) is
+                # always the true intro: persisted wins after expire
+                # collapses the scan date forward, while the scan heals a
+                # map that was ever (mis)seeded with a too-late sequence.
+                for d, s in persisted.items():
+                    seen[d] = min(seen.get(d, s), s)
                 break
         return seen
 
@@ -1685,7 +1703,14 @@ class SnapTable:
         }
         for col, op, value in filters:
             if op == "in":
-                df = df.filter(F.col(col).isin(*[F.lit(v) for v in value]))
+                vals = list(value)
+                if not vals:
+                    # Column.isin() with zero args raises; an empty IN list
+                    # matches nothing — same verdict _dirs_survive reaches
+                    # for directory pruning.
+                    df = df.filter(F.lit(False))
+                else:
+                    df = df.filter(F.col(col).isin(*[F.lit(v) for v in vals]))
             else:
                 df = df.filter(ops[op](F.col(col), F.lit(value)))
         return df
@@ -2464,6 +2489,7 @@ class SnapTable:
             report["log_errors"].append("no snapshots")
             report["ok"] = False
             return report
+        expired_seqs = set(self.meta.get("expired_sequences") or [])
         for prev, e in zip(entries, entries[1:]):
             if e["sequence"] == prev["sequence"] + 1:
                 # adjacent survivors: the parent chain must hold exactly
@@ -2472,11 +2498,25 @@ class SnapTable:
                         f"sequence {e['sequence']} parent_id does not chain"
                     )
             else:
-                # expected after tag-/fork-pinned retention — informational,
-                # never a corruption verdict
-                report["retention_gaps"].append(
-                    (prev["sequence"], e["sequence"])
-                )
+                # A gap is legitimate ONLY when expire_snapshots tombstoned
+                # every missing sequence (tag-/fork-pinned retention keeps
+                # e.g. {0, 2}); a sequence absent from both the log and the
+                # tombstone list is a lost entry — the partial-restore
+                # corruption fsck exists to catch.
+                unexplained = [
+                    s
+                    for s in range(prev["sequence"] + 1, e["sequence"])
+                    if s not in expired_seqs
+                ]
+                if unexplained:
+                    report["log_errors"].append(
+                        f"sequences {unexplained} missing from the log with "
+                        "no expire_snapshots tombstone (lost entries?)"
+                    )
+                else:
+                    report["retention_gaps"].append(
+                        (prev["sequence"], e["sequence"])
+                    )
         snap = self._snapshot_for(snapshot_id, None)
         total_rows = 0
         total_files = 0
@@ -2575,6 +2615,15 @@ class SnapTable:
         referenced |= {
             d for e in self._all_branch_entries() for d in self._entry_dirs(e)
         }
+        if drop:
+            # Tombstone the dropped sequences in table metadata so
+            # verify() can tell legitimate retention gaps from log entries
+            # lost to a partial restore (which have no tombstone).
+            meta = self.meta
+            tomb = set(meta.get("expired_sequences") or [])
+            tomb.update(e["sequence"] for e in drop)
+            meta["expired_sequences"] = sorted(tomb)
+            self._write_meta(meta)
         for e in drop:
             (self.log_dir / f"{e['sequence']:012d}.json").unlink(missing_ok=True)
         for child in self.data_dir.iterdir():

@@ -238,3 +238,18 @@ def test_adc_gemm_scorer_bit_identical_to_fold(spark, corpus, tmp_path):
             assert sorted(map(tuple, fold)) == sorted(map(tuple, gemm))
     finally:
         enc.unpersist()
+
+
+def test_build_at_mismatched_root_swaps_in_new_index(spark, corpus, tmp_path):
+    """Changing ANN parameters at an existing root must REPLACE the stale
+    index (the full train is not wasted, and the final load serves the
+    requested quantizer) — not silently keep the old one and then error."""
+    root = tmp_path / "idx"
+    load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    changed = {**CONF, "n_cells": CONF["n_cells"] + 1}
+    t2, centroids2, _ = load_or_build_ivfpq_index(spark, corpus, root, **changed)
+    assert len(centroids2) == changed["n_cells"]
+    # and the persisted index at root now matches the NEW conf
+    want = {**_full_conf(), "n_cells": changed["n_cells"]}
+    t3, *_ = load_ivfpq_index(root, expect_conf=want)
+    assert t3.current_snapshot()["snapshot_id"] == t2.current_snapshot()["snapshot_id"]

@@ -1706,3 +1706,59 @@ def test_files_table_reports_column_bounds(spark, tmp_path):
     assert bounds["k"] == [10, 19]
     assert bounds["v"] == ["s10", "s19"]
     assert row["record_count"] == 10
+
+
+# -- round-7 ADVICE regression fixes -----------------------------------------
+
+
+def test_legacy_log_commit_does_not_resurrect_mor_deletes(spark, mor_table):
+    """A table whose log predates the persisted dir_sequences map must not
+    have its first new-code commit re-date every existing dir to the new
+    sequence — that would make the equality-delete files non-applicable
+    (no longer strictly greater than the data dirs they cover) and
+    resurrect deleted rows."""
+    import json as _json
+
+    t = mor_table
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    # simulate a legacy log: strip the persisted map from every entry
+    for p in sorted(t.log_dir.glob("[0-9]*.json")):
+        e = _json.loads(p.read_text())
+        e.pop("dir_sequences", None)
+        p.write_text(_json.dumps(e))
+    # first new-code commit on the legacy log
+    t.append(spark.createDataFrame([(100, "c", 100.0)], "k LONG, g STRING, v DOUBLE"))
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [1, 3, 5, 7, 9, 100], got
+    # and the persisted map now dates the original data dir BEFORE the
+    # delete dir, not at the append's own sequence
+    intro = t._dir_intro_seqs()
+    e = t._entries()[-1]
+    data_intro = min(intro[d] for d in e["data_dirs"])
+    del_intro = min(intro[d] for d in e["delete_dirs"])
+    assert data_intro < del_intro
+
+
+def test_verify_integrity_fails_on_untombstoned_log_gap(spark, tmp_path):
+    """A middle log entry lost WITHOUT an expire_snapshots tombstone is
+    corruption (partial restore), not retention — fsck must fail it."""
+    t = SnapTable.create(
+        tmp_path / "lost",
+        {"name": "lost", "namespace": "lakehouse",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "k LONG"))
+    (t.log_dir / "000000000001.json").unlink()
+    report = t.verify_integrity()
+    assert not report["ok"]
+    assert any("tombstone" in msg for msg in report["log_errors"])
+    assert report["retention_gaps"] == []
+
+
+def test_empty_in_filter_matches_nothing(spark, mor_table):
+    """('col','in',[]) must mean match-nothing in the ROW filter too, not
+    crash in Column.isin — consistent with _dirs_survive's verdict."""
+    out = mor_table.read(spark, filters=[("k", "in", [])])
+    assert out.count() == 0
