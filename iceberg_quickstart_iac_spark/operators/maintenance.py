@@ -48,17 +48,74 @@ def mor_read_amplification(table: SnapTable) -> dict:
     }
 
 
+def mor_partition_debt(table: SnapTable) -> dict:
+    """Attribute the current snapshot's deferred-delete debt to partition
+    leaves from the delete files' write-time sidecars — metadata only, no
+    scan. Returns::
+
+        {"attributed": bool,          # every delete file carries a sidecar
+         "leaves": {suffix: keys},    # debt per partition-leaf suffix
+         "debt_row_share": float}     # physical-row share of debt leaves
+
+    ``debt_row_share`` is the fraction of the table's PHYSICAL rows living
+    in partitions that carry any debt (parquet footer counts, O(files)) —
+    the dial that decides whether a partition-scoped rewrite is cheaper
+    than a full compact. ``attributed=False`` (a delete file predates the
+    sidecar) forces the caller onto the full-compact path: unknown
+    attribution must never scope a rewrite."""
+    import json
+    from pathlib import Path
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"attributed": True, "leaves": {}, "debt_row_share": 0.0}
+    leaves: dict[str, int] = {}
+    attributed = True
+    for dd in snap.get("delete_dirs") or []:
+        sidecar = table.data_dir / dd / table._DEBT_SIDECAR
+        if not sidecar.exists():
+            attributed = False
+            continue
+        for leaf, n in json.loads(sidecar.read_text()).items():
+            leaves[leaf] = leaves.get(leaf, 0) + n
+    if not leaves:
+        return {"attributed": attributed, "leaves": {}, "debt_row_share": 0.0}
+    dir_epochs = table._dir_epochs()
+    total_rows = 0
+    debt_rows = 0
+    debt_suffixes = list(leaves)
+    for d in snap["data_dirs"]:
+        epoch = dir_epochs.get(d)
+        spec = epoch.get("partition_spec") if epoch is not None else None
+        for leaf in table._leaf_dirs([table.data_dir / d], [], spec):
+            files = sorted(Path(leaf).rglob("*.parquet"))
+            n = _footer_row_count(files) if files else 0
+            total_rows += n
+            suffix = table._leaf_suffix(d, leaf)
+            if any(table._suffixes_intersect(suffix, s) for s in debt_suffixes):
+                debt_rows += n
+    share = debt_rows / total_rows if total_rows else 1.0
+    return {"attributed": attributed, "leaves": leaves, "debt_row_share": share}
+
+
 def maintain_mor(
     spark: SparkSession,
     table: SnapTable,
     max_delete_files: int = 16,
     max_delete_ratio: float = 0.05,
+    partition_scope_max_share: float = 0.5,
 ) -> dict:
     """Two-tier MoR maintenance, the Iceberg/Hudi compactor split:
 
-    - deferred-KEY ratio over ``max_delete_ratio`` → full
-      :meth:`~..tables.snapstore.SnapTable.compact` (materialize the
-      deletes; O(table) — the only way to shrink the anti-join);
+    - deferred-KEY ratio over ``max_delete_ratio`` → materialize the
+      deletes. When the sidecar attribution shows the debt concentrated
+      in partitions holding at most ``partition_scope_max_share`` of the
+      table's physical rows, that is a PARTITION-SCOPED
+      :meth:`~..tables.snapstore.SnapTable.compact` — O(hot partitions),
+      the Iceberg ``rewrite_data_files(filter)`` maintenance shape —
+      falling back to the full O(table) compact only if the scoped
+      rewrite could not restore a healthy ratio (keys matching no
+      attributed partition) or attribution is unavailable;
     - delete-FILE count over ``max_delete_files`` with the ratio still
       healthy → :meth:`~..tables.snapstore.SnapTable.rewrite_delete_files`
       (merge the files; O(delete keys)); falls through to a full compact
@@ -74,6 +131,22 @@ def maintain_mor(
     if audit["delete_files"] == 0:
         return {**audit, "compacted": False, "action": "none"}
     if audit["ratio"] >= max_delete_ratio:
+        prof = mor_partition_debt(table)
+        if (
+            prof["attributed"]
+            and prof["leaves"]
+            and prof["debt_row_share"] <= partition_scope_max_share
+        ):
+            entry = table.compact(
+                spark, partition_leaves=sorted(prof["leaves"])
+            )
+            after = mor_read_amplification(table)
+            if after["ratio"] < max_delete_ratio:
+                return {**audit, "compacted": True,
+                        "action": "compact_partitions",
+                        "debt_row_share": prof["debt_row_share"],
+                        "ratio_after": after["ratio"],
+                        "snapshot_id": entry["snapshot_id"]}
         entry = table.compact(spark)
         return {**audit, "compacted": True, "action": "compact",
                 "snapshot_id": entry["snapshot_id"]}

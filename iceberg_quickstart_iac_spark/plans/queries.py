@@ -6075,6 +6075,106 @@ def mor_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Partition-scoped compaction lifecycle (SURVEY §2.10 maintenance; Iceberg's
+# rewrite_data_files-with-filter shape — the 100 TB compactor:
+# delete debt concentrated in ONE day partition is materialized by
+# rewriting ONLY that day's directory; every other day's files are kept as
+# untouched subpath references, byte-for-byte identical by path comparison,
+# and the fully-covered delete file retires from the new snapshot
+# (tables/snapstore.py::_compact_partitions +
+# operators/maintenance.py::maintain_mor partition tier).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partition_compaction_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_initial,
+           CAST(COUNT(*) FILTER (WHERE CAST(ts AS DATE) = DATE '2024-01-17'
+                                   AND event_type = 'click')
+                AS BIGINT) AS deferred_keys,
+           CAST(COUNT(*) FILTER (WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-17'
+                                   AND event_type = 'click'))
+                AS BIGINT) AS rows_after,
+           TRUE AS debt_attributed,
+           CAST(1 AS BIGINT) AS debt_leaves,
+           TRUE AS partition_scoped,
+           TRUE AS cold_files_untouched,
+           CAST(0 AS BIGINT) AS delete_files_final,
+           TRUE AS fsck_ok
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+    """,
+)
+def partition_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.operators.maintenance import (
+        maintain_mor,
+        mor_partition_debt,
+    )
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    ev = (
+        load_table(spark, sf_dir, "events", events_ts_at_least="2024-01-15")
+        .filter(F.col("ts") < "2024-01-22")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="partcomp_") + "/events_pc",
+        {
+            "name": "events_pc",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+            "identifier_fields": ["event_id"],
+            "partition_spec": [{"column": "ts", "transform": "day"}],
+        },
+    )
+    t.overwrite(ev)
+    rows_initial = t.read(spark).count()
+    [d0] = t.current_snapshot()["data_dirs"]
+
+    def _cold_files() -> list[str]:
+        return sorted(
+            str(p)
+            for day in ("2024-01-15", "2024-01-16", "2024-01-18",
+                        "2024-01-19", "2024-01-20", "2024-01-21")
+            for p in (t.data_dir / d0 / f"__p_ts_day={day}").rglob("*.parquet")
+        )
+
+    cold_before = _cold_files()
+    t.delete_where(
+        spark,
+        "CAST(ts AS DATE) = DATE '2024-01-17' AND event_type = 'click'",
+        mode="mor",
+    )
+    prof = mor_partition_debt(t)
+    out = maintain_mor(spark, t, max_delete_ratio=0.001)
+    return spark.createDataFrame(
+        [(
+            rows_initial,
+            out["deferred_keys"],
+            t.read(spark).count(),
+            bool(prof["attributed"]),
+            len(prof["leaves"]),
+            out["action"] == "compact_partitions",
+            _cold_files() == cold_before,
+            len(t.current_snapshot().get("delete_dirs") or []),
+            bool(t.verify_integrity()["ok"]),
+        )],
+        "rows_initial LONG, deferred_keys LONG, rows_after LONG, "
+        "debt_attributed BOOLEAN, debt_leaves LONG, partition_scoped BOOLEAN, "
+        "cold_files_untouched BOOLEAN, delete_files_final LONG, fsck_ok BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted ANN index lifecycle (SURVEY §2.13 X26 production shape,
 # operators/ann_index.py): train+materialize an IVF-PQ index table, then
 # ADD a batch with the STORED model (FAISS add-after-train — no refit, no

@@ -616,6 +616,26 @@ class SnapTable:
         """
         dir_name = uuid.uuid4().hex
         out = self.data_dir / dir_name
+        from pyspark.sql import functions as F
+
+        # Normalize declared columns to their DECLARED Spark types before
+        # writing: the read path groups dirs by declared-type epoch and
+        # scans each group as ONE mergeSchema load, which requires every
+        # file in the epoch to be physically merge-compatible (a caller
+        # passing tz-µs timestamps next to an earlier ntz-ns write would
+        # otherwise poison the group with CANNOT_MERGE_SCHEMAS).
+        declared_types = {
+            c["name"]: c["type"] for c in self.meta.get("columns", [])
+        }
+        if declared_types:
+            df = df.select(
+                *[
+                    F.col(c).cast(_declared_spark_type(declared_types[c])).alias(c)
+                    if c in declared_types
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         # spec entries on absent columns only occur with schema enforcement
         # disabled (declared columns cleared); write unpartitioned for those
         pcols = [(n, p) for n, p in self._partition_cols() if p["column"] in df.columns]
@@ -882,6 +902,44 @@ class SnapTable:
             self.remove_orphan_files(grace_ms=0)
         return entry
 
+    #: sidecar mapping partition-leaf suffix → deferred-key row count,
+    #: written next to each equality-delete file so maintenance can
+    #: attribute MoR debt to partitions from metadata alone (no scan)
+    _DEBT_SIDECAR = "_partition_debt.json"
+
+    def _partition_debt(self, doomed: DataFrame) -> tuple[int, dict[str, int]]:
+        """Per-partition-leaf count of the rows a MoR delete defers.
+
+        Returns ``(total_rows, {leaf_suffix: count})`` where a leaf suffix
+        renders the CURRENT spec's physical levels unescaped
+        (``__p_day=2024-01-15`` / nested with ``/``; ``""`` for an
+        unpartitioned table). One small aggregate over the rows the delete
+        already had to touch — the write-time price of metadata-only
+        partition attribution at maintenance time."""
+        from pyspark.sql import functions as F
+
+        pcols = [
+            (n, p)
+            for n, p in self._partition_cols()
+            if p["column"] in doomed.columns
+        ]
+        if not pcols:
+            n = doomed.count()
+            return n, ({"": n} if n else {})
+        exprs = [
+            _partition_expr(p["column"], p["transform"]).cast("string").alias(n)
+            for n, p in pcols
+        ]
+        out = doomed.groupBy(*exprs).count().collect()
+        debt: dict[str, int] = {}
+        for r in out:
+            leaf = "/".join(
+                f"{n}={r[n] if r[n] is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                for n, _ in pcols
+            )
+            debt[leaf] = debt.get(leaf, 0) + r["count"]
+        return sum(debt.values()), debt
+
     def _delete_where_mor(self, spark: SparkSession, condition: str) -> dict:
         ids = self.meta.get("identifier_fields")
         if not ids:
@@ -913,8 +971,14 @@ class SnapTable:
         (self.data_dir / dir_name / "_key_ids.json").write_text(
             json.dumps({c: col_ids.get(c) for c in ids})
         )
-        # key-granular row count: every row carrying a matched key dies
-        deleted = current.join(matched, list(ids), "left_semi").count()
+        # key-granular row count: every row carrying a matched key dies —
+        # counted per partition leaf so the debt sidecar is free
+        deleted, debt = self._partition_debt(
+            current.join(matched, list(ids), "left_semi")
+        )
+        (self.data_dir / dir_name / self._DEBT_SIDECAR).write_text(
+            json.dumps(debt)
+        )
 
         def build(entries: list[dict]) -> dict:
             prev = entries[-1] if entries else None
@@ -1322,15 +1386,19 @@ class SnapTable:
             upserts = changes.filter(f"{op_col} <> 'D'").select(*declared)
             touched = changes.select(*key_cols).dropDuplicates()
             # rows the delete file will erase (current images of touched
-            # keys) — needed only for the snapshot's row accounting
-            removed = (
-                self.read(spark).join(touched, key_cols, "left_semi").count()
+            # keys) — counted per partition leaf: the snapshot's row
+            # accounting and the maintenance debt sidecar from one pass
+            removed, debt = self._partition_debt(
+                self.read(spark).join(touched, key_cols, "left_semi")
             )
             del_dir = f"mordel-{uuid.uuid4().hex}"
             touched.write.parquet(str(self.data_dir / del_dir))
             col_ids = self._column_ids()
             (self.data_dir / del_dir / "_key_ids.json").write_text(
                 json.dumps({c: col_ids.get(c) for c in key_cols})
+            )
+            (self.data_dir / del_dir / self._DEBT_SIDECAR).write_text(
+                json.dumps(debt)
             )
             up_dir, up_rows, up_files = self._write_data(upserts)
         finally:
@@ -1527,9 +1595,24 @@ class SnapTable:
                     "partition_spec": e.get("partition_spec"),
                     "write_format": e.get("write_format"),
                 }
+            # dir_epoch_overrides: a partition-scoped compact keeps the
+            # unmatched leaves of a split dir as subpath references; those
+            # files were written under the SOURCE dir's epoch, not the
+            # compact commit's — the override pins it (processed before
+            # data_dirs so it wins for the entry that introduces them)
+            for d, ep in (e.get("dir_epoch_overrides") or {}).items():
+                if d not in seen:
+                    seen[d] = ep
             for d in e["data_dirs"]:
                 if d not in seen:
                     seen[d] = epoch
+        # defensive fallback: a subpath with no surviving override inherits
+        # its containing dir's epoch when that is still known
+        for d, ep in list(seen.items()):
+            if ep is None and "/" in d:
+                top = d.split("/", 1)[0]
+                if seen.get(top) is not None:
+                    seen[d] = seen[top]
         return seen
 
     def _project_declared(self, df: DataFrame, written_ids: dict | None) -> DataFrame:
@@ -1673,8 +1756,27 @@ class SnapTable:
                 leaves.append(str(path))
 
         for root in roots:
-            if root.exists():
-                descend(root, 0)
+            if not root.exists():
+                continue
+            # a root may itself be a partition SUBPATH (partition-scoped
+            # compaction keeps a split dir's unmatched leaves as direct
+            # references): resume the descent at the level the subpath
+            # already sits at, and let filters prune on its own segments
+            level = 0
+            pruned = False
+            try:
+                rel_parts = root.relative_to(self.data_dir).parts[1:]
+            except ValueError:
+                rel_parts = ()
+            for seg in rel_parts:
+                if level < len(pcols) and seg.startswith(pcols[level][0] + "="):
+                    name, p = pcols[level]
+                    if not matches(unquote(seg[len(name) + 1:]), p):
+                        pruned = True
+                        break
+                    level += 1
+            if not pruned:
+                descend(root, level)
         return leaves
 
     def _empty_declared(self, spark: SparkSession) -> DataFrame:
@@ -1965,9 +2067,13 @@ class SnapTable:
         rows = []
         for d in snap["data_dirs"]:
             base = self.data_dir / d
+            # partition values parse from the path BELOW the top-level dir
+            # so a subpath reference (partition-scoped compaction) still
+            # reports the segments baked into the reference itself
+            top = self.data_dir / d.split("/", 1)[0]
             for f in _list_data_files(base):
                 parts = {}
-                for seg in f.relative_to(base).parts[:-1]:
+                for seg in f.relative_to(top).parts[:-1]:
                     if "=" in seg:
                         k, _, v = seg.partition("=")
                         parts[k] = unquote(v)
@@ -2254,6 +2360,8 @@ class SnapTable:
         spark: SparkSession,
         target_files: int | None = None,
         zorder: list[str] | None = None,
+        partition_filter: list[tuple] | None = None,
+        partition_leaves: list[str] | None = None,
     ) -> dict:
         """Rewrite the current snapshot's data into fewer files — the
         ``rewrite_data_files`` analog (SURVEY §4; Iceberg calls this
@@ -2269,7 +2377,30 @@ class SnapTable:
         only ever skips on its leading column. Range stats come from one
         tiny aggregate; the key itself is codegen bit arithmetic
         (operators/zorder.py).
+
+        ``partition_filter=[(col, op, val), …]`` / ``partition_leaves=
+        [suffix, …]`` switch to PARTITION-SCOPED compaction (Iceberg's
+        ``rewrite_data_files`` with a filter — the 100 TB maintenance
+        shape: rewrite only where churn concentrates, O(hot partitions),
+        never O(table)). Granularity is the partition DIRECTORY: every
+        leaf dir the filter can match is rewritten whole (rows in a
+        matched dir that fail a relaxed range predicate are rewritten
+        too — nothing is dropped). Unmatched leaves of a split dir stay
+        as direct subpath references pinned to the source dir's commit
+        sequence and write epoch, so MoR delete applicability and
+        schema-evolution projection are unchanged for them. Delete files
+        whose entire (sidecar-attributed) debt lived in rewritten
+        partitions are retired from the new snapshot.
         """
+        if partition_filter is not None or partition_leaves is not None:
+            if zorder or target_files is not None:
+                raise ValueError(
+                    "partition-scoped compaction does not combine with "
+                    "zorder/target_files"
+                )
+            return self._compact_partitions(
+                spark, partition_filter, partition_leaves
+            )
         current = self.current_snapshot()
         if current is None:
             raise TableNotFoundError(f"Table {self.fq_name} has no snapshots yet")
@@ -2320,6 +2451,203 @@ class SnapTable:
         )
         return entry
 
+    def _leaf_suffix(self, top_dir: str, leaf: str) -> str:
+        """A leaf dir's partition suffix relative to its TOP-LEVEL data
+        dir, unescaped — '' for the (unpartitioned) dir itself. A data-dir
+        entry that is itself a subpath (kept by an earlier partition-scoped
+        compact) contributes its own partition segments, so suffixes stay
+        comparable across compaction generations."""
+        top = top_dir.split("/", 1)[0]
+        rel = Path(leaf).relative_to(self.data_dir / top).parts
+        return "/".join(unquote(s) for s in rel)
+
+    @staticmethod
+    def _suffixes_intersect(a: str, b: str) -> bool:
+        """Whether two partition suffixes can share rows: equal, one a
+        directory-prefix of the other, or either the whole-dir ''."""
+        return (
+            a == b
+            or a == ""
+            or b == ""
+            or a.startswith(b + "/")
+            or b.startswith(a + "/")
+        )
+
+    def _compact_partitions(
+        self,
+        spark: SparkSession,
+        partition_filter: list[tuple] | None,
+        partition_leaves: list[str] | None,
+    ) -> dict:
+        """Partition-scoped ``rewrite_data_files``: see :meth:`compact`."""
+        from pyspark.sql import functions as F  # noqa: F401 (parity with compact)
+
+        current = self.current_snapshot()
+        if current is None:
+            raise TableNotFoundError(f"Table {self.fq_name} has no snapshots yet")
+        dir_epochs = self._dir_epochs()
+        intro = self._dir_intro_seqs()
+        ddirs = list(current.get("delete_dirs") or [])
+        targets = set(partition_leaves or [])
+
+        rewrite: dict[str, list[str]] = {}      # dir -> matched leaf paths
+        kept_suffixes: dict[str, list[str]] = {}  # dir -> surviving suffixes
+        kept_subpaths: dict[str, list[str]] = {}  # dir -> kept rel subpaths
+        for d in current["data_dirs"]:
+            root = self.data_dir / d
+            epoch = dir_epochs.get(d)
+            spec = epoch.get("partition_spec") if epoch is not None else None
+            all_leaves = self._leaf_dirs([root], [], spec)
+            if partition_leaves is not None:
+                matched = [
+                    leaf
+                    for leaf in all_leaves
+                    if any(
+                        self._suffixes_intersect(self._leaf_suffix(d, leaf), t)
+                        for t in targets
+                    )
+                ]
+            else:
+                gf = partition_filter
+                if epoch is not None:
+                    gf = self._translate_filters(
+                        partition_filter, epoch["column_ids"]
+                    )
+                matched = (
+                    self._leaf_dirs([root], gf, spec) if gf is not None else []
+                )
+            if not matched:
+                kept_suffixes[d] = [self._leaf_suffix(d, l) for l in all_leaves]
+                continue
+            rewrite[d] = matched
+            matched_set = set(matched)
+            kept = [l for l in all_leaves if l not in matched_set]
+            kept_suffixes[d] = [self._leaf_suffix(d, l) for l in kept]
+            if kept:
+                kept_subpaths[d] = [
+                    str(Path(l).relative_to(self.data_dir)) for l in kept
+                ]
+        if not rewrite:
+            return current  # nothing matches — metadata no-op
+
+        # rewrite the matched leaves, per source dir so each slice gets its
+        # own epoch projection and exactly the delete files applicable to it
+        parts: list[DataFrame] = []
+        matched_files = 0
+        for d, leaves in rewrite.items():
+            epoch = dir_epochs.get(d)
+            ids = epoch["column_ids"] if epoch is not None else None
+            fmt = (epoch or {}).get("write_format") or "parquet"
+            matched_files += sum(
+                len(_list_data_files(Path(l))) for l in leaves
+            )
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .format(fmt)
+                .load([str(l) for l in leaves])
+            )
+            df = self._project_declared(df, ids)
+            applicable = sorted(
+                dd for dd in ddirs if intro.get(dd, -1) > intro.get(d, -1)
+            )
+            if applicable:
+                keys = self._read_delete_keys(spark, applicable)
+                df = df.join(keys, on=list(keys.columns), how="left_anti")
+            parts.append(df)
+        slice_df = parts[0]
+        for p in parts[1:]:
+            slice_df = slice_df.unionByName(p)
+        new_dir, new_rows, new_files = self._write_data(slice_df)
+        if new_rows == 0:
+            # every row in the matched partitions was MoR-deleted: the
+            # rewrite materializes to nothing — drop the empty dir
+            shutil.rmtree(self.data_dir / new_dir, ignore_errors=True)
+            new_dir = None
+
+        # a delete file can be retired when every partition its sidecar
+        # attributes debt to was rewritten in EVERY data dir it applies to
+        # (a suffix is uncovered in a dir iff a SURVIVING leaf of that dir
+        # can intersect it); files without a sidecar are kept — unknown
+        # attribution must never retire a delete
+        retired: set[str] = set()
+        for dd in ddirs:
+            sidecar = self.data_dir / dd / self._DEBT_SIDECAR
+            if not sidecar.exists():
+                continue
+            debt = json.loads(sidecar.read_text())
+            applies_to = [
+                d
+                for d in current["data_dirs"]
+                if intro.get(dd, -1) > intro.get(d, -1)
+            ]
+            if all(
+                not any(
+                    self._suffixes_intersect(s, k)
+                    for k in kept_suffixes.get(d, [])
+                )
+                for s in debt
+                for d in applies_to
+            ):
+                retired.add(dd)
+
+        overrides = {
+            sp: intro.get(d, -1)
+            for d, sps in kept_subpaths.items()
+            for sp in sps
+        }
+        epoch_overrides = {
+            sp: dir_epochs.get(d)
+            for d, sps in kept_subpaths.items()
+            for sp in sps
+            if dir_epochs.get(d) is not None
+        }
+
+        def build(entries: list[dict]) -> dict:
+            cur = entries[-1]
+            if cur["data_dirs"] != current["data_dirs"] or sorted(
+                cur.get("delete_dirs") or []
+            ) != sorted(ddirs):
+                raise CommitConflictError(
+                    f"partition-scoped compact on {self.fq_name}: table "
+                    "changed concurrently — re-run"
+                )
+            new_data_dirs: list[str] = []
+            for d in cur["data_dirs"]:
+                if d not in rewrite:
+                    new_data_dirs.append(d)
+                else:
+                    new_data_dirs.extend(kept_subpaths.get(d, []))
+            if new_dir is not None:
+                new_data_dirs.append(new_dir)
+            return {
+                "operation": "compact",
+                "data_dirs": new_data_dirs,
+                "delete_dirs": [dd for dd in ddirs if dd not in retired],
+                # visible rows are unchanged: the rewrite only materializes
+                # deletes that were already applied logically
+                "row_count": cur["row_count"],
+                "file_count": cur["file_count"] - matched_files + new_files,
+                "dir_sequence_overrides": overrides,
+                "dir_epoch_overrides": epoch_overrides,
+                # the rewritten dir was written under the CURRENT declared
+                # state (kept subpaths carry their own epoch overrides)
+                **self._write_epoch(),
+            }
+
+        entry = self._commit(build)
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={
+                "mode": "compact_partitions",
+                "rewritten_dirs": len(rewrite),
+                "rewritten_files": matched_files,
+                "new_files": new_files,
+                "retired_delete_files": len(retired),
+            },
+        )
+        return entry
+
     def rewrite_delete_files(self, spark: SparkSession) -> dict:
         """Merge accumulated equality-delete files WITHOUT touching any
         data — Iceberg's ``rewrite_position_delete_files`` maintenance
@@ -2365,6 +2693,22 @@ class SnapTable:
             (self.data_dir / new_dir / "_key_ids.json").write_text(
                 json.dumps({c: col_ids.get(c) for c in keys.columns})
             )
+            # merged partition-debt attribution survives only when EVERY
+            # source carried one (a missing map means unknown partitions —
+            # the merged file must stay unattributable, not falsely scoped)
+            src_debts = [
+                json.loads(sc.read_text())
+                for dd in dds
+                if (sc := self.data_dir / dd / self._DEBT_SIDECAR).exists()
+            ]
+            if len(src_debts) == len(dds):
+                merged_debt: dict[str, int] = {}
+                for m in src_debts:
+                    for leaf, n in m.items():
+                        merged_debt[leaf] = merged_debt.get(leaf, 0) + n
+                (self.data_dir / new_dir / self._DEBT_SIDECAR).write_text(
+                    json.dumps(merged_debt)
+                )
             new_ddirs.append(new_dir)
             overrides[new_dir] = min(intro[dd] for dd in dds)
             merged += 1
@@ -2428,9 +2772,14 @@ class SnapTable:
         referenced |= {
             d for e in self._all_branch_entries() for d in self._entry_dirs(e)
         }
+        ref_whole, ref_subs = self._ref_index(referenced)
         removed: list[str] = []
         for child in sorted(self.data_dir.iterdir()):
-            if not child.is_dir() or child.name in referenced:
+            if (
+                not child.is_dir()
+                or child.name in ref_whole
+                or child.name in ref_subs
+            ):
                 continue
             if child.stat().st_mtime * 1000 > older_than_ms:
                 continue
@@ -2556,10 +2905,13 @@ class SnapTable:
         referenced |= {
             d for e in self._all_branch_entries() for d in self._entry_dirs(e)
         }
+        ref_whole, ref_subs = self._ref_index(referenced)
         if self.data_dir.is_dir():
             report["orphan_dirs"] = sorted(
                 c.name for c in self.data_dir.iterdir()
-                if c.is_dir() and c.name not in referenced
+                if c.is_dir()
+                and c.name not in ref_whole
+                and c.name not in ref_subs
             )
         report["ok"] = not (
             report["missing_dirs"]
@@ -2626,10 +2978,50 @@ class SnapTable:
             self._write_meta(meta)
         for e in drop:
             (self.log_dir / f"{e['sequence']:012d}.json").unlink(missing_ok=True)
+        ref_whole, ref_subs = self._ref_index(referenced)
         for child in self.data_dir.iterdir():
-            if child.is_dir() and child.name not in referenced:
-                shutil.rmtree(child)
+            if not child.is_dir() or child.name in ref_whole:
+                continue
+            if child.name in ref_subs:
+                # the dir survives only through kept subpath references
+                # (partition-scoped compaction): GC the rewritten leaves
+                # the moment no snapshot references the dir whole
+                self._prune_unreferenced_leaves(child, ref_subs[child.name])
+                continue
+            shutil.rmtree(child)
         return len(drop)
+
+    @staticmethod
+    def _ref_index(dirs) -> tuple[set[str], dict[str, set[tuple]]]:
+        """Split raw entry-dir references into whole top-level dirs and,
+        for subpath references (partition-scoped compaction's kept
+        leaves), {top dir: {segment tuples}}."""
+        whole: set[str] = set()
+        subs: dict[str, set[tuple]] = {}
+        for d in dirs:
+            if "/" in d:
+                top, rest = d.split("/", 1)
+                subs.setdefault(top, set()).add(tuple(rest.split("/")))
+            else:
+                whole.add(d)
+        return whole, subs
+
+    def _prune_unreferenced_leaves(self, base: Path, keep_rels: set[tuple]) -> None:
+        """Remove partition subdirs of ``base`` not on any referenced
+        subpath (files at each level are kept — sidecars, unpartitioned
+        data). A zero-length rel means the whole subtree is referenced."""
+        if any(len(k) == 0 for k in keep_rels):
+            return
+        firsts = {k[0] for k in keep_rels}
+        for entry in sorted(base.iterdir()):
+            if not entry.is_dir():
+                continue
+            if entry.name not in firsts:
+                shutil.rmtree(entry)
+                continue
+            self._prune_unreferenced_leaves(
+                entry, {k[1:] for k in keep_rels if k[0] == entry.name}
+            )
 
     # -- tags (immutable named refs) ---------------------------------------
     #

@@ -1762,3 +1762,165 @@ def test_empty_in_filter_matches_nothing(spark, mor_table):
     crash in Column.isin — consistent with _dirs_survive's verdict."""
     out = mor_table.read(spark, filters=[("k", "in", [])])
     assert out.count() == 0
+
+
+# -- partition-scoped compaction (round 7) -----------------------------------
+
+
+@pytest.fixture()
+def part_mor_table(spark, tmp_path):
+    """Identity-partitioned MoR table: 3 partitions x 10 rows, one append."""
+    t = SnapTable.create(
+        tmp_path / "pmor",
+        {
+            "name": "pmor", "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "g", "type": "string"},
+                {"name": "v", "type": "double"},
+            ],
+            "identifier_fields": ["k"],
+            "partition_spec": [{"column": "g", "transform": "identity"}],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i)) for i in range(30)],
+        "k LONG, g STRING, v DOUBLE",
+    ))
+    return t
+
+
+def _files_under(t, rel):
+    base = t.data_dir / rel
+    return sorted(str(p) for p in base.rglob("*.parquet")) if base.is_dir() else []
+
+
+def test_partition_scoped_compact_rewrites_only_hot_partition(spark, part_mor_table):
+    t = part_mor_table
+    [d0] = t.current_snapshot()["data_dirs"]
+    cold_b = _files_under(t, f"{d0}/__p_g=b")
+    cold_c = _files_under(t, f"{d0}/__p_g=c")
+    t.delete_where(spark, "g = 'a' AND k < 12", mode="mor")
+    e = t.compact(spark, partition_filter=[("g", "=", "a")])
+    # the hot partition moved to a fresh dir; cold partitions stay as
+    # kept subpath references with their original files untouched
+    assert f"{d0}/__p_g=b" in e["data_dirs"]
+    assert f"{d0}/__p_g=c" in e["data_dirs"]
+    assert d0 not in e["data_dirs"]
+    assert _files_under(t, f"{d0}/__p_g=b") == cold_b
+    assert _files_under(t, f"{d0}/__p_g=c") == cold_c
+    # the delete file's debt lived entirely in the rewritten partition
+    assert not e.get("delete_dirs")
+    # contents: a-partition lost k in {0,3,6,9}, everything else intact
+    expect = sorted(i for i in range(30) if not ("abc"[i % 3] == "a" and i < 12))
+    assert sorted(r.k for r in t.read(spark).collect()) == expect
+    report = t.verify_integrity()
+    assert report["ok"], report
+    # row/file accounting is exact once no delete files remain
+    assert e["row_count"] == len(expect)
+    # time travel to before the compact still serves the MoR view
+    pre = t._entries()[-2]
+    assert t.read(spark, snapshot_id=pre["snapshot_id"]).count() == len(expect)
+
+
+def test_partition_scoped_compact_keeps_deletes_with_debt_elsewhere(
+    spark, part_mor_table
+):
+    t = part_mor_table
+    # keys span partitions a and b — rewriting only a must NOT retire
+    # the delete file (its b-debt is still deferred)
+    t.delete_where(spark, "k IN (0, 1)", mode="mor")  # k=0 in a, k=1 in b
+    e = t.compact(spark, partition_filter=[("g", "=", "a")])
+    assert len(e["delete_dirs"]) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(2, 30))
+    # a later full compact retires it
+    ce = t.compact(spark)
+    assert not ce.get("delete_dirs")
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(2, 30))
+
+
+def test_partition_scoped_compact_pins_sequences_for_later_deletes(
+    spark, part_mor_table
+):
+    """A MoR delete committed AFTER a partial compact must apply to the
+    kept subpath references (their pinned intro sequence is lower), and
+    the pinning must survive expire_snapshots."""
+    t = part_mor_table
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    t.compact(spark, partition_filter=[("g", "=", "a")])
+    t.delete_where(spark, "k = 13", mode="mor")  # k=13 lives in b (13%3=1)
+    expect = sorted(
+        i for i in range(30) if "abc"[i % 3] != "a" and i != 13
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == expect
+    t.expire_snapshots(older_than_ms=2**52)
+    assert sorted(r.k for r in t.read(spark).collect()) == expect
+    report = t.verify_integrity()
+    assert report["ok"], report
+
+
+def test_partition_scoped_compact_leaf_gc_on_expire(spark, part_mor_table):
+    """Once no snapshot references the split dir whole, the rewritten
+    leaf is GC'd from under it while kept leaves survive."""
+    t = part_mor_table
+    [d0] = t.current_snapshot()["data_dirs"]
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    t.compact(spark, partition_filter=[("g", "=", "a")])
+    assert (t.data_dir / d0 / "__p_g=a").is_dir()  # history still needs it
+    t.expire_snapshots(older_than_ms=2**52)
+    assert not (t.data_dir / d0 / "__p_g=a").exists()  # rewritten leaf GC'd
+    assert (t.data_dir / d0 / "__p_g=b").is_dir()
+    assert (t.data_dir / d0 / "__p_g=c").is_dir()
+    assert sorted(r.k for r in t.read(spark).collect()) == sorted(
+        i for i in range(30) if "abc"[i % 3] != "a"
+    )
+
+
+def test_maintain_mor_scopes_compaction_to_debt_partitions(spark, part_mor_table):
+    from iceberg_quickstart_iac_spark.operators.maintenance import (
+        maintain_mor,
+        mor_partition_debt,
+    )
+
+    t = part_mor_table
+    [d0] = t.current_snapshot()["data_dirs"]
+    cold_b = _files_under(t, f"{d0}/__p_g=b")
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    prof = mor_partition_debt(t)
+    assert prof["attributed"] and list(prof["leaves"]) == ["__p_g=a"]
+    assert 0 < prof["debt_row_share"] < 0.5
+    out = maintain_mor(spark, t, max_delete_ratio=0.05)
+    assert out["action"] == "compact_partitions", out
+    assert out["ratio_after"] == 0.0
+    assert _files_under(t, f"{d0}/__p_g=b") == cold_b  # cold data untouched
+    assert sorted(r.k for r in t.read(spark).collect()) == sorted(
+        i for i in range(30) if "abc"[i % 3] != "a"
+    )
+
+
+def test_maintain_mor_falls_back_to_full_compact_when_debt_is_wide(
+    spark, part_mor_table
+):
+    from iceberg_quickstart_iac_spark.operators.maintenance import maintain_mor
+
+    t = part_mor_table
+    t.delete_where(spark, "k % 3 < 2", mode="mor")  # debt in ALL partitions
+    out = maintain_mor(spark, t, max_delete_ratio=0.05)
+    assert out["action"] == "compact", out
+    assert not t.current_snapshot().get("delete_dirs")
+
+
+def test_partition_scoped_compact_preserves_epoch_of_kept_leaves(
+    spark, part_mor_table
+):
+    """Kept subpath references must read under the SOURCE dir's write
+    epoch: a column renamed after the original write still projects
+    field-id-correctly from the kept leaves after a partial compact."""
+    t = part_mor_table
+    t.evolve_rename_column("v", "val")
+    t.compact(spark, partition_filter=[("g", "=", "a")])
+    rows = {r.k: r.val for r in t.read(spark).collect()}
+    assert len(rows) == 30 and rows[4] == 4.0  # k=4 is in partition b (kept)
+    # and filters still prune into the kept subpaths
+    got = sorted(r.k for r in t.read(spark, filters=[("g", "=", "b")]).collect())
+    assert got == [i for i in range(30) if i % 3 == 1]
