@@ -31,6 +31,8 @@ AUDIT_EVENTS = (
     "row_policy_applied",
     "schema_drift",
     "schema_evolution",
+    # SQL front door: a governed view (re-)registered into a Spark session
+    "table_registered",
 )
 
 _audit_logger = logging.getLogger("lakehouse.audit")

@@ -115,74 +115,66 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-6 gate (VERDICT r5 next #1): the 7 queries whose driver rows
-    # date from r2 lead — customer_spend_quartiles FIRST (rewritten to the
-    # two-phase distributed NTILE after its last driver row, so its current
-    # form has never been driver-certified).
-    "customer_spend_quartiles",
-    "customer_running_totals",
-    "q6_flat_revenue",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q22_dormant_rich_customers",
-    # round-6 additions: need their FIRST driver row
-    "orc_table_lifecycle",
-    "mor_maintenance_lifecycle",
-    "ann_index_lifecycle",
-    # then the 50 queries last certified in r3 (3 rounds old by now);
-    # r4/r5-certified queries fall to registry order behind them and stay
-    # covered by the pytest oracle replay.
-    "branch_lifecycle",
-    "cohort_retention",
-    "corpus_filter_funnel",
-    "customers_without_big_orders",
-    "doc_benchmark_contamination",
-    "doc_bpe_token_stats",
-    "doc_chunks",
-    "doc_hash_split",
-    "doc_pii_redaction",
-    "doc_repetition_signals",
-    "drift_sensor_cycle",
-    "embedding_ann_ivf",
-    "embedding_int8_audit",
-    "embedding_label_centroids",
-    "embedding_lsh_topk",
-    "enrich_orders_by_segment",
-    "event_followup_pairs",
-    "event_time_hierarchy_rollup",
-    "flagship_event_type_counts",
-    "funnel_click_to_purchase",
-    "inter_source_overlap",
-    "latest_event_per_user",
-    "latest_order_per_customer",
-    "multimodal_media_stats",
-    "near_dup_doc_clusters",
-    "near_dup_minhash_pairs",
-    "packed_context_windows",
-    "partitioned_table_pruning",
-    "pseudonymized_user_activity",
-    "q11_top_nation_share",
-    "q12_shipmode_priority",
-    "q16_supplier_variety",
-    "q17_small_qty_avg_yearly",
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q21_sole_late_shippers",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q5_region_revenue",
+    # round-7 gate (VERDICT r6 next #1): the 10 queries whose driver rows
+    # date from r3 lead — after this round every catalog query's newest
+    # driver certification is at most two rounds old.
     "quality_checks_events",
-    "row_policy_events",
-    "semantic_dedup_cells",
+    "topk_orders",
     "setops_customer_cohorts",
     "simhash_near_pairs_block2k",
+    "row_policy_events",
+    "token_vocabulary",
+    "stratified_doc_sample",
     "soda_yaml_checks",
     "source_mixture_weights",
-    "stratified_doc_sample",
-    "token_vocabulary",
-    "topk_orders",
+    "semantic_dedup_cells",
+    # round-7 additions: need their FIRST driver row
+    "partition_compaction_lifecycle",
+    "flagship_sql_front_door",
+    # then the r5-certified queries (2 rounds old), lifecycle/table queries
+    # first — they exercise the code this round changed (dir_sequences
+    # seeding, write-type normalization, subpath references, tombstoned
+    # expire); the 12 r5 queries that don't fit the 50-slot gate
+    # (pivot_segment_status … weighted_doc_sample in registry order) rotate
+    # to the front of r8 and stay covered by the pytest oracle replay.
+    "mor_delete_lifecycle",
+    "dml_lifecycle",
+    "merge_upsert_lifecycle",
+    "cdc_changelog_apply",
+    "cdc_changelog_apply_mor",
+    "tag_retention_lifecycle",
+    "snapshot_metadata_lifecycle",
+    "partition_evolution_lifecycle",
+    "partition_stats_table",
+    "zorder_compact_lifecycle",
+    "incremental_rollup_maintenance",
+    "streaming_cdc_ingest_lifecycle",
+    "catalog_branch_lifecycle",
+    "above_customer_avg_orders",
+    "asof_last_click_before_purchase",
+    "brand_size_stats",
+    "bucketed_join_orders_lineitem",
+    "cube_status_year",
+    "dedup_docs_by_key",
+    "distinct_customers_per_priority",
+    "doc_fingerprint_dedup",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_token_rarity",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "embedding_ivfpq_topk",
+    "embedding_near_dup_pairs",
+    "embedding_pq_topk",
+    "event_minute_windows",
+    "event_value_by_nation",
+    "incremental_dedup_new_docs",
+    "json_props_rollup",
+    "media_header_roundtrip",
+    "monthly_order_stats",
+    "ngram_jaccard_dups_block1k",
+    "order_price_stats",
+    "pii_safe_events",
 ]
 
 
@@ -6171,6 +6163,78 @@ def partition_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         "rows_initial LONG, deferred_keys LONG, rows_after LONG, "
         "debt_attributed BOOLEAN, debt_leaves LONG, partition_scoped BOOLEAN, "
         "cold_files_untouched BOOLEAN, delete_files_final LONG, fsck_ok BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door (SURVEY §2 M-surface; the reference's user-facing promise
+# is plain SQL against the lakehouse — the flagship example runs verbatim
+# through an Athena view, docs/bring-your-own-data.md:83-90, and the
+# snapshot-listing named query through a metadata table,
+# aws/modules/athena/main.tf:26-67). Here: a governed SnapTable registers
+# itself + its metadata tables as Spark SQL views
+# (tables/snapstore.py::SnapTable.register), and the flagship SQL TEXT —
+# including a metadata-table subquery — executes through spark.sql. The
+# registration is reader-level, so the view plan itself drops the
+# restricted user_id column before the scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_sql_front_door",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(1 AS BIGINT) AS n_snapshots
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    """,
+)
+def flagship_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    ev = (
+        load_table(spark, sf_dir, "events", events_ts_at_least="2024-01-15")
+        .filter(F.col("ts") < "2024-01-22")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="sqlfd_") + "/events_fd",
+        {
+            "name": "events_fd",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+                {"name": "user_id", "type": "long", "access_level": "restricted"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+        },
+    )
+    t.overwrite(ev)
+    t.register(spark, name="events_fd", access_level="reader")
+    # reader governance holds at the SQL surface: the restricted column is
+    # not even nameable through the view
+    assert "user_id" not in spark.sql("SELECT * FROM events_fd").columns
+    # the flagship query text, verbatim SQL, with the snapshot-listing
+    # metadata table joined in the same statement
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               MAX(s.n) AS n_snapshots
+        FROM events_fd e
+        CROSS JOIN (SELECT COUNT(*) AS n FROM events_fd__snapshots) s
+        GROUP BY e.event_type
+        ORDER BY n_events DESC, event_type
+        """
     )
 
 

@@ -66,6 +66,31 @@ class Lakehouse:
             p.parent.name for p in self.root.glob("*/table.json")
         )
 
+    def register_all(
+        self,
+        spark,
+        access_level: str = "admin",
+        metadata_tables: bool = True,
+    ) -> list[str]:
+        """SQL front door for the whole catalog: register every table's
+        governed read (+ metadata tables) as Spark SQL temp views — after
+        this, the reference's named queries run verbatim through
+        ``spark.sql``. Tables without snapshots are skipped. Returns the
+        registered view names."""
+        out: list[str] = []
+        for name in self.list_tables():
+            t = self.table(name)
+            if t.current_snapshot() is None:
+                continue
+            out.append(
+                t.register(
+                    spark,
+                    access_level=access_level,
+                    metadata_tables=metadata_tables,
+                )
+            )
+        return out
+
     # -- catalog branches --------------------------------------------------
 
     def _ref_path(self, name: str) -> Path:

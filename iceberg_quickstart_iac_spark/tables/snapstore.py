@@ -1881,6 +1881,79 @@ class SnapTable:
             out = out.unionByName(p)
         return out
 
+    def register(
+        self,
+        spark: SparkSession,
+        name: str | None = None,
+        access_level: str = "admin",
+        row_policies: dict[str, str] | None = None,
+        snapshot_id: str | None = None,
+        as_of_ms: int | None = None,
+        tag: str | None = None,
+        metadata_tables: bool = True,
+    ) -> str:
+        """The SQL front door: expose the GOVERNED table read plus its
+        Iceberg-style metadata tables to ``spark.sql`` as session temp
+        views — the reference's user-facing promise is plain SQL against
+        the lakehouse, including time travel (Athena named queries,
+        ``aws/modules/athena/main.tf:26-67``; the flagship example,
+        ``docs/bring-your-own-data.md:83-90``).
+
+        Registers:
+
+        - ``<name>`` — the governed read. ``access_level='reader'`` drops
+          restricted columns INSIDE the view plan (Catalyst prunes them
+          before the scan — ``spark.sql`` output can never name them) and
+          applies ``row_policies`` ({policy: SQL predicate}) as pushed
+          filters;
+        - ``<name>__snapshots`` / ``__files`` / ``__partitions`` /
+          ``__delete_files`` / ``__refs`` — the metadata tables
+          (``metadata_tables=False`` skips them, e.g. for reader roles
+          that shouldn't see file layout).
+
+        Time travel registers the same way: ``snapshot_id``/``as_of_ms``/
+        ``tag`` with a distinct ``name`` gives Athena's ``FOR TIMESTAMP AS
+        OF`` named-query shape. Views are SESSION-scoped and pin the
+        snapshot resolved at registration time — re-register after writes
+        to serve the new head (the scheduled-refresh cadence the runbook's
+        view maintenance uses). Returns the base view name.
+        """
+        from iceberg_quickstart_iac_spark.governance.access import (
+            read_with_access_level,
+            read_with_row_policies,
+        )
+
+        base = name or self.meta["name"]
+        df = self.read(
+            spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms, tag=tag
+        )
+        df = read_with_access_level(
+            df, self.meta, access_level, table=self.fq_name
+        )
+        df = read_with_row_policies(
+            df, row_policies or {}, access_level, table=self.fq_name
+        )
+        df.createOrReplaceTempView(base)
+        if metadata_tables:
+            self.snapshots(spark).createOrReplaceTempView(f"{base}__snapshots")
+            self.files(spark).createOrReplaceTempView(f"{base}__files")
+            self.partitions(spark).createOrReplaceTempView(f"{base}__partitions")
+            self.delete_files(spark).createOrReplaceTempView(
+                f"{base}__delete_files"
+            )
+            self.refs(spark).createOrReplaceTempView(f"{base}__refs")
+        log_audit_event(
+            "table_registered",
+            self.fq_name,
+            details={
+                "view": base,
+                "access_level": str(access_level),
+                "metadata_tables": metadata_tables,
+                "time_travel": bool(snapshot_id or as_of_ms or tag),
+            },
+        )
+        return base
+
     def _read_delete_keys(self, spark: SparkSession, ddirs: list[str]) -> DataFrame:
         """Load equality-delete key tuples from ``ddirs``, with every key
         column resolved BY FIELD ID to its CURRENT declared name — the

@@ -1924,3 +1924,99 @@ def test_partition_scoped_compact_preserves_epoch_of_kept_leaves(
     # and filters still prune into the kept subpaths
     got = sorted(r.k for r in t.read(spark, filters=[("g", "=", "b")]).collect())
     assert got == [i for i in range(30) if i % 3 == 1]
+
+
+# -- SQL front door (round 7): spark.sql against registered views ------------
+
+
+@pytest.fixture()
+def gov_table(spark, tmp_path):
+    t = SnapTable.create(
+        tmp_path / "gov",
+        {
+            "name": "gov_events", "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long", "access_level": "restricted"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, i % 5, "ab"[i % 2], float(i)) for i in range(20)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    return t
+
+
+def test_register_serves_flagship_sql_and_metadata_views(spark, gov_table):
+    base = gov_table.register(spark, name="fd_events")
+    assert base == "fd_events"
+    rows = spark.sql(
+        "SELECT event_type, COUNT(*) AS n FROM fd_events "
+        "GROUP BY event_type ORDER BY n DESC, event_type"
+    ).collect()
+    assert [(r.event_type, r.n) for r in rows] == [("a", 10), ("b", 10)]
+    assert spark.sql("SELECT COUNT(*) AS n FROM fd_events__snapshots").first().n == 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM fd_events__files").first().n >= 1
+    assert (
+        spark.sql("SELECT name FROM fd_events__refs").first().name == "main"
+    )
+
+
+def test_register_reader_level_hides_restricted_columns(spark, gov_table):
+    gov_table.register(spark, name="fd_reader", access_level="reader",
+                       metadata_tables=False)
+    out = spark.sql("SELECT * FROM fd_reader")
+    assert "user_id" not in out.columns
+    # the restricted column is pruned out of the SCAN, not post-read:
+    # the physical plan's ReadSchema must not name it
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(jm)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("user_id" not in ln for ln in read_schema), plan
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT user_id FROM fd_reader").collect()
+
+
+def test_register_row_policies_filter_in_sql(spark, gov_table):
+    gov_table.register(
+        spark, name="fd_policy", access_level="reader",
+        row_policies={"only_a": "event_type = 'a'"}, metadata_tables=False,
+    )
+    rows = spark.sql("SELECT event_type FROM fd_policy").distinct().collect()
+    assert [r.event_type for r in rows] == ["a"]
+
+
+def test_register_time_travel_view(spark, gov_table):
+    pre = gov_table.current_snapshot()["snapshot_id"]
+    gov_table.append(spark.createDataFrame(
+        [(100, 0, "c", 1.0)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    gov_table.register(spark, name="fd_now")
+    gov_table.register(spark, name="fd_v1", snapshot_id=pre)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fd_now").first().n == 21
+    assert spark.sql("SELECT COUNT(*) AS n FROM fd_v1").first().n == 20
+
+
+def test_lakehouse_register_all(spark, tmp_path):
+    from iceberg_quickstart_iac_spark.tables.lakehouse import Lakehouse
+
+    lh = Lakehouse(tmp_path / "lh")
+    for nm in ("t_one", "t_two"):
+        t = lh.create_table({
+            "name": nm, "namespace": "lakehouse",
+            "columns": [{"name": "k", "type": "long"}],
+        })
+        t.append(spark.createDataFrame([(1,), (2,)], "k LONG"))
+    views = lh.register_all(spark)
+    assert views == ["t_one", "t_two"]
+    assert spark.sql(
+        "SELECT (SELECT COUNT(*) FROM t_one) + (SELECT COUNT(*) FROM t_two) AS n"
+    ).first().n == 4
