@@ -310,6 +310,12 @@ def _footer_row_count(files: list[Path]) -> int:
     return total
 
 
+#: tables already warned about the ORC no-file-skipping gap (once per
+#: table per process — the warning is a configuration signal, not a
+#: per-read nag)
+_ORC_SKIP_WARNED: set[Path] = set()
+
+
 def _footer_stats_match(f: Path, filters: list[tuple]) -> bool:
     """Can any row group of parquet file ``f`` satisfy every conjunct in
     ``filters``? Footer statistics only — no data read. Conservative:
@@ -2073,6 +2079,25 @@ class SnapTable:
                 continue
             fmt = (epoch or {}).get("write_format") or "parquet"
             scan: list[str] = list(paths)
+            if gfilters and fmt == "orc":
+                # ORC gets NO file-level min/max skipping: pyarrow.orc
+                # exposes stripe-statistics lengths but not their values,
+                # so there is nothing cheap to prune on. Losing the
+                # read-side payoff of a sort_order silently would be worse
+                # than the miss itself — warn loudly, once per table.
+                import warnings
+
+                if self.root not in _ORC_SKIP_WARNED:
+                    _ORC_SKIP_WARNED.add(self.root)
+                    warnings.warn(
+                        f"Filtered read on ORC table {self.fq_name}: "
+                        "file-level min/max skipping is parquet-only "
+                        "(pyarrow exposes no ORC stripe statistic values) "
+                        "— every file in the pruned partitions will be "
+                        "scanned. Prefer write_format: parquet for "
+                        "read-heavy sorted tables.",
+                        stacklevel=3,
+                    )
             if gfilters and fmt == "parquet":
                 # FILE-level min/max skipping (Iceberg manifest-stats
                 # pruning at dir-manifest granularity): after partition

@@ -768,6 +768,11 @@ def main() -> None:
         "--only", default=None,
         help="comma-separated workload names to run (default: all in suite)",
     )
+    ap.add_argument(
+        "--keep", action="store_true",
+        help="keep generated corpora under spark-warehouse/scale_sweep "
+             "(default: deleted at exit — a sweep builds gigabytes)",
+    )
     args = ap.parse_args()
     factors = sorted(int(f) for f in args.factors.split(","))
 
@@ -794,6 +799,14 @@ def main() -> None:
             raise SystemExit(f"--only: unknown workloads {sorted(unknown)}")
         workloads = {n: f for n, f in workloads.items() if n in wanted}
     dirs = {f: builder(f) for f in factors}
+    if not args.keep:
+        # corpora are cache-reusable across runs but gigabytes each — a
+        # forgotten sweep must not strand a fuller disk into confusing
+        # ENOSPC failures later (VERDICT r6 #3)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, SWEEP_ROOT, ignore_errors=True)
     times: dict[str, dict[int, float]] = {w: {} for w in workloads}
     rows: dict[str, dict[int, int]] = {w: {} for w in workloads}
     for factor in factors:

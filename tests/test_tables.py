@@ -2020,3 +2020,22 @@ def test_lakehouse_register_all(spark, tmp_path):
     assert spark.sql(
         "SELECT (SELECT COUNT(*) FROM t_one) + (SELECT COUNT(*) FROM t_two) AS n"
     ).first().n == 4
+
+
+def test_filtered_orc_read_warns_once_about_no_file_skipping(spark, tmp_path):
+    """ORC gets no footer min/max file skipping (pyarrow exposes no stripe
+    statistic values) — a filtered ORC read must say so loudly, once."""
+    import warnings
+
+    t = SnapTable.create(
+        tmp_path / "orcskip",
+        {"name": "orcskip", "namespace": "x",
+         "columns": [{"name": "k", "type": "long"}],
+         "properties": {"write_format": "orc"}},
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "k LONG"))
+    with pytest.warns(UserWarning, match="parquet-only"):
+        assert t.read(spark, filters=[("k", ">=", 5)]).count() == 5
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second filtered read: no re-warn
+        assert t.read(spark, filters=[("k", ">=", 7)]).count() == 3
