@@ -83,23 +83,42 @@ def main() -> None:
     # query): a transient GC/CPU stall then lands on the same query in at
     # most one sweep, so the per-query min across sweeps filters it out
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {name: float("inf") for name in catalog}
+    samples: dict[str, list[float]] = {name: [] for name in catalog}
     for _ in range(repeats):
         for name, fn in catalog.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
             # queries that .cache() intermediates would otherwise accumulate
             # storage across 48 queries x sweeps in this one JVM — the
             # memory pressure + GC stalls show up as 10x outliers later
             spark.catalog.clearCache()
-    timings = {name: round(t, 3) for name, t in timings.items()}
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    # per-query dispersion: min is the reported signal, median/max let a
+    # reader separate ambient box load (uniform median inflation) from a
+    # real regression (the min itself moved) — VERDICT r6 #2b
+    dispersion = {
+        name: {
+            "min": round(min(ts), 3),
+            "median": round(sorted(ts)[len(ts) // 2], 3),
+            "max": round(max(ts), 3),
+        }
+        for name, ts in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as fh:
-        json.dump({"queries": timings, "sf": sf_val, "cpus": int(cpus)}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "queries": timings,
+                "dispersion": dispersion,
+                "sf": sf_val,
+                "cpus": int(cpus),
+            },
+            fh, indent=1, sort_keys=True,
+        )
 
     headline = {n: t for n, t in timings.items() if n in HEADLINE}
     line = json.dumps(

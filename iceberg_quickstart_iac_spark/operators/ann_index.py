@@ -190,6 +190,15 @@ def load_ivfpq_index(
     return t, model["centroids"], model["codebooks"]
 
 
+#: query-count threshold at which the Arrow-batched gemm scorer beats the
+#: codegen fold form: the fold plan grows with |queries| (each query's ADC
+#: table is a literal in the expression) while gemm pays a fixed Arrow
+#: batch-transfer cost per call — measured crossover sits well under 8
+#: queries on local[32] (single query: fold ~0.7 s vs gemm ~1.2 s; at 50
+#: queries gemm is ~7x faster; SCALE_SWEEP_r06 annserve)
+_GEMM_MIN_QUERIES = 8
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     index: SnapTable | str | Path,
@@ -197,6 +206,7 @@ def query_ivfpq_index(
     k: int = 10,
     nprobe: int = 6,
     corpus_id: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Search a persisted index: route each query to ``nprobe`` cells and
     ADC-score the stored codes — no fit, no encode, no raw vectors.
@@ -206,7 +216,12 @@ def query_ivfpq_index(
     by cell, so the scan lists ONLY the probed cells' directories before
     Spark sees a file — at 100 TB the search touches nprobe/n_cells of
     the index, physically, not just logically (the in-query funnel can
-    only filter after a full scan)."""
+    only filter after a full scan).
+
+    ``method``: ``'auto'`` (default) picks the ADC scorer by query count —
+    the codegen fold expression for small batches, the Arrow-batched gemm
+    gather-sum for ≥ ``_GEMM_MIN_QUERIES`` (both bit-identical, pinned by
+    test); ``'fold'``/``'gemm'`` force one."""
     from iceberg_quickstart_iac_spark.operators.similarity import (
         route_queries_python,
     )
@@ -215,11 +230,11 @@ def query_ivfpq_index(
     t, centroids, books = load_ivfpq_index(root)
     probed = sorted({c for _, c in route_queries_python(centroids, queries, nprobe)})
     encoded = t.read(spark, filters=[("cell", "in", probed)])
-    # gemm scorer: Arrow-batched gather-sum, bit-identical to the fold
-    # form (pinned by test) without its per-query plan-size cost
+    if method == "auto":
+        method = "gemm" if len(queries) >= _GEMM_MIN_QUERIES else "fold"
     return ivfpq_topk(
         encoded, centroids, books, queries,
-        k=k, nprobe=nprobe, corpus_id=corpus_id, method="gemm",
+        k=k, nprobe=nprobe, corpus_id=corpus_id, method=method,
     )
 
 
