@@ -601,6 +601,7 @@ class SnapTable:
         df: DataFrame,
         order_override: list | None = None,
         drop_cols: list[str] | None = None,
+        distribution: str = "hash",
     ) -> tuple[str, int, int]:
         """Write one immutable data directory; return (dir, rows, files).
 
@@ -655,18 +656,35 @@ class SnapTable:
                 ],
             )
         if pcols:
-            # hash-distribute by partition value before the partitioned
-            # write (Iceberg's write.distribution-mode=hash): without it
-            # every one of the N shuffle tasks writes a file into every
-            # partition dir — N × dirs tiny files; with it each dir's rows
-            # co-locate and the dir gets ONE well-sized file. At 100 TB
-            # the shuffle is the price of a sane file count; a hot
-            # partition concentrating in one task is the same accepted
-            # tradeoff Iceberg's hash mode makes (range mode + AQE
-            # rebalance is the skew-sensitive alternative).
             from pyspark.sql import functions as F
 
-            wdf = wdf.repartition(*[F.col(name) for name, _ in pcols])
+            if distribution == "range":
+                # Iceberg's write.distribution-mode=range: range-partition
+                # on (partition value, sort key) so ONE partition's rows
+                # spread over many contiguous tasks — the right mode when
+                # the write is a single-partition slice (partition-scoped
+                # compaction rewrites the hot partition; hash mode would
+                # serialize the whole rewrite onto one core). File count
+                # per dir = tasks covering its range: bounded, sorted.
+                range_cols = [F.col(name) for name, _ in pcols] + [
+                    F.col(o["column"])
+                    for o in (self.meta.get("sort_order") or [])
+                    if o["column"] in df.columns
+                ]
+                n_tasks = wdf.sparkSession.sparkContext.defaultParallelism
+                wdf = wdf.repartitionByRange(n_tasks, *range_cols)
+            else:
+                # hash-distribute by partition value before the partitioned
+                # write (Iceberg's write.distribution-mode=hash): without it
+                # every one of the N shuffle tasks writes a file into every
+                # partition dir — N × dirs tiny files; with it each dir's
+                # rows co-locate and the dir gets ONE well-sized file. At
+                # 100 TB the shuffle is the price of a sane file count; a
+                # hot partition concentrating in one task is the same
+                # accepted tradeoff Iceberg's hash mode makes (range mode
+                # is the skew-sensitive alternative, used by the
+                # partition-scoped compactor).
+                wdf = wdf.repartition(*[F.col(name) for name, _ in pcols])
         order = [
             o for o in (self.meta.get("sort_order") or []) if o["column"] in df.columns
         ]
@@ -2491,13 +2509,13 @@ class SnapTable:
         partitions are retired from the new snapshot.
         """
         if partition_filter is not None or partition_leaves is not None:
-            if zorder or target_files is not None:
+            if target_files is not None:
                 raise ValueError(
                     "partition-scoped compaction does not combine with "
-                    "zorder/target_files"
+                    "target_files (file count follows the scoped slice)"
                 )
             return self._compact_partitions(
-                spark, partition_filter, partition_leaves
+                spark, partition_filter, partition_leaves, zorder
             )
         current = self.current_snapshot()
         if current is None:
@@ -2576,9 +2594,14 @@ class SnapTable:
         spark: SparkSession,
         partition_filter: list[tuple] | None,
         partition_leaves: list[str] | None,
+        zorder: list[str] | None = None,
     ) -> dict:
-        """Partition-scoped ``rewrite_data_files``: see :meth:`compact`."""
-        from pyspark.sql import functions as F  # noqa: F401 (parity with compact)
+        """Partition-scoped ``rewrite_data_files``: see :meth:`compact`.
+        ``zorder`` rewrites the scoped slice Morton-interleaved (Iceberg's
+        ``strategy => 'sort', sort_order => 'zorder(…)'`` WITH a filter) —
+        hot partitions get multi-column file bounding boxes while cold
+        data is untouched."""
+        from pyspark.sql import functions as F
 
         current = self.current_snapshot()
         if current is None:
@@ -2655,7 +2678,35 @@ class SnapTable:
         slice_df = parts[0]
         for p in parts[1:]:
             slice_df = slice_df.unionByName(p)
-        new_dir, new_rows, new_files = self._write_data(slice_df)
+        # the range-distributed write samples its input before shuffling,
+        # which would re-execute the scan + delete anti-join — persist so
+        # the slice materializes once (unpersisted right after the write)
+        slice_df = slice_df.persist()
+        if zorder:
+            from iceberg_quickstart_iac_spark.operators.zorder import (
+                column_ranges,
+                zorder_key,
+            )
+
+            ranges = column_ranges(slice_df, zorder)
+            slice_df = slice_df.withColumn(
+                "__z", zorder_key(zorder, [ranges[c] for c in zorder])
+            )
+            if not self._partition_cols():
+                slice_df = slice_df.repartitionByRange(
+                    spark.sparkContext.defaultParallelism, F.col("__z")
+                )
+            new_dir, new_rows, new_files = self._write_data(
+                slice_df, order_override=[F.col("__z")], drop_cols=["__z"],
+                distribution="range",
+            )
+        else:
+            # range distribution: the slice is typically ONE hot partition,
+            # which hash mode would write on a single core
+            new_dir, new_rows, new_files = self._write_data(
+                slice_df, distribution="range"
+            )
+        slice_df.unpersist()
         if new_rows == 0:
             # every row in the matched partitions was MoR-deleted: the
             # rewrite materializes to nothing — drop the empty dir

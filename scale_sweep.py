@@ -690,11 +690,77 @@ def wl_morread_post_compact(spark, sf_dir: str, factor: int) -> int:
     return t.read(spark).count()
 
 
+def _morread_part_table(spark, sf_dir: str, n_deletes: int):
+    """Partition-concentrated variant: the table is identity-partitioned
+    by o_orderstatus and every delete batch hits only the small 'P'
+    partition (~2% of rows) — the scenario the round-7 partition-scoped
+    compaction tier exists for."""
+    key = ("part", sf_dir, n_deletes)
+    if key not in _MORREAD_CACHE:
+        import tempfile
+
+        from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = SnapTable.create(
+            os.path.join(tempfile.mkdtemp(prefix="morreadp_"), "t"),
+            {
+                "name": "sweep_orders_morread_part",
+                "namespace": "lakehouse",
+                "columns": [
+                    {"name": "o_orderkey", "type": "long"},
+                    {"name": "o_orderstatus", "type": "string"},
+                    {"name": "o_totalprice", "type": "double"},
+                ],
+                "identifier_fields": ["o_orderkey"],
+                "partition_spec": [
+                    {"column": "o_orderstatus", "transform": "identity"}
+                ],
+            },
+        )
+        t.overwrite(orders)
+        for i in range(n_deletes):
+            t.delete_where(
+                spark,
+                f"o_orderstatus = 'P' AND o_orderkey % 1000 = {i}",
+                mode="mor",
+            )
+        _MORREAD_CACHE[key] = t
+    return _MORREAD_CACHE[key]
+
+
+def wl_morread_partition_compact(spark, sf_dir: str, factor: int) -> int:
+    """Times the PARTITION-SCOPED compact (rewrite only the debt-bearing
+    'P' partition, retire its delete files) with N live delete files,
+    then rolls back — the O(hot partition) cost to compare against the
+    O(table) mor_compact_n_delete_files."""
+    t = _morread_part_table(spark, sf_dir, factor)
+    pre = t.current_snapshot()["snapshot_id"]
+    e = t.compact(spark, partition_filter=[("o_orderstatus", "=", "P")])
+    t.rollback_to(pre)
+    return e["row_count"]
+
+
+def wl_morread_read_post_partition_compact(spark, sf_dir: str, factor: int) -> int:
+    """Read latency after the partition-scoped tier materialized the
+    concentrated debt (scoped compact on the first run, discarded by
+    min()) — the claim: reads return to the no-deferred-deletes floor
+    without any O(table) rewrite."""
+    t = _morread_part_table(spark, sf_dir, factor)
+    if t.current_snapshot().get("delete_dirs"):
+        t.compact(spark, partition_filter=[("o_orderstatus", "=", "P")])
+    return t.read(spark).count()
+
+
 MORREAD_WORKLOADS = {
     "mor_read_n_delete_files": wl_morread_read,
     "mor_compact_n_delete_files": wl_morread_compact,
     "mor_read_post_rewrite": wl_morread_post_rewrite,
     "mor_read_post_compact": wl_morread_post_compact,
+    "mor_partition_compact_n": wl_morread_partition_compact,
+    "mor_read_post_partition_compact": wl_morread_read_post_partition_compact,
 }
 
 

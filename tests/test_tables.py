@@ -2039,3 +2039,17 @@ def test_filtered_orc_read_warns_once_about_no_file_skipping(spark, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # second filtered read: no re-warn
         assert t.read(spark, filters=[("k", ">=", 7)]).count() == 3
+
+
+def test_partition_scoped_compact_with_zorder(spark, part_mor_table):
+    """rewrite_data_files(strategy=sort/zorder, filter=...) parity: the
+    scoped slice rewrites Morton-interleaved; cold partitions untouched;
+    contents unchanged."""
+    t = part_mor_table
+    [d0] = t.current_snapshot()["data_dirs"]
+    cold_b = _files_under(t, f"{d0}/__p_g=b")
+    e = t.compact(spark, partition_filter=[("g", "=", "a")], zorder=["k", "v"])
+    assert _files_under(t, f"{d0}/__p_g=b") == cold_b
+    assert "__z" not in t.read(spark).columns
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(30))
+    assert t.verify_integrity()["ok"]
