@@ -124,13 +124,20 @@ class Lakehouse:
         spark,
         max_delete_files: int = 16,
         max_delete_ratio: float = 0.05,
+        expire: bool = False,
+        remove_orphans: bool = False,
+        orphan_grace_ms: int = 3 * 86400 * 1000,
     ) -> dict[str, dict]:
-        """Run the two-tier MoR maintenance policy over EVERY table — the
-        catalog-wide maintenance sweep the reference's operations runbook
-        schedules (and ST4's monitor loop can drive): per table, a
-        metadata-only audit decides between no-op, delete-file merge, and
-        full compact. Tables without snapshots are skipped. Returns
-        {table: policy report}."""
+        """Run the maintenance policy over EVERY table — the catalog-wide
+        sweep the reference's operations runbook schedules (and ST4's
+        monitor loop can drive): per table, a metadata-only audit decides
+        between no-op, delete-file merge, partition-scoped rewrite, and
+        full compact. ``expire=True`` additionally runs each table's
+        retention (``expire_snapshots`` at its template-declared max age);
+        ``remove_orphans=True`` sweeps crash debris (grace-windowed) —
+        the runbook's weekly jobs, composable into one scheduled call.
+        Tables without snapshots are skipped. Returns
+        {table: policy report (+ expired/orphans counts when enabled)}."""
         from iceberg_quickstart_iac_spark.operators.maintenance import (
             maintain_mor,
         )
@@ -140,11 +147,18 @@ class Lakehouse:
             t = self.table(name)
             if t.current_snapshot() is None:
                 continue
-            out[name] = maintain_mor(
+            report = maintain_mor(
                 spark, t,
                 max_delete_files=max_delete_files,
                 max_delete_ratio=max_delete_ratio,
             )
+            if expire:
+                report["expired_snapshots"] = t.expire_snapshots()
+            if remove_orphans:
+                report["orphans_removed"] = len(
+                    t.remove_orphan_files(grace_ms=orphan_grace_ms)
+                )
+            out[name] = report
         return out
 
 

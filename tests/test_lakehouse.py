@@ -197,3 +197,22 @@ def test_catalog_merge_converges_when_main_moves_between_validate_and_merge(
     assert calls["n"] == 2
     got = sorted((r.k, r.v) for r in lake.table("a").read(spark).collect())
     assert got == [(1, "a"), (20, "br"), (21, "main")]
+
+
+def test_maintain_all_with_retention_and_orphan_sweep(spark, lake):
+    """The runbook's composed weekly job: MoR policy + retention +
+    orphan removal in one catalog call."""
+    ta = lake.table("a")
+    ta.append(spark.createDataFrame([(2, "x")], "k LONG, v STRING"))
+    # plant crash debris: a data dir referenced by no snapshot
+    (ta.data_dir / "deadbeefcafe").mkdir()
+    (ta.data_dir / "deadbeefcafe" / "junk.parquet").write_text("x")
+    reports = lake.maintain_all(
+        spark, remove_orphans=True, orphan_grace_ms=0
+    )
+    assert reports["a"]["orphans_removed"] == 1
+    assert not (ta.data_dir / "deadbeefcafe").exists()
+    # retention composes into the same sweep (nothing old enough here)
+    reports = lake.maintain_all(spark, expire=True)
+    assert reports["a"]["expired_snapshots"] == 0
+    assert lake.table("a").read(spark).count() == 2
