@@ -816,9 +816,31 @@ def wl_ann_serve_topk(spark, sf_dir: str, factor: int) -> int:
     return query_ivfpq_index(spark, t.root, queries, k=10, nprobe=6).count()
 
 
+def wl_ann_serve_topk1(spark, sf_dir: str, factor: int) -> int:
+    """Single-query serving (the interactive path): method='auto' picks
+    the fold codegen scorer here — this workload pins that the 1-query
+    latency is ALSO flat in corpus size (cell-pruned scan + tiny plan)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.ann_index import (
+        query_ivfpq_index,
+    )
+
+    t, _, _ = _annserve_index(spark, sf_dir, factor)
+    r = (
+        _load_emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 7)
+        .select("vec_id", "embedding")
+        .collect()[0]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])]
+    return query_ivfpq_index(spark, t.root, queries, k=10, nprobe=6).count()
+
+
 ANNSERVE_WORKLOADS = {
     "ann_index_build_or_load": wl_ann_index_build_or_load,
     "ann_serve_topk": wl_ann_serve_topk,
+    "ann_serve_topk1": wl_ann_serve_topk1,
 }
 
 
