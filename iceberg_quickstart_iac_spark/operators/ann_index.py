@@ -228,6 +228,12 @@ def query_ivfpq_index(
 
     root = index.root if isinstance(index, SnapTable) else index
     t, centroids, books = load_ivfpq_index(root)
+    if not queries:
+        # zero queries -> zero rows, typed — the scorers cannot build an
+        # expression over an empty ADC-table set
+        return spark.createDataFrame(
+            [], f"query_id LONG, {corpus_id} LONG, adc_d2 DOUBLE, rank LONG"
+        )
     probed = sorted({c for _, c in route_queries_python(centroids, queries, nprobe)})
     encoded = t.read(spark, filters=[("cell", "in", probed)])
     if method == "auto":

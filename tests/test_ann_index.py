@@ -253,3 +253,11 @@ def test_build_at_mismatched_root_swaps_in_new_index(spark, corpus, tmp_path):
     want = {**_full_conf(), "n_cells": changed["n_cells"]}
     t3, *_ = load_ivfpq_index(root, expect_conf=want)
     assert t3.current_snapshot()["snapshot_id"] == t2.current_snapshot()["snapshot_id"]
+
+
+def test_query_with_no_queries_returns_typed_empty(spark, corpus, tmp_path):
+    root = tmp_path / "idx"
+    load_or_build_ivfpq_index(spark, corpus, root, **CONF)
+    out = query_ivfpq_index(spark, root, [], k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "adc_d2", "rank"]
