@@ -2053,3 +2053,30 @@ def test_partition_scoped_compact_with_zorder(spark, part_mor_table):
     assert "__z" not in t.read(spark).columns
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(30))
     assert t.verify_integrity()["ok"]
+
+
+def test_two_partition_scoped_compacts_compose(spark, part_mor_table):
+    """Second-generation scoped compact: after D splits into kept
+    subpaths, compacting ANOTHER partition consumes the subpath reference
+    whole and leaves the rest untouched; metadata tables stay coherent."""
+    t = part_mor_table
+    [d0] = t.current_snapshot()["data_dirs"]
+    t.delete_where(spark, "g = 'a' AND k < 6", mode="mor")
+    t.compact(spark, partition_filter=[("g", "=", "a")])
+    cold_c = _files_under(t, f"{d0}/__p_g=c")
+    t.delete_where(spark, "g = 'b' AND k = 1", mode="mor")
+    e2 = t.compact(spark, partition_filter=[("g", "=", "b")])
+    assert f"{d0}/__p_g=b" not in e2["data_dirs"]   # consumed whole
+    assert f"{d0}/__p_g=c" in e2["data_dirs"]        # still a kept subpath
+    assert _files_under(t, f"{d0}/__p_g=c") == cold_c
+    assert not e2.get("delete_dirs")
+    expect = sorted(
+        i for i in range(30)
+        if not ("abc"[i % 3] == "a" and i < 6) and i != 1
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == expect
+    # metadata tables parse partition values through subpath references
+    parts = {r["partition"] for r in t.files(spark).collect()}
+    assert any("__p_g" in p for p in parts)
+    report = t.verify_integrity()
+    assert report["ok"], report
