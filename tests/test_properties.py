@@ -376,3 +376,91 @@ def test_footer_skipping_never_changes_results(spark, tmp_path):
                     sorted(map(tuple, expected.collect())), (seed, op, bound)
         finally:
             full.unpersist()
+
+
+def test_partition_scoped_compact_matches_model_under_random_interleavings(
+    spark, tmp_path
+):
+    """Model-based check of PARTITION-SCOPED compaction semantics: random
+    interleavings of append / MoR key-delete / scoped compact (random
+    partition) / full compact / rewrite_delete_files / expire must always
+    read back exactly what a dict model says. Catches subpath-reference
+    mistakes (kept leaves losing their intro sequence or epoch; a scoped
+    rewrite un-applying a delete for cold partitions; retire-check
+    retiring a delete file whose debt lives elsewhere)."""
+    import random
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    for seed in (5, 31):
+        rng = random.Random(seed)
+        t = SnapTable.create(
+            tmp_path / f"pmodel-{seed}",
+            {
+                "name": f"pmodel{seed}", "namespace": "x",
+                "columns": [
+                    {"name": "k", "type": "long"},
+                    {"name": "g", "type": "string"},
+                    {"name": "v", "type": "long"},
+                ],
+                "identifier_fields": ["k"],
+                "partition_spec": [{"column": "g", "transform": "identity"}],
+            },
+        )
+        parts = ["p0", "p1", "p2"]
+        model: dict[int, tuple[str, int]] = {}
+        next_k = 0
+
+        def rows_df(triples):
+            return spark.createDataFrame(triples, "k LONG, g STRING, v LONG")
+
+        first = [(i, parts[i % 3], seed) for i in range(9)]
+        t.append(rows_df(first))
+        model.update({k: (g, v) for k, g, v in first})
+        next_k = 9
+
+        for step in range(14):
+            op = rng.choice(
+                ["append", "mor_delete", "scoped_compact", "compact",
+                 "rewrite", "expire"]
+            )
+            if op == "append":
+                batch = [
+                    (next_k + j, rng.choice(parts), seed * 100 + step)
+                    for j in range(rng.randint(1, 3))
+                ]
+                dead = [k for k in range(next_k) if k not in model]
+                if dead and rng.random() < 0.5:
+                    batch.append(
+                        (rng.choice(dead), rng.choice(parts), seed * 100 + step)
+                    )
+                t.append(rows_df(batch))
+                model.update({k: (g, v) for k, g, v in batch})
+                next_k += len(batch)
+            elif op == "mor_delete":
+                live = sorted(model)
+                if not live:
+                    continue
+                victims = rng.sample(live, min(len(live), rng.randint(1, 3)))
+                t.delete_where(
+                    spark, "k IN (" + ",".join(map(str, victims)) + ")",
+                    mode="mor",
+                )
+                for k in victims:
+                    model.pop(k, None)
+            elif op == "scoped_compact":
+                t.compact(
+                    spark, partition_filter=[("g", "=", rng.choice(parts))]
+                )
+            elif op == "compact":
+                t.compact(spark)
+            elif op == "rewrite":
+                t.rewrite_delete_files(spark)
+            else:
+                t.expire_snapshots(older_than_ms=2**52)
+            got = {(r.k, r.g, r.v) for r in t.read(spark).collect()}
+            want = {(k, g, v) for k, (g, v) in model.items()}
+            assert got == want, (
+                f"seed={seed} step={step} op={op}: {got ^ want}"
+            )
+        assert t.verify_integrity()["ok"]
