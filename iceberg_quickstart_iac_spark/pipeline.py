@@ -71,6 +71,8 @@ def materialize(
     enforce_quality: bool = True,
     allowed_schemes: tuple[str, ...] = ALLOWED_SCHEMES,
     team=None,
+    register_view: bool = False,
+    register_access_level: str = "reader",
 ) -> Materialization:
     """Materialize one table from its template (the "asset run").
 
@@ -80,6 +82,13 @@ def materialize(
     pattern). ``checks`` default to the template's registered set. A
     ``team`` (tenancy matrix) gates the write up front: only
     writer/admin teams may materialize the table.
+
+    ``register_view=True`` finishes the run the way the reference's
+    pipeline does — with a SQL-queryable surface: the fresh snapshot's
+    GOVERNED read (+ metadata tables) registers into the session as
+    ``<name>`` via :meth:`SnapTable.register`, at
+    ``register_access_level`` (reader by default, so downstream
+    ``spark.sql`` consumers never see restricted columns).
     """
     name = template["name"]
     if team is not None:
@@ -115,6 +124,9 @@ def materialize(
         table = SnapTable.create(root, template)
 
     entry = table.append(df) if mode == "append" else table.overwrite(df)
+
+    if register_view:
+        table.register(spark, name=name, access_level=register_access_level)
 
     return Materialization(
         table=fq,

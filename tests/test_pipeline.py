@@ -181,3 +181,28 @@ def test_pipeline_team_gates(spark, tmp_path, batch):
     assert "user_id" in read_table(spark, TEMPLATE, tmp_path, team=owner).columns
     with pytest.raises(PermissionError, match="no access"):
         read_table(spark, TEMPLATE, tmp_path, team=outsider)
+
+
+def test_materialize_registers_governed_view(spark, tmp_path):
+    """register_view=True ends the asset run SQL-queryable (the
+    reference's pipeline ends at an Athena-queryable table), governed at
+    reader level."""
+    from iceberg_quickstart_iac_spark.pipeline import materialize
+
+    df = spark.createDataFrame(
+        [(1, 7, "a"), (2, 8, "b")], "id LONG, secret LONG, label STRING"
+    )
+    tpl = {
+        "name": "reg_demo", "namespace": "lakehouse",
+        "partition_spec": [],
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "secret", "type": "long", "access_level": "restricted"},
+            {"name": "label", "type": "string"},
+        ],
+    }
+    materialize(spark, tpl, tmp_path / "wh", df=df, register_view=True)
+    out = spark.sql("SELECT * FROM reg_demo ORDER BY id")
+    assert out.columns == ["id", "label"]
+    assert [r.id for r in out.collect()] == [1, 2]
+    assert spark.sql("SELECT COUNT(*) AS n FROM reg_demo__snapshots").first().n == 1
