@@ -106,3 +106,31 @@ def write_order_ddl(template: dict, catalog: str = "lakehouse") -> str | None:
 def create_namespace_ddl(template: dict, catalog: str = "lakehouse") -> str:
     namespace = template.get("namespace", "default")
     return f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+
+
+def named_queries(template: dict, catalog: str = "lakehouse") -> dict[str, str]:
+    """The reference's per-table Athena named-query set
+    (``aws/modules/athena/main.tf:26-67``: ``create-<table>`` DDL and
+    ``time-travel-<table>`` snapshot-history / version-pin examples),
+    rendered as runnable Spark SQL.
+
+    The DDL targets a real Iceberg catalog (``create_table_ddl``). The
+    time-travel pair targets either surface: against a real Iceberg
+    catalog the strings run as-is (``t.snapshots`` metadata table +
+    ``VERSION AS OF``); against the local snapstore they run verbatim
+    through the views :meth:`~..tables.snapstore.SnapTable.register`
+    publishes (``<name>__snapshots``; a version pin is a time-travel
+    registration under a distinct view name).
+    """
+    name = template["name"]
+    return {
+        f"create-{name}": create_table_ddl(template, catalog=catalog),
+        f"snapshot-history-{name}": (
+            f"SELECT * FROM {name}__snapshots "
+            "ORDER BY committed_at_ms DESC LIMIT 10"
+        ),
+        f"time-travel-{name}": (
+            f"SELECT * FROM {catalog}.{template.get('namespace', 'default')}."
+            f"{name} VERSION AS OF '<snapshot_id>' LIMIT 100"
+        ),
+    }

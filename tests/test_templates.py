@@ -168,3 +168,32 @@ def test_ddl_is_parseable_by_spark(spark):
             pass  # analysis errors (no iceberg jar locally) are expected
         finally:
             spark.sql(f"DROP TABLE IF EXISTS spark_catalog.{get_template(name)['namespace']}.{name}")
+
+
+def test_named_queries_render_and_run_through_views(spark, tmp_path):
+    """Athena named-query parity: the snapshot-history named query runs
+    VERBATIM through the registered metadata view; the DDL parses."""
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+    from iceberg_quickstart_iac_spark.templates.ddl import named_queries
+
+    tpl = {
+        "name": "nq_demo", "namespace": "lakehouse",
+        "partition_spec": [],
+        "columns": [{"name": "k", "type": "long"}],
+    }
+    nq = named_queries(tpl)
+    assert set(nq) == {
+        "create-nq_demo", "snapshot-history-nq_demo", "time-travel-nq_demo"
+    }
+    # DDL is valid Spark SQL (parse-only, jvm parser; execution needs a
+    # real Iceberg catalog — parse-validity is pinned for every template
+    # by the M4 DDL tests)
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(
+        nq["create-nq_demo"]
+    )
+    t = SnapTable.create(tmp_path / "nq", tpl)
+    t.append(spark.createDataFrame([(1,), (2,)], "k LONG"))
+    t.append(spark.createDataFrame([(3,)], "k LONG"))
+    t.register(spark, name="nq_demo")
+    rows = spark.sql(nq["snapshot-history-nq_demo"]).collect()
+    assert len(rows) == 2 and rows[0]["sequence"] == 1
