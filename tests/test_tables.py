@@ -2080,3 +2080,25 @@ def test_two_partition_scoped_compacts_compose(spark, part_mor_table):
     assert any("__p_g" in p for p in parts)
     report = t.verify_integrity()
     assert report["ok"], report
+
+
+def test_partition_scoped_compact_on_branch_isolates_main(spark, part_mor_table):
+    """A scoped compact committed on a BRANCH must leave main's view
+    untouched, and main-side retention must protect the branch's kept
+    subpath references from leaf GC."""
+    t = part_mor_table
+    t.create_branch("maint")
+    bv = t.branch("maint")
+    bv.delete_where(spark, "g = 'a'", mode="mor")
+    bv.compact(spark, partition_filter=[("g", "=", "a")])
+    # branch sees the maintained view; main still serves every row
+    assert sorted(r.k for r in bv.read(spark).collect()) == sorted(
+        i for i in range(30) if "abc"[i % 3] != "a"
+    )
+    assert t.read(spark).count() == 30
+    # main-side retention keeps every leaf the branch references
+    t.expire_snapshots(older_than_ms=2**52)
+    assert sorted(r.k for r in bv.read(spark).collect()) == sorted(
+        i for i in range(30) if "abc"[i % 3] != "a"
+    )
+    assert t.read(spark).count() == 30
