@@ -1941,6 +1941,14 @@ class SnapTable:
         snapshot resolved at registration time — re-register after writes
         to serve the new head (the scheduled-refresh cadence the runbook's
         view maintenance uses). Returns the base view name.
+
+        Audit granularity: the underlying ``table_read`` plus a
+        ``table_registered`` event log at REGISTRATION time; subsequent
+        ``spark.sql`` statements against the view are not individually
+        audited (Spark has no per-query view-access hook) — the same
+        granularity the reference gets from Athena, where per-query audit
+        lives in the engine's own CloudTrail/warehouse logs, not the
+        application layer.
         """
         from iceberg_quickstart_iac_spark.governance.access import (
             read_with_access_level,
@@ -2579,15 +2587,25 @@ class SnapTable:
 
     @staticmethod
     def _suffixes_intersect(a: str, b: str) -> bool:
-        """Whether two partition suffixes can share rows: equal, one a
-        directory-prefix of the other, or either the whole-dir ''."""
-        return (
-            a == b
-            or a == ""
-            or b == ""
-            or a.startswith(b + "/")
-            or b.startswith(a + "/")
-        )
+        """Whether two partition suffixes MAY share rows. Disjointness is
+        provable only level-by-level under the SAME partition field name:
+        equal names with different values → disjoint; a DIFFERENT field
+        name (the suffixes render different partition-spec epochs, e.g.
+        ``__p_ts_month=…`` vs ``__p_ts_day=…`` after spec evolution)
+        proves nothing — the same row can live under both renderings, so
+        the answer must be True (a retire check that treated cross-spec
+        suffixes as disjoint would retire a delete file whose keys still
+        have live rows in old-spec dirs and resurrect them)."""
+        if a == "" or b == "":
+            return True
+        for sa, sb in zip(a.split("/"), b.split("/")):
+            ka, _, va = sa.partition("=")
+            kb, _, vb = sb.partition("=")
+            if ka != kb:
+                return True  # different spec levels — cannot prove disjoint
+            if va != vb:
+                return False  # same level, different value — disjoint
+        return True  # one is a directory-prefix of the other
 
     def _compact_partitions(
         self,

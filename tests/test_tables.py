@@ -2102,3 +2102,49 @@ def test_partition_scoped_compact_on_branch_isolates_main(spark, part_mor_table)
         i for i in range(30) if "abc"[i % 3] != "a"
     )
     assert t.read(spark).count() == 30
+
+
+def test_partition_leaves_compact_is_safe_across_spec_evolution(spark, tmp_path):
+    """After partition-spec evolution, a scoped compact targeting
+    CURRENT-spec leaves cannot prove old-spec leaves disjoint — it must
+    rewrite them too (or keep the delete file), never retire a delete
+    whose keys still have live rows under the old rendering."""
+    from iceberg_quickstart_iac_spark.operators.maintenance import maintain_mor
+
+    t = SnapTable.create(
+        tmp_path / "specev",
+        {
+            "name": "specev", "namespace": "x",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "g1", "type": "string"},
+                {"name": "g2", "type": "string"},
+            ],
+            "identifier_fields": ["k"],
+            "partition_spec": [{"column": "g1", "transform": "identity"}],
+        },
+    )
+    mk = lambda ks: spark.createDataFrame(
+        [(k, "ab"[k % 2], "xy"[k % 2]) for k in ks],
+        "k LONG, g1 STRING, g2 STRING",
+    )
+    t.append(mk(range(10)))                      # old spec: dirs by g1
+    t.evolve_partition_spec([{"column": "g2", "transform": "identity"}])
+    t.append(mk(range(100, 110)))                # new spec: dirs by g2
+    # keys 0 and 100 both live in the x-rendered partition under the NEW
+    # spec, but k=0's physical row sits in an OLD-spec g1 dir
+    t.delete_where(spark, "k IN (0, 100)", mode="mor")
+    expect = sorted(
+        k for k in list(range(10)) + list(range(100, 110)) if k not in (0, 100)
+    )
+    out = maintain_mor(spark, t, max_delete_ratio=0.01)
+    assert sorted(r.k for r in t.read(spark).collect()) == expect, out
+    # whatever tier ran, the deleted keys stay deleted after the delete
+    # file is retired/kept — and fsck agrees
+    assert t.verify_integrity()["ok"]
+    # a second scoped pass directly on the current-spec debt leaves is
+    # also safe
+    t.delete_where(spark, "k IN (1, 101)", mode="mor")
+    t.compact(spark, partition_leaves=["__p_g2=y"])
+    expect = [k for k in expect if k not in (1, 101)]
+    assert sorted(r.k for r in t.read(spark).collect()) == expect
