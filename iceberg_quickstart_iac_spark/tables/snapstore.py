@@ -881,6 +881,13 @@ class SnapTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"delete_where: mode must be 'cow' or 'mor', got {mode!r}")
+        if hard and getattr(self, "branch_name", None) is not None:
+            # hard erasure expires history and drops dirs TABLE-WIDE; a
+            # branch shares main's data dirs — erase on main, not a ref
+            raise ValueError(
+                "delete_where(hard=True) is table-wide erasure — run it on "
+                f"the MAIN table, not branch {self.branch_name!r}"
+            )
         if mode == "mor":
             if hard:
                 raise ValueError(
@@ -3558,6 +3565,23 @@ class _BranchView(SnapTable):
             e for e in self._read_log(self.root / "_log") if e["sequence"] <= fork
         ]
         return main + self._read_log(self.log_dir)
+
+    def expire_snapshots(self, *args, **kwargs) -> int:
+        raise NotImplementedError(
+            "expire_snapshots is table-wide maintenance — run it on the "
+            f"MAIN table, not branch {self.branch_name!r}: a branch shares "
+            "main's data dirs and log prefix, so per-branch retention "
+            "would delete history other refs still serve (and its "
+            "tombstones could not be recorded — branch metadata writes "
+            "carry only the branch schema)"
+        )
+
+    def remove_orphan_files(self, *args, **kwargs) -> list[str]:
+        raise NotImplementedError(
+            "remove_orphan_files is table-wide maintenance — run it on "
+            f"the MAIN table, not branch {self.branch_name!r} (orphan "
+            "status is defined across ALL refs)"
+        )
 
     def reset(self, snapshot_id: str) -> None:
         """Move the branch pointer back to ``snapshot_id`` (rolling back bad

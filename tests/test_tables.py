@@ -2148,3 +2148,20 @@ def test_partition_leaves_compact_is_safe_across_spec_evolution(spark, tmp_path)
     t.compact(spark, partition_leaves=["__p_g2=y"])
     expect = [k for k in expect if k not in (1, 101)]
     assert sorted(r.k for r in t.read(spark).collect()) == expect
+
+
+def test_branch_view_rejects_table_wide_maintenance(spark, mor_table):
+    t = mor_table
+    t.create_branch("b1")
+    bv = t.branch("b1")
+    with pytest.raises(NotImplementedError, match="MAIN table"):
+        bv.expire_snapshots(older_than_ms=2**52)
+    with pytest.raises(NotImplementedError, match="MAIN table"):
+        bv.remove_orphan_files()
+
+
+def test_branch_view_rejects_hard_erasure(spark, mor_table):
+    t = mor_table
+    t.create_branch("b2")
+    with pytest.raises(ValueError, match="MAIN table"):
+        t.branch("b2").delete_where(spark, "k = 0", hard=True)
