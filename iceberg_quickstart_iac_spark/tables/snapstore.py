@@ -3566,23 +3566,6 @@ class _BranchView(SnapTable):
         ]
         return main + self._read_log(self.log_dir)
 
-    def expire_snapshots(self, *args, **kwargs) -> int:
-        raise NotImplementedError(
-            "expire_snapshots is table-wide maintenance — run it on the "
-            f"MAIN table, not branch {self.branch_name!r}: a branch shares "
-            "main's data dirs and log prefix, so per-branch retention "
-            "would delete history other refs still serve (and its "
-            "tombstones could not be recorded — branch metadata writes "
-            "carry only the branch schema)"
-        )
-
-    def remove_orphan_files(self, *args, **kwargs) -> list[str]:
-        raise NotImplementedError(
-            "remove_orphan_files is table-wide maintenance — run it on "
-            f"the MAIN table, not branch {self.branch_name!r} (orphan "
-            "status is defined across ALL refs)"
-        )
-
     def reset(self, snapshot_id: str) -> None:
         """Move the branch pointer back to ``snapshot_id`` (rolling back bad
         changes by resetting the ref — deep-dive.md:279). Branch commits

@@ -2154,9 +2154,9 @@ def test_branch_view_rejects_table_wide_maintenance(spark, mor_table):
     t = mor_table
     t.create_branch("b1")
     bv = t.branch("b1")
-    with pytest.raises(NotImplementedError, match="MAIN table"):
+    with pytest.raises(RuntimeError, match="main"):
         bv.expire_snapshots(older_than_ms=2**52)
-    with pytest.raises(NotImplementedError, match="MAIN table"):
+    with pytest.raises(RuntimeError, match="main"):
         bv.remove_orphan_files()
 
 
