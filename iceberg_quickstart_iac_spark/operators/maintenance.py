@@ -101,9 +101,9 @@ def mor_partition_debt(table: SnapTable) -> dict:
 def maintain_mor(
     spark: SparkSession,
     table: SnapTable,
-    max_delete_files: int = 16,
-    max_delete_ratio: float = 0.05,
-    partition_scope_max_share: float = 0.5,
+    max_delete_files: int | None = None,
+    max_delete_ratio: float | None = None,
+    partition_scope_max_share: float | None = None,
 ) -> dict:
     """Two-tier MoR maintenance, the Iceberg/Hudi compactor split:
 
@@ -126,7 +126,23 @@ def maintain_mor(
     Returns the audit plus ``{"action": "none"|"rewrite_deletes"|
     "compact", "compacted": bool}`` (+ the commit's snapshot id when one
     happened) — idempotent and safe on a fresh or delete-free table.
+
+    Thresholds resolve template-first (the reference's single-source-of-
+    truth philosophy): an explicit argument wins, else the table
+    template's ``maintenance_max_delete_files`` /
+    ``maintenance_max_delete_ratio`` /
+    ``maintenance_partition_scope_max_share`` properties, else the
+    measured sweep defaults (16 files / 5% / 50% share).
     """
+    props = table.meta.get("properties", {})
+    if max_delete_files is None:
+        max_delete_files = int(props.get("maintenance_max_delete_files", 16))
+    if max_delete_ratio is None:
+        max_delete_ratio = float(props.get("maintenance_max_delete_ratio", 0.05))
+    if partition_scope_max_share is None:
+        partition_scope_max_share = float(
+            props.get("maintenance_partition_scope_max_share", 0.5)
+        )
     audit = mor_read_amplification(table)
     if audit["delete_files"] == 0:
         return {**audit, "compacted": False, "action": "none"}

@@ -151,8 +151,8 @@ def incremental_cdc_ingest(
     available_now: bool = True,
     mode: str = "cow",
     maintenance_every: int | None = None,
-    max_delete_files: int = 16,
-    max_delete_ratio: float = 0.05,
+    max_delete_files: int | None = None,
+    max_delete_ratio: float | None = None,
 ) -> StreamingQuery:
     """Continuously apply a CDC changelog stream (Debezium-style I/U/D
     rows landing as files) to a snapshot-log table — each micro-batch is

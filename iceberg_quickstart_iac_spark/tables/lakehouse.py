@@ -122,8 +122,8 @@ class Lakehouse:
     def maintain_all(
         self,
         spark,
-        max_delete_files: int = 16,
-        max_delete_ratio: float = 0.05,
+        max_delete_files: int | None = None,
+        max_delete_ratio: float | None = None,
         expire: bool = False,
         remove_orphans: bool = False,
         orphan_grace_ms: int = 3 * 86400 * 1000,

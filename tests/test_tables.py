@@ -2165,3 +2165,29 @@ def test_branch_view_rejects_hard_erasure(spark, mor_table):
     t.create_branch("b2")
     with pytest.raises(ValueError, match="MAIN table"):
         t.branch("b2").delete_where(spark, "k = 0", hard=True)
+
+
+def test_maintain_mor_thresholds_resolve_from_template(spark, tmp_path):
+    """Per-table maintenance policy in the template (single source of
+    truth): a tight ratio property trips the compactor where the global
+    default would no-op."""
+    from iceberg_quickstart_iac_spark.operators.maintenance import maintain_mor
+
+    t = SnapTable.create(
+        tmp_path / "tprop",
+        {
+            "name": "tprop", "namespace": "x",
+            "columns": [{"name": "k", "type": "long"},
+                        {"name": "g", "type": "string"}],
+            "identifier_fields": ["k"],
+            "partition_spec": [{"column": "g", "transform": "identity"}],
+            "properties": {"maintenance_max_delete_ratio": "0.001"},
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "k LONG, g STRING"
+    ))
+    t.delete_where(spark, "k = 0", mode="mor")  # ratio 1% > template 0.1%
+    out = maintain_mor(spark, t)
+    assert out["action"] in ("compact", "compact_partitions"), out
+    assert not t.current_snapshot().get("delete_dirs")
