@@ -2705,8 +2705,10 @@ class SnapTable:
             slice_df = slice_df.unionByName(p)
         # the range-distributed write samples its input before shuffling,
         # which would re-execute the scan + delete anti-join — persist so
-        # the slice materializes once (unpersisted right after the write)
-        slice_df = slice_df.persist()
+        # the slice materializes once (unpersisted right after the write;
+        # cached keeps the handle so derived frames don't orphan it)
+        cached = slice_df.persist()
+        slice_df = cached
         if zorder:
             from iceberg_quickstart_iac_spark.operators.zorder import (
                 column_ranges,
@@ -2731,7 +2733,7 @@ class SnapTable:
             new_dir, new_rows, new_files = self._write_data(
                 slice_df, distribution="range"
             )
-        slice_df.unpersist()
+        cached.unpersist()
         if new_rows == 0:
             # every row in the matched partitions was MoR-deleted: the
             # rewrite materializes to nothing — drop the empty dir
