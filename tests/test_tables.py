@@ -2191,3 +2191,19 @@ def test_maintain_mor_thresholds_resolve_from_template(spark, tmp_path):
     out = maintain_mor(spark, t)
     assert out["action"] in ("compact", "compact_partitions"), out
     assert not t.current_snapshot().get("delete_dirs")
+
+
+def test_register_serves_mor_view_and_refreshes(spark, mor_table):
+    """A registered view of a MoR table serves the delete-applied read;
+    re-registration after a write serves the new head (the documented
+    refresh cadence)."""
+    t = mor_table
+    t.delete_where(spark, "g = 'a'", mode="mor")
+    t.register(spark, name="mor_reg", metadata_tables=False)
+    assert spark.sql("SELECT COUNT(*) AS n FROM mor_reg").first().n == 5
+    t.delete_where(spark, "k = 1", mode="mor")
+    # stale view still serves the registration-time snapshot...
+    assert spark.sql("SELECT COUNT(*) AS n FROM mor_reg").first().n == 5
+    # ...re-registration serves the new head
+    t.register(spark, name="mor_reg", metadata_tables=False)
+    assert spark.sql("SELECT COUNT(*) AS n FROM mor_reg").first().n == 4
