@@ -464,3 +464,48 @@ def test_partition_scoped_compact_matches_model_under_random_interleavings(
                 f"seed={seed} step={step} op={op}: {got ^ want}"
             )
         assert t.verify_integrity()["ok"]
+
+
+def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):
+    """For random schemas and random restricted subsets, a reader-level
+    registration must expose exactly the non-restricted columns — in the
+    view's result AND in its scan's ReadSchema."""
+    import random
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        n_cols = rng.randint(3, 7)
+        names = [f"c{i}" for i in range(n_cols)]
+        restricted = {n for n in names[1:] if rng.random() < 0.4}
+        t = SnapTable.create(
+            tmp_path / f"leak{seed}",
+            {
+                "name": f"leak{seed}", "namespace": "x",
+                "columns": [
+                    {"name": n, "type": "long",
+                     **({"access_level": "restricted"} if n in restricted else {})}
+                    for n in names
+                ],
+            },
+        )
+        t.append(spark.createDataFrame(
+            [tuple(range(i, i + n_cols)) for i in range(5)],
+            ", ".join(f"{n} LONG" for n in names),
+        ))
+        t.register(spark, name=f"v_leak{seed}", access_level="reader",
+                   metadata_tables=False)
+        out = spark.sql(f"SELECT * FROM v_leak{seed}")
+        assert set(out.columns) == set(names) - restricted
+        plan = out._jdf.queryExecution().explainString(jm)
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema
+        for col in restricted:
+            assert all(
+                f"{col}:" not in ln and f"{col}," not in ln and not ln.rstrip().endswith(col)
+                for ln in read_schema
+            ), (col, read_schema)
