@@ -73,6 +73,7 @@ def materialize(
     team=None,
     register_view: bool = False,
     register_access_level: str = "reader",
+    register_metadata_tables: bool | None = None,
 ) -> Materialization:
     """Materialize one table from its template (the "asset run").
 
@@ -126,7 +127,12 @@ def materialize(
     entry = table.append(df) if mode == "append" else table.overwrite(df)
 
     if register_view:
-        table.register(spark, name=name, access_level=register_access_level)
+        table.register(
+            spark,
+            name=name,
+            access_level=register_access_level,
+            metadata_tables=register_metadata_tables,
+        )
 
     return Materialization(
         table=fq,

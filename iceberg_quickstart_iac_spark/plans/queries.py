@@ -115,66 +115,67 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-7 gate (VERDICT r6 next #1): the 10 queries whose driver rows
-    # date from r3 lead — after this round every catalog query's newest
-    # driver certification is at most two rounds old.
-    "quality_checks_events",
-    "topk_orders",
-    "setops_customer_cohorts",
-    "simhash_near_pairs_block2k",
-    "row_policy_events",
-    "token_vocabulary",
-    "stratified_doc_sample",
-    "soda_yaml_checks",
-    "source_mixture_weights",
-    "semantic_dedup_cells",
-    # round-7 additions: need their FIRST driver row
-    "partition_compaction_lifecycle",
-    "flagship_sql_front_door",
-    # then the r5-certified queries (2 rounds old), lifecycle/table queries
-    # first — they exercise the code this round changed (dir_sequences
-    # seeding, write-type normalization, subpath references, tombstoned
-    # expire); the 12 r5 queries that don't fit the 50-slot gate
-    # (pivot_segment_status … weighted_doc_sample in registry order) rotate
-    # to the front of r8 and stay covered by the pytest oracle replay.
-    "mor_delete_lifecycle",
-    "dml_lifecycle",
-    "merge_upsert_lifecycle",
-    "cdc_changelog_apply",
-    "cdc_changelog_apply_mor",
-    "tag_retention_lifecycle",
-    "snapshot_metadata_lifecycle",
-    "partition_evolution_lifecycle",
-    "partition_stats_table",
-    "zorder_compact_lifecycle",
-    "incremental_rollup_maintenance",
-    "streaming_cdc_ingest_lifecycle",
-    "catalog_branch_lifecycle",
-    "above_customer_avg_orders",
-    "asof_last_click_before_purchase",
-    "brand_size_stats",
-    "bucketed_join_orders_lineitem",
-    "cube_status_year",
-    "dedup_docs_by_key",
-    "distinct_customers_per_priority",
-    "doc_fingerprint_dedup",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_token_rarity",
-    "doc_token_stats",
-    "embedding_cosine_topk",
-    "embedding_ivfpq_topk",
-    "embedding_near_dup_pairs",
-    "embedding_pq_topk",
-    "event_minute_windows",
-    "event_value_by_nation",
-    "incremental_dedup_new_docs",
-    "json_props_rollup",
-    "media_header_roundtrip",
-    "monthly_order_stats",
-    "ngram_jaccard_dups_block1k",
-    "order_price_stats",
-    "pii_safe_events",
+    # round-8 gate (VERDICT r7 next #1): the 12 queries whose newest driver
+    # row dates from r5 lead — after this round no catalog query's driver
+    # certification is older than r6.
+    "pivot_segment_status",
+    "q10_returned_item_customers",
+    "q13_customer_order_histogram",
+    "q14_promo_revenue_pct",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "rollup_order_status",
+    "scd2_chain_from_orders",
+    "semantic_dedup_cells_gemm",
+    "user_sessions",
+    "weighted_doc_sample",
+    # round-8 additions (VERDICT r7 next #3/#4): need their FIRST driver row
+    "sql_view_follows_head",
+    "time_travel_sql_named_query",
+    # then the r6-certified queries (2 rounds old) — lifecycle/serving
+    # queries first since they exercise the code this round changes
+    # (register follow-head, ANN serving path, verify_integrity
+    # grandfathering, scoped-rewrite accounting).
+    "ann_index_lifecycle",
+    "embedding_ann_ivf",
+    "mor_maintenance_lifecycle",
+    "orc_table_lifecycle",
+    "branch_lifecycle",
+    "drift_sensor_cycle",
+    "cohort_retention",
+    "corpus_filter_funnel",
+    "customer_running_totals",
+    "customer_spend_quartiles",
+    "customers_without_big_orders",
+    "doc_benchmark_contamination",
+    "doc_bpe_token_stats",
+    "doc_chunks",
+    "doc_hash_split",
+    "doc_pii_redaction",
+    "doc_repetition_signals",
+    "embedding_int8_audit",
+    "embedding_label_centroids",
+    "embedding_lsh_topk",
+    "enrich_orders_by_segment",
+    "event_followup_pairs",
+    "event_time_hierarchy_rollup",
+    "flagship_event_type_counts",
+    "funnel_click_to_purchase",
+    "inter_source_overlap",
+    "latest_event_per_user",
+    "latest_order_per_customer",
+    "multimodal_media_stats",
+    "near_dup_doc_clusters",
+    "near_dup_minhash_pairs",
+    "packed_context_windows",
+    "partitioned_table_pruning",
+    "pseudonymized_user_activity",
+    "q11_top_nation_share",
+    "q12_shipmode_priority",
+    # the 14 remaining r6-certified queries (q15…q9 TPC-H block) don't fit
+    # the 50-slot gate; they rotate to the r9 lead and stay covered by the
+    # pytest oracle replay meanwhile.
 ]
 
 
@@ -6041,11 +6042,13 @@ def mor_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = mor_read_amplification(t)
     # below both thresholds: the policy must not act
     noop = maintain_mor(spark, t, max_delete_files=10, max_delete_ratio=0.9)
-    assert noop["action"] == "none"
+    if noop["action"] != "none":
+        raise RuntimeError(f"maintenance acted below thresholds: {noop}")
     # file threshold trips with a healthy key ratio -> CHEAP tier: the 3
     # delete files (one applicability group) merge into 1, no data rewrite
     tier1 = maintain_mor(spark, t, max_delete_files=3, max_delete_ratio=0.9)
-    assert tier1["action"] == "rewrite_deletes" and not tier1["compacted"]
+    if tier1["action"] != "rewrite_deletes" or tier1["compacted"]:
+        raise RuntimeError(f"expected the cheap rewrite tier, got: {tier1}")
     files_after_rewrite = len(t.current_snapshot().get("delete_dirs") or [])
     # ratio threshold trips -> full compact materializes the deletes
     tier2 = maintain_mor(spark, t, max_delete_files=10, max_delete_ratio=0.0)
@@ -6218,10 +6221,19 @@ def flagship_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     t.overwrite(ev)
-    t.register(spark, name="events_fd", access_level="reader")
+    # metadata_tables now defaults OFF for reader registrations (their
+    # __files bounds/__partitions values are redacted when opted in); this
+    # query joins __snapshots, so opt in explicitly
+    t.register(
+        spark, name="events_fd", access_level="reader", metadata_tables=True
+    )
     # reader governance holds at the SQL surface: the restricted column is
-    # not even nameable through the view
-    assert "user_id" not in spark.sql("SELECT * FROM events_fd").columns
+    # not even nameable through the view (explicit raise, not assert — the
+    # gate query must keep checking under python -O)
+    if "user_id" in spark.sql("SELECT * FROM events_fd").columns:
+        raise RuntimeError(
+            "reader registration leaked restricted column user_id"
+        )
     # the flagship query text, verbatim SQL, with the snapshot-listing
     # metadata table joined in the same statement
     return spark.sql(

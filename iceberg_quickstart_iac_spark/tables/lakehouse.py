@@ -70,7 +70,7 @@ class Lakehouse:
         self,
         spark,
         access_level: str = "admin",
-        metadata_tables: bool = True,
+        metadata_tables: bool | None = None,
     ) -> list[str]:
         """SQL front door for the whole catalog: register every table's
         governed read (+ metadata tables) as Spark SQL temp views — after

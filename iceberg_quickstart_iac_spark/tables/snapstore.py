@@ -501,6 +501,27 @@ class SnapTable:
     def _write_meta(self, meta: dict) -> None:
         (self.root / "table.json").write_text(json.dumps(meta, indent=2))
 
+    def _seed_expired_sequences(self) -> None:
+        """Upgrade shim: tables whose snapshots were expired BEFORE the
+        tombstone feature existed have legitimate log gaps with no
+        ``expired_sequences`` record — without this they'd flip from
+        healthy to corrupt under :meth:`verify_integrity` on upgrade. The
+        first commit or expire under this version stamps the key, seeding
+        every pre-existing main-log gap as a tombstone (they were
+        unattributable anyway); from then on a NEW unexplained gap is a
+        real lost entry and fails fsck. Writes the MAIN table.json
+        directly: tombstones only ever explain main-log gaps, and a
+        branch's copy-on-evolve ``_write_meta`` would drop the key."""
+        main_path = self.root / "table.json"
+        meta = json.loads(main_path.read_text())
+        if "expired_sequences" in meta:
+            return
+        seqs = {e["sequence"] for e in self._read_log(self.root / "_log")}
+        meta["expired_sequences"] = (
+            [s for s in range(max(seqs)) if s not in seqs] if seqs else []
+        )
+        main_path.write_text(json.dumps(meta, indent=2))
+
     def current_snapshot(self) -> dict | None:
         entries = self._entries()
         return entries[-1] if entries else None
@@ -517,6 +538,7 @@ class SnapTable:
         """
         if retries is None:
             retries = int(self.meta.get("properties", {}).get("commit_num_retries", 3))
+        self._seed_expired_sequences()
         # no .json suffix: temp files must never match the log glob
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         for attempt in range(retries + 1):
@@ -666,11 +688,20 @@ class SnapTable:
                 # compaction rewrites the hot partition; hash mode would
                 # serialize the whole rewrite onto one core). File count
                 # per dir = tasks covering its range: bounded, sorted.
-                range_cols = [F.col(name) for name, _ in pcols] + [
-                    F.col(o["column"])
-                    for o in (self.meta.get("sort_order") or [])
-                    if o["column"] in df.columns
-                ]
+                # task ranges must be drawn on the SAME key the within-task
+                # sort uses: under an order_override (z-order compaction)
+                # ranging on the declared sort_order would give tasks whose
+                # z-value bounding boxes overlap, weakening the multi-column
+                # skipping the rewrite exists to provide
+                if order_override is not None:
+                    sort_keys = list(order_override)
+                else:
+                    sort_keys = [
+                        F.col(o["column"])
+                        for o in (self.meta.get("sort_order") or [])
+                        if o["column"] in df.columns
+                    ]
+                range_cols = [F.col(name) for name, _ in pcols] + sort_keys
                 n_tasks = wdf.sparkSession.sparkContext.defaultParallelism
                 wdf = wdf.repartitionByRange(n_tasks, *range_cols)
             else:
@@ -1881,7 +1912,10 @@ class SnapTable:
             "table_read", self.fq_name, details={"snapshot_id": snap["snapshot_id"]}
         )
         if not snap["data_dirs"]:
-            raise ValueError(f"Snapshot {snap['snapshot_id']} has no data")
+            # a committed snapshot CAN be legitimately empty (delete-all
+            # then compact materializes to zero files): DELETE FROM t;
+            # SELECT * must serve 0 typed rows, not an error
+            return self._apply_row_filters(self._empty_declared(spark), filters)
         # merge-on-read: equality-delete files (Iceberg v2) are applied at
         # read time as an anti-join on the key columns — each snapshot
         # carries exactly the delete files committed up to it, so time
@@ -1921,7 +1955,7 @@ class SnapTable:
         snapshot_id: str | None = None,
         as_of_ms: int | None = None,
         tag: str | None = None,
-        metadata_tables: bool = True,
+        metadata_tables: bool | None = None,
     ) -> str:
         """The SQL front door: expose the GOVERNED table read plus its
         Iceberg-style metadata tables to ``spark.sql`` as session temp
@@ -1938,9 +1972,16 @@ class SnapTable:
           applies ``row_policies`` ({policy: SQL predicate}) as pushed
           filters;
         - ``<name>__snapshots`` / ``__files`` / ``__partitions`` /
-          ``__delete_files`` / ``__refs`` — the metadata tables
-          (``metadata_tables=False`` skips them, e.g. for reader roles
-          that shouldn't see file layout).
+          ``__delete_files`` / ``__refs`` — the metadata tables.
+          ``metadata_tables=None`` (the default) resolves to True for
+          admin/writer and **False for reader** — ``__files`` carries
+          actual min/max data values in ``column_bounds`` and
+          ``__partitions`` carries partition values, so publishing them
+          to a reader by default would bypass the restricted-column
+          guarantee through the side door. An explicit
+          ``metadata_tables=True`` at reader level registers them with
+          restricted columns REDACTED from both the bounds JSON and the
+          partition values (never their names or values).
 
         Time travel registers the same way: ``snapshot_id``/``as_of_ms``/
         ``tag`` with a distinct ``name`` gives Athena's ``FOR TIMESTAMP AS
@@ -1958,10 +1999,17 @@ class SnapTable:
         application layer.
         """
         from iceberg_quickstart_iac_spark.governance.access import (
+            AccessLevel,
             read_with_access_level,
             read_with_row_policies,
         )
+        from iceberg_quickstart_iac_spark.templates.loader import (
+            get_restricted_columns,
+        )
 
+        level = AccessLevel(access_level)
+        if metadata_tables is None:
+            metadata_tables = level is not AccessLevel.READER
         base = name or self.meta["name"]
         df = self.read(
             spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms, tag=tag
@@ -1974,9 +2022,18 @@ class SnapTable:
         )
         df.createOrReplaceTempView(base)
         if metadata_tables:
+            redact = (
+                set(get_restricted_columns(self.meta))
+                if level is AccessLevel.READER
+                else None
+            )
             self.snapshots(spark).createOrReplaceTempView(f"{base}__snapshots")
-            self.files(spark).createOrReplaceTempView(f"{base}__files")
-            self.partitions(spark).createOrReplaceTempView(f"{base}__partitions")
+            self.files(spark, redact_columns=redact).createOrReplaceTempView(
+                f"{base}__files"
+            )
+            self.partitions(
+                spark, redact_columns=redact
+            ).createOrReplaceTempView(f"{base}__partitions")
             self.delete_files(spark).createOrReplaceTempView(
                 f"{base}__delete_files"
             )
@@ -2182,7 +2239,10 @@ class SnapTable:
         )
 
     def files(
-        self, spark: SparkSession, snapshot_id: str | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        redact_columns: set[str] | None = None,
     ) -> DataFrame:
         """The per-file metadata table (M1), like Iceberg's ``t.files``:
         one row per data file of the selected (default current) snapshot
@@ -2193,8 +2253,26 @@ class SnapTable:
         only (footers + paths), O(files), no data scan — exactly what
         Iceberg serves from manifests. Bounds are JSON ``{col: [lo, hi]}``
         strings (parquet files only; ORC reports ``{}``).
+
+        ``redact_columns`` removes those columns' entries from BOTH the
+        ``partition`` values and ``column_bounds`` JSON — min/max bounds
+        are actual data values, so a reader-level registration must not
+        publish them for restricted columns (Lake Formation redacts file
+        stats the same way for cell-filtered tables).
         """
         snap = self._snapshot_for(snapshot_id, None)
+        redact = redact_columns or set()
+
+        def _partition_key_redacted(key: str) -> bool:
+            # partition path keys are PHYSICAL field names: __p_<col> for
+            # identity, __p_<col>_<transform> otherwise (any historical
+            # spec) — a key derived from a restricted source column must
+            # redact; startswith over-matching only ever over-redacts
+            return any(
+                key == self._PPREFIX + c or key.startswith(self._PPREFIX + c + "_")
+                for c in redact
+            )
+
         rows = []
         for d in snap["data_dirs"]:
             base = self.data_dir / d
@@ -2207,7 +2285,13 @@ class SnapTable:
                 for seg in f.relative_to(top).parts[:-1]:
                     if "=" in seg:
                         k, _, v = seg.partition("=")
-                        parts[k] = unquote(v)
+                        if not _partition_key_redacted(k):
+                            parts[k] = unquote(v)
+                bounds = {
+                    c: b
+                    for c, b in _footer_bounds(f).items()
+                    if c not in redact
+                }
                 rows.append(
                     (
                         str(f.relative_to(self.root)),
@@ -2215,7 +2299,7 @@ class SnapTable:
                         json.dumps(parts, sort_keys=True),
                         _footer_row_count([f]),
                         f.stat().st_size,
-                        json.dumps(_footer_bounds(f), sort_keys=True, default=str),
+                        json.dumps(bounds, sort_keys=True, default=str),
                     )
                 )
         return spark.createDataFrame(
@@ -2254,18 +2338,22 @@ class SnapTable:
         )
 
     def partitions(
-        self, spark: SparkSession, snapshot_id: str | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        redact_columns: set[str] | None = None,
     ) -> DataFrame:
         """The per-partition metadata table (M1), like Iceberg's
         ``t.partitions``: one row per live partition with its record/file
         counts and byte size — the skew/small-file audit surface (Athena
         exposes the same as ``"t$partitions"``). An aggregation over
-        :meth:`files`, so still metadata-only: footers and paths, never a
-        data scan."""
+        :meth:`files` (``redact_columns`` passes through — a restricted
+        partition column's values must not appear in the partition key),
+        so still metadata-only: footers and paths, never a data scan."""
         from pyspark.sql import functions as F
 
         return (
-            self.files(spark, snapshot_id)
+            self.files(spark, snapshot_id, redact_columns=redact_columns)
             .groupBy("partition")
             .agg(
                 F.count(F.lit(1)).alias("file_count"),
@@ -2736,9 +2824,13 @@ class SnapTable:
         cached.unpersist()
         if new_rows == 0:
             # every row in the matched partitions was MoR-deleted: the
-            # rewrite materializes to nothing — drop the empty dir
+            # rewrite materializes to nothing — drop the empty dir AND its
+            # file count (Spark may have emitted a schema-only empty file;
+            # counting it would make the snapshot's file_count disagree
+            # with what verify_integrity can see on disk)
             shutil.rmtree(self.data_dir / new_dir, ignore_errors=True)
             new_dir = None
+            new_files = 0
 
         # a delete file can be retired when every partition its sidecar
         # attributes debt to was rewritten in EVERY data dir it applies to
@@ -3014,7 +3106,15 @@ class SnapTable:
             report["log_errors"].append("no snapshots")
             report["ok"] = False
             return report
-        expired_seqs = set(self.meta.get("expired_sequences") or [])
+        meta = self.meta
+        expired_seqs = set(meta.get("expired_sequences") or [])
+        # A table whose meta lacks the expired_sequences key entirely
+        # predates the tombstone feature (or was restored from such a
+        # version and never written since — the first commit/expire seeds
+        # it): its gaps were made by the old expire_snapshots, which left
+        # no record, so they grandfather as retention gaps rather than
+        # flipping a healthy table to corrupt on upgrade.
+        tombstones_seeded = "expired_sequences" in meta
         for prev, e in zip(entries, entries[1:]):
             if e["sequence"] == prev["sequence"] + 1:
                 # adjacent survivors: the parent chain must hold exactly
@@ -3033,7 +3133,7 @@ class SnapTable:
                     for s in range(prev["sequence"] + 1, e["sequence"])
                     if s not in expired_seqs
                 ]
-                if unexplained:
+                if unexplained and tombstones_seeded:
                     report["log_errors"].append(
                         f"sequences {unexplained} missing from the log with "
                         "no expire_snapshots tombstone (lost entries?)"
@@ -3114,6 +3214,7 @@ class SnapTable:
                 )
             older_than_ms = _now_ms() - max_age_ms
 
+        self._seed_expired_sequences()
         entries = self._entries()
         if not entries:
             return 0

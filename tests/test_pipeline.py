@@ -205,4 +205,45 @@ def test_materialize_registers_governed_view(spark, tmp_path):
     out = spark.sql("SELECT * FROM reg_demo ORDER BY id")
     assert out.columns == ["id", "label"]
     assert [r.id for r in out.collect()] == [1, 2]
-    assert spark.sql("SELECT COUNT(*) AS n FROM reg_demo__snapshots").first().n == 1
+    # reader-level registration skips metadata tables by default: their
+    # __files bounds carry actual data values of restricted columns
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT COUNT(*) FROM reg_demo__snapshots").collect()
+
+
+def test_materialize_register_metadata_tables_opt_in_redacts(spark, tmp_path):
+    """Opting metadata tables back in at reader level (the plumbed
+    register_metadata_tables flag) serves them with restricted columns
+    redacted from the per-file value bounds."""
+    import json as _json
+
+    from iceberg_quickstart_iac_spark.pipeline import materialize
+
+    df = spark.createDataFrame(
+        [(1, 7, "a"), (2, 8, "b")], "id LONG, secret LONG, label STRING"
+    )
+    tpl = {
+        "name": "reg_demo_md", "namespace": "lakehouse",
+        "partition_spec": [],
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "secret", "type": "long", "access_level": "restricted"},
+            {"name": "label", "type": "string"},
+        ],
+    }
+    materialize(
+        spark, tpl, tmp_path / "wh", df=df, register_view=True,
+        register_metadata_tables=True,
+    )
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM reg_demo_md__snapshots").first().n
+        == 1
+    )
+    bounds = [
+        _json.loads(r.column_bounds)
+        for r in spark.sql("SELECT column_bounds FROM reg_demo_md__files").collect()
+    ]
+    assert bounds and all("secret" not in b for b in bounds)
+    assert any("id" in b for b in bounds)  # non-restricted bounds survive

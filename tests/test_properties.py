@@ -477,11 +477,19 @@ def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):
     jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+
     for seed in (3, 17, 29):
         rng = random.Random(seed)
         n_cols = rng.randint(3, 7)
         names = [f"c{i}" for i in range(n_cols)]
         restricted = {n for n in names[1:] if rng.random() < 0.4}
+        # partition by a RESTRICTED column when one exists — the partition
+        # values land in directory names, so __files/__partitions would
+        # republish them unless the registration redacts
+        pcol = sorted(restricted)[0] if restricted else None
         t = SnapTable.create(
             tmp_path / f"leak{seed}",
             {
@@ -491,6 +499,11 @@ def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):
                      **({"access_level": "restricted"} if n in restricted else {})}
                     for n in names
                 ],
+                **(
+                    {"partition_spec": [{"column": pcol, "transform": "identity"}]}
+                    if pcol
+                    else {}
+                ),
             },
         )
         t.append(spark.createDataFrame(
@@ -509,3 +522,36 @@ def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):
                 f"{col}:" not in ln and f"{col}," not in ln and not ln.rstrip().endswith(col)
                 for ln in read_schema
             ), (col, read_schema)
+        # reader default: NO metadata views (their bounds/partition values
+        # would republish restricted data)
+        with pytest.raises(AnalysisException):
+            spark.sql(f"SELECT * FROM v_leak{seed}__files").collect()
+        # explicit opt-in: metadata views register with restricted columns
+        # redacted from bounds AND partition values
+        t.register(spark, name=f"v_leakmd{seed}", access_level="reader",
+                   metadata_tables=True)
+        def _derives_from_restricted(key: str) -> bool:
+            # partition JSON keys are physical field names (__p_<col> /
+            # __p_<col>_<transform>)
+            return any(
+                key == f"__p_{c}" or key.startswith(f"__p_{c}_")
+                for c in restricted
+            )
+
+        frows = spark.sql(
+            f"SELECT partition, column_bounds FROM v_leakmd{seed}__files"
+        ).collect()
+        assert frows
+        for r in frows:
+            assert not restricted & set(_json.loads(r.column_bounds)), r
+            assert not any(
+                _derives_from_restricted(k) for k in _json.loads(r.partition)
+            ), r
+            # non-restricted stats still serve their audit purpose
+            assert "c0" in _json.loads(r.column_bounds), r
+        for r in spark.sql(
+            f"SELECT partition FROM v_leakmd{seed}__partitions"
+        ).collect():
+            assert not any(
+                _derives_from_restricted(k) for k in _json.loads(r.partition)
+            ), r

@@ -1757,6 +1757,102 @@ def test_verify_integrity_fails_on_untombstoned_log_gap(spark, tmp_path):
     assert report["retention_gaps"] == []
 
 
+def test_verify_integrity_grandfathers_pre_tombstone_gaps(spark, tmp_path):
+    """A table whose snapshots were expired by a version PREDATING the
+    expired_sequences tombstone has legitimate gaps with no record — it
+    must not flip from healthy to corrupt on upgrade. The first commit
+    after upgrade seeds the tombstones, after which NEW unexplained gaps
+    fail fsck again."""
+    import json as _json
+
+    t = SnapTable.create(
+        tmp_path / "legacy",
+        {"name": "legacy", "namespace": "lakehouse",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "k LONG"))
+    # simulate the old-version state: a retention gap exists but neither
+    # the tombstone list nor even its key is present in table.json
+    (t.log_dir / "000000000001.json").unlink()
+    meta = _json.loads((t.root / "table.json").read_text())
+    meta.pop("expired_sequences", None)
+    (t.root / "table.json").write_text(_json.dumps(meta, indent=2))
+    report = t.verify_integrity()
+    assert report["ok"], report
+    assert report["retention_gaps"] == [(0, 2)]
+    # the first commit under the new version seeds the tombstones…
+    t.append(spark.createDataFrame([(99,)], "k LONG"))
+    assert _json.loads((t.root / "table.json").read_text())[
+        "expired_sequences"
+    ] == [1]
+    assert t.verify_integrity()["ok"]
+    # …so a gap appearing AFTER the upgrade is corruption again
+    (t.log_dir / "000000000003.json").unlink()
+    report = t.verify_integrity()
+    assert not report["ok"]
+    assert any("tombstone" in msg for msg in report["log_errors"])
+
+
+def test_zorder_scoped_compact_ranges_on_zkey_not_declared_sort(spark, tmp_path):
+    """The scoped z-order rewrite's range distribution must draw task
+    ranges on the __z override, not the declared sort_order — otherwise
+    files' z bounding boxes overlap across tasks. Discriminator: the
+    declared sort column is CONSTANT, so ranging on it collapses every
+    row into one task (one file); ranging on the varying z key spreads
+    the rewrite over many tasks."""
+    t = SnapTable.create(
+        tmp_path / "zrange",
+        {
+            "name": "zrange", "namespace": "lakehouse",
+            "columns": [
+                {"name": "k", "type": "long"},
+                {"name": "g", "type": "string"},
+                {"name": "s", "type": "long"},
+                {"name": "x", "type": "long"},
+                {"name": "y", "type": "long"},
+            ],
+            "identifier_fields": ["k"],
+            "partition_spec": [{"column": "g", "transform": "identity"}],
+            "sort_order": [{"column": "s", "direction": "asc"}],
+        },
+    )
+    n = 4000
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], 7, i * 37 % n, i * 101 % n) for i in range(n)],
+        "k LONG, g STRING, s LONG, x LONG, y LONG",
+    ))
+    t.delete_where(spark, "g = 'a' AND k < 10", mode="mor")
+    e = t.compact(spark, partition_filter=[("g", "=", "a")], zorder=["x", "y"])
+    new_dir = [d for d in e["data_dirs"] if "/" not in d]
+    assert len(new_dir) == 1
+    files = _files_under(t, f"{new_dir[0]}/__p_g=a")
+    assert len(files) > 1, files
+    # correctness unchanged: the rewrite dropped exactly the deleted rows
+    assert t.read(spark).count() == n - 5
+
+
+def test_scoped_compact_to_zero_rows_keeps_file_count_exact(spark, tmp_path):
+    """A scoped rewrite whose slice materializes to ZERO rows (every row
+    MoR-deleted) drops the empty dir AND its file count — otherwise a
+    schema-only empty file Spark may emit would overcount file_count and
+    fail the next fsck."""
+    t = SnapTable.create(
+        tmp_path / "zerorw",
+        {"name": "zerorw", "namespace": "lakehouse",
+         "columns": [{"name": "k", "type": "long"}],
+         "identifier_fields": ["k"]},
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "k LONG"))
+    t.delete_where(spark, "k >= 0", mode="mor")
+    e = t.compact(spark, partition_leaves=[""])
+    assert e["row_count"] == 0
+    assert e["file_count"] == 0
+    assert t.read(spark).count() == 0
+    report = t.verify_integrity()
+    assert report["ok"], report
+
+
 def test_empty_in_filter_matches_nothing(spark, mor_table):
     """('col','in',[]) must mean match-nothing in the ROW filter too, not
     crash in Column.isin — consistent with _dirs_survive's verdict."""
