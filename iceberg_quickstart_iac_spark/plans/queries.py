@@ -6251,6 +6251,142 @@ def flagship_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Head-following SQL registrations (round 8; Athena's contract is that a
+# query always reads the table's CURRENT committed state,
+# aws/modules/athena/main.tf:26-67 — a view that pins registration-time
+# snapshots serves stale rows after the next ingest). register(
+# follow_head=True) re-resolves the view on every commit through _commit
+# (tables/snapstore.py::_refresh_head_registrations): the same spark.sql
+# text serves v1 before the append, v2 after it, and the MoR state after
+# an equality-delete commit — no manual re-register anywhere.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_view_follows_head",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS BIGINT) AS n_v1,
+      CAST(COUNT(*) AS BIGINT) AS n_v2,
+      CAST(COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS BIGINT) AS n_after_delete,
+      TRUE AS followed_without_reregister
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+    """,
+)
+def sql_view_follows_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    ev = (
+        load_table(spark, sf_dir, "events", events_ts_at_least="2024-01-15")
+        .filter(F.col("ts") < "2024-01-22")
+        .select("event_id", "ts", "event_type", "value")
+    )
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="fhview_") + "/events_fh",
+        {
+            "name": "events_fh",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": "timestamp"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+            "identifier_fields": ["event_id"],
+        },
+    )
+    t.overwrite(ev.filter(F.col("event_id") % 3 != 0))
+    t.register(
+        spark, name="events_fh", follow_head=True, metadata_tables=False
+    )
+    count_sql = "SELECT COUNT(*) AS n FROM events_fh"
+    n_v1 = spark.sql(count_sql).first().n
+    # ingest lands; the SAME SQL text must see the new rows
+    t.append(ev.filter(F.col("event_id") % 3 == 0))
+    n_v2 = spark.sql(count_sql).first().n
+    # the MoR path: an equality-delete commit surfaces through the view too
+    t.delete_where(spark, "event_id % 2 = 0", mode="mor")
+    n_after_delete = spark.sql(count_sql).first().n
+    t.unregister(spark, "events_fh")
+    return spark.createDataFrame(
+        [(n_v1, n_v2, n_after_delete, n_v2 > n_v1 and n_after_delete < n_v2)],
+        "n_v1 LONG, n_v2 LONG, n_after_delete LONG, "
+        "followed_without_reregister BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-travel named query through the SQL front door (round 8): the Athena
+# named-query set includes FOR SYSTEM_VERSION AS OF
+# (aws/modules/athena/main.tf:62-65). Here both the current head and a
+# pinned earlier snapshot register as views, and ONE SQL statement joins
+# them to prove the per-status delta between the two versions — the
+# "compare what changed since the last publish" audit shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_travel_sql_named_query",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_current,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey < 1000) AS BIGINT) AS n_v1,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey >= 1000) AS BIGINT) AS delta
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def time_travel_sql_named_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="ttsql_") + "/orders_tt",
+        {
+            "name": "orders_tt",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    t.overwrite(orders.filter(F.col("o_orderkey") < 1000))
+    v1 = t.current_snapshot()["snapshot_id"]
+    t.append(orders.filter(F.col("o_orderkey") >= 1000))
+    t.register(spark, name="tt_orders", metadata_tables=False)
+    t.register(
+        spark, name="tt_orders_v1", snapshot_id=v1, metadata_tables=False
+    )
+    # one statement over both versions: FOR SYSTEM_VERSION AS OF, rendered
+    # as a registered as-of view joined against the head
+    return spark.sql(
+        """
+        SELECT cur.o_orderstatus,
+               cur.n AS n_current,
+               COALESCE(v1.n, CAST(0 AS BIGINT)) AS n_v1,
+               cur.n - COALESCE(v1.n, CAST(0 AS BIGINT)) AS delta
+        FROM (SELECT o_orderstatus, COUNT(*) AS n
+              FROM tt_orders GROUP BY o_orderstatus) cur
+        LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS n
+                   FROM tt_orders_v1 GROUP BY o_orderstatus) v1
+          ON cur.o_orderstatus = v1.o_orderstatus
+        ORDER BY cur.o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted ANN index lifecycle (SURVEY §2.13 X26 production shape,
 # operators/ann_index.py): train+materialize an IVF-PQ index table, then
 # ADD a batch with the STORED model (FAISS add-after-train — no refit, no

@@ -46,9 +46,17 @@ _REFS = "_catalog_refs"
 class Lakehouse:
     """A directory of :class:`SnapTable` roots + catalog-level refs."""
 
+    #: metadata-table view suffixes register() publishes per table
+    _MD_SUFFIXES = (
+        "__snapshots", "__files", "__partitions", "__delete_files", "__refs"
+    )
+
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # lazy SQL front door: view name -> (access_level, with_metadata)
+        # already registered by sql() in this process
+        self._sql_registry: dict[str, tuple[str, bool]] = {}
 
     # -- tables ------------------------------------------------------------
 
@@ -90,6 +98,50 @@ class Lakehouse:
                 )
             )
         return out
+
+    def sql(self, spark, statement: str, access_level: str = "admin"):
+        """Catalog-scale SQL front door: register ONLY the tables the
+        statement references, lazily, then run it through ``spark.sql``.
+
+        ``register_all`` is O(catalog) up front — an eager ``read()`` per
+        table plus metadata-view builds; fine for tens of tables, waste
+        for a 1000-table catalog serving a query that touches two. This
+        path scans the statement for catalog table names (and their
+        ``__snapshots``/``__files``/… metadata views — those register
+        only when actually named, so footer-stat builds are never paid
+        unreferenced), registers the hits once with ``follow_head=True``
+        (commits through this process auto-refresh the views, so the
+        cache never serves a stale head), and memoizes per view name —
+        repeat statements against the same tables re-register nothing.
+
+        Name matching is identifier-token based: a table whose name only
+        appears inside a string literal registers harmlessly; a table
+        referenced through a quoted identifier with special characters
+        is not supported (snapstore names are word-shaped).
+        """
+        import re
+
+        tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
+        for name in self.list_tables():
+            wants_md = any(name + s in tokens for s in self._MD_SUFFIXES)
+            if name not in tokens and not wants_md:
+                continue
+            t = self.table(name)
+            if t.current_snapshot() is None:
+                continue
+            prev = self._sql_registry.get(name)
+            with_md = wants_md or (prev[1] if prev else False)
+            want = (str(access_level), with_md)
+            if prev != want:
+                t.register(
+                    spark,
+                    name=name,
+                    access_level=access_level,
+                    metadata_tables=with_md,
+                    follow_head=True,
+                )
+                self._sql_registry[name] = want
+        return spark.sql(statement)
 
     # -- catalog branches --------------------------------------------------
 

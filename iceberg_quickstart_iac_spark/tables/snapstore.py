@@ -315,6 +315,15 @@ def _footer_row_count(files: list[Path]) -> int:
 #: per-read nag)
 _ORC_SKIP_WARNED: set[Path] = set()
 
+#: follow-head SQL registrations: table root -> {view name: registration
+#: spec}. ``_commit`` re-resolves these after every successful commit, so a
+#: ``spark.sql`` statement against the view always reads the table's current
+#: committed state — Athena's contract (a query never pins a snapshot;
+#: ``aws/modules/athena/main.tf:26-67``). Process-local by design: Spark
+#: temp views are session objects, and the registry's job is only to keep
+#: them in step with commits made IN this process.
+_HEAD_REGISTRATIONS: dict[str, dict[str, dict]] = {}
+
 
 def _footer_stats_match(f: Path, filters: list[tuple]) -> bool:
     """Can any row group of parquet file ``f`` satisfy every conjunct in
@@ -589,6 +598,7 @@ class SnapTable:
             try:
                 os.link(tmp, target)
                 tmp.unlink()
+                self._refresh_head_registrations()
                 return full
             except FileExistsError:
                 if attempt == retries:
@@ -1956,6 +1966,7 @@ class SnapTable:
         as_of_ms: int | None = None,
         tag: str | None = None,
         metadata_tables: bool | None = None,
+        follow_head: bool = False,
     ) -> str:
         """The SQL front door: expose the GOVERNED table read plus its
         Iceberg-style metadata tables to ``spark.sql`` as session temp
@@ -1985,10 +1996,19 @@ class SnapTable:
 
         Time travel registers the same way: ``snapshot_id``/``as_of_ms``/
         ``tag`` with a distinct ``name`` gives Athena's ``FOR TIMESTAMP AS
-        OF`` named-query shape. Views are SESSION-scoped and pin the
-        snapshot resolved at registration time — re-register after writes
-        to serve the new head (the scheduled-refresh cadence the runbook's
-        view maintenance uses). Returns the base view name.
+        OF`` named-query shape. Views are SESSION-scoped and by default pin
+        the snapshot resolved at registration time — re-register after
+        writes to serve the new head (the scheduled-refresh cadence the
+        runbook's view maintenance uses). ``follow_head=True`` matches
+        Athena's actual contract instead: every commit made through this
+        process re-resolves and re-registers the view (the write path
+        funnels through ``_commit``), so ``spark.sql`` always reads the
+        current committed state — including the MoR view after
+        equality-delete commits. Follow-head excludes the time-travel
+        arguments (a pinned snapshot cannot also track the head) and costs
+        one view re-resolution per commit (plus the metadata-table rebuild
+        when those are registered — leave them off on hot write paths).
+        Returns the base view name.
 
         Audit granularity: the underlying ``table_read`` plus a
         ``table_registered`` event log at REGISTRATION time; subsequent
@@ -2010,6 +2030,11 @@ class SnapTable:
         level = AccessLevel(access_level)
         if metadata_tables is None:
             metadata_tables = level is not AccessLevel.READER
+        if follow_head and (snapshot_id or as_of_ms or tag):
+            raise ValueError(
+                "register(follow_head=True) tracks the current head — it "
+                "cannot combine with snapshot_id/as_of_ms/tag pinning"
+            )
         base = name or self.meta["name"]
         df = self.read(
             spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms, tag=tag
@@ -2038,6 +2063,14 @@ class SnapTable:
                 f"{base}__delete_files"
             )
             self.refs(spark).createOrReplaceTempView(f"{base}__refs")
+        if follow_head:
+            _HEAD_REGISTRATIONS.setdefault(str(self.root), {})[base] = {
+                "table": self,
+                "spark": spark,
+                "access_level": access_level,
+                "row_policies": dict(row_policies or {}),
+                "metadata_tables": metadata_tables,
+            }
         log_audit_event(
             "table_registered",
             self.fq_name,
@@ -2046,9 +2079,47 @@ class SnapTable:
                 "access_level": str(access_level),
                 "metadata_tables": metadata_tables,
                 "time_travel": bool(snapshot_id or as_of_ms or tag),
+                "follow_head": follow_head,
             },
         )
         return base
+
+    def unregister(self, spark: SparkSession, name: str | None = None) -> None:
+        """Drop a registration's views and, if it was follow-head, stop
+        tracking commits for it."""
+        base = name or self.meta["name"]
+        _HEAD_REGISTRATIONS.get(str(self.root), {}).pop(base, None)
+        for suffix in ("", "__snapshots", "__files", "__partitions",
+                       "__delete_files", "__refs"):
+            spark.catalog.dropTempView(base + suffix)
+
+    def _refresh_head_registrations(self) -> None:
+        """Re-resolve every follow-head view on this table root against the
+        just-committed state. Uses each registration's OWN table handle (a
+        branch view re-resolves its branch head, the main table its own), so
+        a commit on either never serves the other's rows."""
+        import warnings
+
+        specs = _HEAD_REGISTRATIONS.get(str(self.root), {})
+        for base, spec in list(specs.items()):
+            try:
+                spec["table"].register(
+                    spec["spark"],
+                    name=base,
+                    access_level=spec["access_level"],
+                    row_policies=spec["row_policies"],
+                    metadata_tables=spec["metadata_tables"],
+                    follow_head=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — the COMMIT landed;
+                # a dead SparkSession in the registry must not make the
+                # write look failed. Drop the registration and warn loudly.
+                specs.pop(base, None)
+                warnings.warn(
+                    f"follow-head view {base!r} on {self.fq_name} could not "
+                    f"be refreshed and was dropped: {exc}",
+                    stacklevel=2,
+                )
 
     def _read_delete_keys(self, spark: SparkSession, ddirs: list[str]) -> DataFrame:
         """Load equality-delete key tuples from ``ddirs``, with every key

@@ -844,13 +844,102 @@ ANNSERVE_WORKLOADS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# --suite catalog: SQL-front-door registration at catalog scale (VERDICT r7
+# #7). factor = catalog size in units of 20 tables (x1 = 20, x10 = 200).
+# Corpus build is Spark-free (pyarrow file + the same append-shaped commit
+# the subprocess race test uses) so the sweep times REGISTRATION, not table
+# creation. Workloads:
+#   register_all_admin  — eager read() + 5 metadata views per table
+#   register_all_reader — governed read only (metadata off by default now)
+#   sql_one_table       — Lakehouse.sql touching ONE table of N (the lazy
+#                         front door; must be flat in catalog size)
+# ---------------------------------------------------------------------------
+
+CATALOG_TABLES_PER_FACTOR = 20
+
+
+def build_catalog_corpus(factor: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    out = os.path.join(SWEEP_ROOT, f"catalog_x{factor}")
+    if os.path.isdir(os.path.join(out, "t0000")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for i in range(factor * CATALOG_TABLES_PER_FACTOR):
+        name = f"t{i:04d}"
+        t = SnapTable.create(
+            os.path.join(out, name),
+            {
+                "name": name, "namespace": "lakehouse",
+                "columns": [
+                    {"name": "k", "type": "long"},
+                    {"name": "v", "type": "double"},
+                ],
+            },
+        )
+        d = f"seed{i:04d}"
+        dd = t.data_dir / d
+        dd.mkdir(parents=True)
+        pq.write_table(
+            pa.table({
+                "k": pa.array(range(100), type=pa.int64()),
+                "v": pa.array([float(j) * i for j in range(100)]),
+            }),
+            dd / "part-00000.parquet",
+        )
+        t._commit(lambda entries, d=d: {
+            "operation": "append",
+            "data_dirs": [d],
+            "delete_dirs": [],
+            "row_count": 100,
+            "file_count": 1,
+            **t._write_epoch(),
+        })
+    return out
+
+
+def wl_register_all_admin(spark, sf_dir: str, factor: int) -> int:
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    return len(Lakehouse(sf_dir).register_all(spark))
+
+
+def wl_register_all_reader(spark, sf_dir: str, factor: int) -> int:
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    return len(Lakehouse(sf_dir).register_all(spark, access_level="reader"))
+
+
+def wl_sql_one_table(spark, sf_dir: str, factor: int) -> int:
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    # fresh Lakehouse per run: the memo cache must not hide the lazy
+    # registration cost being measured
+    lh = Lakehouse(sf_dir)
+    return lh.sql(
+        spark, "SELECT COUNT(*) AS n FROM t0000 WHERE v >= 0"
+    ).first().n
+
+
+CATALOG_WORKLOADS = {
+    "register_all_admin": wl_register_all_admin,
+    "register_all_reader": wl_register_all_reader,
+    "sql_one_table": wl_sql_one_table,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--suite", default="text",
-        choices=["text", "rel", "stream", "cdc", "morread", "annserve"],
+        choices=["text", "rel", "stream", "cdc", "morread", "annserve",
+                 "catalog"],
     )
     ap.add_argument(
         "--only", default=None,
@@ -878,6 +967,8 @@ def main() -> None:
         workloads, builder = MORREAD_WORKLOADS, build_morread_corpus
     elif args.suite == "annserve":
         workloads, builder = ANNSERVE_WORKLOADS, build_corpus
+    elif args.suite == "catalog":
+        workloads, builder = CATALOG_WORKLOADS, build_catalog_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     if args.only:

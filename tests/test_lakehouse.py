@@ -216,3 +216,45 @@ def test_maintain_all_with_retention_and_orphan_sweep(spark, lake):
     reports = lake.maintain_all(spark, expire=True)
     assert reports["a"]["expired_snapshots"] == 0
     assert lake.table("a").read(spark).count() == 2
+
+
+def test_lakehouse_sql_registers_lazily_and_follows_head(spark, lake):
+    """The catalog-scale front door: sql() registers ONLY the referenced
+    tables (O(statement), not O(catalog)), memoizes, and the views follow
+    the head across later commits."""
+    # fresh view namespace for this test
+    for n in ("a", "b", "c"):
+        spark.catalog.dropTempView(n)
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 1
+    # only `a` registered — the other catalog tables were never touched
+    views = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert "a" in views and "b" not in views and "c" not in views
+    assert "a__files" not in views  # metadata unpaid unless referenced
+    # follow-head: a later commit is visible to the SAME statement with
+    # no re-registration
+    lake.table("a").append(
+        spark.createDataFrame([(2, "x")], "k LONG, v STRING")
+    )
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    # metadata views register on first actual reference
+    out = lake.sql(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM b__snapshots) AS s, COUNT(*) AS n FROM b",
+    ).first()
+    assert (out.s, out.n) == (1, 1)
+    views = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert "b__snapshots" in views and "c" not in views
+
+
+def test_lakehouse_sql_respects_access_level(spark, lake, tmp_path):
+    lh = Lakehouse(tmp_path / "lake2")
+    t = lh.create_table({
+        "name": "gov", "namespace": "lakehouse",
+        "columns": [
+            {"name": "k", "type": "long"},
+            {"name": "pii", "type": "string", "access_level": "restricted"},
+        ],
+    })
+    t.append(spark.createDataFrame([(1, "x")], "k LONG, pii STRING"))
+    out = lh.sql(spark, "SELECT * FROM gov", access_level="reader")
+    assert out.columns == ["k"]

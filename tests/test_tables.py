@@ -2089,6 +2089,78 @@ def test_register_row_policies_filter_in_sql(spark, gov_table):
     assert [r.event_type for r in rows] == ["a"]
 
 
+def test_register_follow_head_serves_post_commit_state(spark, tmp_path):
+    """Athena's contract: a registered view reads the table's CURRENT
+    committed state. follow_head=True re-registers on every commit —
+    appends, MoR deletes, and overwrites all become visible to spark.sql
+    without a manual re-register."""
+    t = SnapTable.create(
+        tmp_path / "fh",
+        {
+            "name": "fh", "namespace": "lakehouse",
+            "columns": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+            "identifier_fields": ["event_id"],
+        },
+    )
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)],
+        "event_id LONG, event_type STRING, value DOUBLE",
+    ))
+    t.register(spark, name="fh_events", follow_head=True,
+               metadata_tables=False)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_events").first().n == 20
+    t.append(spark.createDataFrame(
+        [(100, "c", 1.0), (101, "c", 2.0)],
+        "event_id LONG, event_type STRING, value DOUBLE",
+    ))
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_events").first().n == 22
+    # the MoR path: an equality-delete commit must also surface
+    t.delete_where(spark, "event_type = 'c'", mode="mor")
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_events").first().n == 20
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM fh_events WHERE event_type = 'c'"
+    ).first().n == 0
+    # unregister stops tracking and drops the view
+    t.unregister(spark, "fh_events")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT COUNT(*) FROM fh_events").collect()
+    t.append(spark.createDataFrame(
+        [(102, "d", 3.0)],
+        "event_id LONG, event_type STRING, value DOUBLE",
+    ))  # must not warn or resurrect the dropped view
+
+
+def test_register_follow_head_keeps_governance_on_refresh(spark, gov_table):
+    """Each refresh re-applies the reader column drop and row policies —
+    a commit must never widen what the view exposes."""
+    gov_table.register(
+        spark, name="fh_gov", access_level="reader",
+        row_policies={"only_a": "event_type = 'a'"}, follow_head=True,
+        metadata_tables=False,
+    )
+    gov_table.append(spark.createDataFrame(
+        [(200, 9, "a", 5.0), (201, 9, "b", 6.0)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    out = spark.sql("SELECT * FROM fh_gov")
+    assert "user_id" not in out.columns
+    assert {r.event_type for r in out.collect()} == {"a"}
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_gov").first().n == 11
+
+
+def test_register_follow_head_excludes_time_travel(spark, gov_table):
+    pre = gov_table.current_snapshot()["snapshot_id"]
+    with pytest.raises(ValueError, match="follow_head"):
+        gov_table.register(spark, name="fh_bad", snapshot_id=pre,
+                           follow_head=True)
+
+
 def test_register_time_travel_view(spark, gov_table):
     pre = gov_table.current_snapshot()["snapshot_id"]
     gov_table.append(spark.createDataFrame(
