@@ -95,3 +95,52 @@ def weighted_sample(
             .filter(F.col("sample_rank") <= k)
         )
     return eligible.orderBy(pri, F.col(id_col)).limit(k)
+
+
+def assign_training_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    with_position: bool = False,
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export — the last
+    mile of a pretraining pipeline: split the curated corpus into
+    ``n_shards`` reproducibly pseudo-random shards a distributed trainer
+    streams independently. Adds ``shard`` (0-based).
+
+    ``shard = id_hash(id) % n_shards``: hash-mod is the 100 TB answer —
+    expected-balanced with deviation O(sqrt(n/shards)), zero global
+    coordination, stable under repartitioning, and portable to any SQL
+    engine (the oracle replays it). An EXACTLY-balanced split
+    (ntile/global row_number) needs a total ordering — a single-task
+    sort bottleneck — for ±O(sqrt) less imbalance than training ever
+    notices.
+
+    ``with_position=True`` adds ``shard_pos`` (1-based rank in
+    ``(id_hash, id)`` order within the shard): a sequential reader of one
+    shard then sees a reproducibly pre-shuffled sample stream with no
+    global shuffle anywhere — one window per shard, external-sort
+    spillable; size shards to task memory by choosing ``n_shards``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    out = df.withColumn("shard", (id_hash(id_col) % F.lit(n_shards)).cast("long"))
+    if with_position:
+        w = W.partitionBy("shard").orderBy(id_hash(id_col), F.col(id_col))
+        out = out.withColumn("shard_pos", F.row_number().over(w))
+    return out
+
+
+def shard_manifest(df: DataFrame, n_shards: int, id_col: str) -> DataFrame:
+    """Per-shard manifest of a training export: row count and id-range
+    per shard (what a trainer's data loader checks before a run). One
+    hash-partitioned aggregation; no sort, no window."""
+    return (
+        assign_training_shards(df, n_shards, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )

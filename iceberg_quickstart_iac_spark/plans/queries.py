@@ -130,9 +130,12 @@ _GATE_PRIORITY: list[str] = [
     "semantic_dedup_cells_gemm",
     "user_sessions",
     "weighted_doc_sample",
-    # round-8 additions (VERDICT r7 next #3/#4): need their FIRST driver row
+    # round-8 additions: need their FIRST driver row (VERDICT r7 next
+    # #3/#4 plus the changelog front-door view and training-shard export)
     "sql_view_follows_head",
     "time_travel_sql_named_query",
+    "changelog_sql_view",
+    "training_shard_stats",
     # then the r6-certified queries (2 rounds old) — lifecycle/serving
     # queries first since they exercise the code this round changes
     # (register follow-head, ANN serving path, verify_integrity
@@ -171,9 +174,7 @@ _GATE_PRIORITY: list[str] = [
     "packed_context_windows",
     "partitioned_table_pruning",
     "pseudonymized_user_activity",
-    "q11_top_nation_share",
-    "q12_shipmode_priority",
-    # the 14 remaining r6-certified queries (q15…q9 TPC-H block) don't fit
+    # the 16 remaining r6-certified queries (q11…q9 TPC-H block) don't fit
     # the 50-slot gate; they rotate to the r9 lead and stay covered by the
     # pytest oracle replay meanwhile.
 ]
@@ -6383,6 +6384,117 @@ def time_travel_sql_named_query(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON cur.o_orderstatus = v1.o_orderstatus
         ORDER BY cur.o_orderstatus
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog through the SQL front door (round 8): read_changes (Delta CDF /
+# Iceberg changelog-scan analog, tables/snapstore.py::read_changes)
+# registers as a <name>__changes view, so "what changed since the last
+# publish" is a plain SQL GROUP BY — the audit query a downstream consumer
+# runs before accepting a new version. The overwrite here both deletes
+# (every 5th key) and inserts (a new key range); UPDATE pairs would
+# surface as delete+insert.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "changelog_sql_view",
+    oracle="""
+    SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey < 1500 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 1800
+    ORDER BY change_type
+    """,
+)
+def changelog_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1800
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="clview_") + "/orders_cl",
+        {
+            "name": "orders_cl",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        },
+    )
+    t.overwrite(orders.filter(F.col("o_orderkey") < 1500))
+    v1 = t.current_snapshot()["snapshot_id"]
+    # the next publish drops every 5th key and lands a new key range
+    t.overwrite(
+        orders.filter(
+            ((F.col("o_orderkey") < 1500) & (F.col("o_orderkey") % 5 != 0))
+            | (F.col("o_orderkey") >= 1500)
+        )
+    )
+    t.register_changes(spark, from_snapshot_id=v1, name="orders_cl")
+    return spark.sql(
+        """
+        SELECT _change_type AS change_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_cl__changes
+        GROUP BY _change_type
+        ORDER BY change_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export (round 8; the LLM pipeline's last mile,
+# operators/sampling.py::assign_training_shards / shard_manifest):
+# deterministic hash-mod sharding of the curated corpus into trainer
+# streams — expected-balanced, zero global coordination, engine-portable
+# (the oracle replays the exact Knuth arithmetic), with a per-shard
+# manifest a data loader validates before a run.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "training_shard_stats",
+    oracle="""
+    SELECT CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        assign_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_training_shards(docs, n_shards=8, id_col="doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("shard")
     )
 
 

@@ -2084,13 +2084,60 @@ class SnapTable:
         )
         return base
 
+    def register_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str,
+        to_snapshot_id: str | None = None,
+        name: str | None = None,
+        access_level: str = "admin",
+        row_policies: dict[str, str] | None = None,
+    ) -> str:
+        """Register the row-level changelog between two snapshots
+        (:meth:`read_changes` — Delta CDF / Iceberg changelog-scan
+        analog) as a SQL view ``<name>__changes``: the front-door shape
+        of "what changed since the last publish", queryable with plain
+        SQL next to the head and time-travel views. Governance applies to
+        the changelog exactly as to reads — a reader's restricted columns
+        are dropped from the change rows inside the view plan, and row
+        policies filter both the insert and delete sides (a reader must
+        not learn a restricted row existed by seeing its delete). The
+        view pins the two snapshots resolved here; changelogs are
+        interval-valued, so there is no follow-head mode."""
+        from iceberg_quickstart_iac_spark.governance.access import (
+            read_with_access_level,
+            read_with_row_policies,
+        )
+
+        base = (name or self.meta["name"]) + "__changes"
+        df = self.read_changes(spark, from_snapshot_id, to_snapshot_id)
+        df = read_with_access_level(
+            df, self.meta, access_level, table=self.fq_name
+        )
+        df = read_with_row_policies(
+            df, row_policies or {}, access_level, table=self.fq_name
+        )
+        df.createOrReplaceTempView(base)
+        log_audit_event(
+            "table_registered",
+            self.fq_name,
+            details={
+                "view": base,
+                "access_level": str(access_level),
+                "changelog": True,
+                "from_snapshot": from_snapshot_id,
+                "to_snapshot": to_snapshot_id,
+            },
+        )
+        return base
+
     def unregister(self, spark: SparkSession, name: str | None = None) -> None:
         """Drop a registration's views and, if it was follow-head, stop
         tracking commits for it."""
         base = name or self.meta["name"]
         _HEAD_REGISTRATIONS.get(str(self.root), {}).pop(base, None)
         for suffix in ("", "__snapshots", "__files", "__partitions",
-                       "__delete_files", "__refs"):
+                       "__delete_files", "__refs", "__changes"):
             spark.catalog.dropTempView(base + suffix)
 
     def _refresh_head_registrations(self) -> None:

@@ -869,3 +869,71 @@ def test_near_dup_clusters_driver_path_never_collects_ids(spark):
         for r in out.filter("doc_id IN (1, 7, 42, 500, 501, 9999)").collect()
     }
     assert got == {1: 1, 7: 1, 42: 1, 500: 500, 501: 500, 9999: 9999}
+
+
+# --- training shards --------------------------------------------------------
+
+
+def test_assign_training_shards_deterministic_and_partition_independent(
+    spark, sf_dir
+):
+    """Shard assignment is a pure function of the id: stable across
+    repartitionings, covers all shards, and is expected-balanced."""
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        KNUTH, MOD32, assign_training_shards,
+    )
+    from iceberg_quickstart_iac_spark.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {
+        r.doc_id: r.shard
+        for r in assign_training_shards(docs, 8, "doc_id").collect()
+    }
+    b = {
+        r.doc_id: r.shard
+        for r in assign_training_shards(
+            docs.repartition(3), 8, "doc_id"
+        ).collect()
+    }
+    assert a == b
+    # engine-portable arithmetic: python replays the exact assignment
+    assert all(s == (d * KNUTH) % MOD32 % 8 for d, s in a.items())
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) == set(range(8))
+    # hash-mod balance: no shard more than 2x the mean (n/8 with n>=600)
+    mean = len(a) / 8
+    assert max(counts.values()) < 2 * mean and min(counts.values()) > mean / 2
+
+
+def test_shard_position_is_a_reproducible_shuffle(spark, sf_dir):
+    """with_position gives each shard a deterministic pre-shuffled read
+    order: dense 1..n_rows per shard, identical across runs, and NOT the
+    id order (it is a shuffle)."""
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        assign_training_shards, shard_manifest,
+    )
+    from iceberg_quickstart_iac_spark.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_training_shards(docs, 4, "doc_id", with_position=True)
+    rows = out.collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.shard_pos, r.doc_id))
+    for shard, pairs in by_shard.items():
+        pairs.sort()
+        assert [p for p, _ in pairs] == list(range(1, len(pairs) + 1))
+        ids_in_pos_order = [d for _, d in pairs]
+        assert ids_in_pos_order != sorted(ids_in_pos_order)  # shuffled
+    again = {
+        (r.shard, r.doc_id): r.shard_pos
+        for r in assign_training_shards(
+            docs.repartition(5), 4, "doc_id", with_position=True
+        ).collect()
+    }
+    assert all(again[(r.shard, r.doc_id)] == r.shard_pos for r in rows)
+    # manifest agrees with the assignment
+    man = {r.shard: r.n_rows for r in shard_manifest(docs, 4, "doc_id").collect()}
+    assert man == {s: len(p) for s, p in by_shard.items()}

@@ -387,7 +387,12 @@ def test_partition_scoped_compact_matches_model_under_random_interleavings(
     read back exactly what a dict model says. Catches subpath-reference
     mistakes (kept leaves losing their intro sequence or epoch; a scoped
     rewrite un-applying a delete for cold partitions; retire-check
-    retiring a delete file whose debt lives elsewhere)."""
+    retiring a delete file whose debt lives elsewhere).
+
+    A follow-head SQL registration rides along: after EVERY commit type
+    the registered view must serve exactly the model too (round 8 —
+    pins that _refresh_head_registrations fires on every commit path,
+    not just append)."""
     import random
 
     from iceberg_quickstart_iac_spark.tables import SnapTable
@@ -418,6 +423,8 @@ def test_partition_scoped_compact_matches_model_under_random_interleavings(
         t.append(rows_df(first))
         model.update({k: (g, v) for k, g, v in first})
         next_k = 9
+        t.register(spark, name=f"pm_fh{seed}", follow_head=True,
+                   metadata_tables=False)
 
         for step in range(14):
             op = rng.choice(
@@ -463,7 +470,16 @@ def test_partition_scoped_compact_matches_model_under_random_interleavings(
             assert got == want, (
                 f"seed={seed} step={step} op={op}: {got ^ want}"
             )
+            via_sql = {
+                (r.k, r.g, r.v)
+                for r in spark.sql(f"SELECT * FROM pm_fh{seed}").collect()
+            }
+            assert via_sql == want, (
+                f"seed={seed} step={step} op={op} (follow-head view): "
+                f"{via_sql ^ want}"
+            )
         assert t.verify_integrity()["ok"]
+        t.unregister(spark, f"pm_fh{seed}")
 
 
 def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):

@@ -2154,6 +2154,33 @@ def test_register_follow_head_keeps_governance_on_refresh(spark, gov_table):
     assert spark.sql("SELECT COUNT(*) AS n FROM fh_gov").first().n == 11
 
 
+def test_register_changes_serves_governed_changelog_sql(spark, gov_table):
+    """read_changes through the front door: <name>__changes serves the
+    insert/delete rows between two snapshots as SQL, with reader
+    governance applied to the CHANGE rows (a reader must not learn a
+    restricted value from a delete row)."""
+    v1 = gov_table.current_snapshot()["snapshot_id"]
+    gov_table.append(spark.createDataFrame(
+        [(100, 7, "c", 1.0)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    base = gov_table.register_changes(
+        spark, from_snapshot_id=v1, name="fd_delta", access_level="reader"
+    )
+    assert base == "fd_delta__changes"
+    rows = spark.sql(
+        "SELECT _change_type, event_id FROM fd_delta__changes"
+    ).collect()
+    assert [(r._change_type, r.event_id) for r in rows] == [("insert", 100)]
+    assert "user_id" not in spark.sql("SELECT * FROM fd_delta__changes").columns
+    # unregister drops the changes view alongside the others
+    gov_table.unregister(spark, "fd_delta")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM fd_delta__changes").collect()
+
+
 def test_register_follow_head_excludes_time_travel(spark, gov_table):
     pre = gov_table.current_snapshot()["snapshot_id"]
     with pytest.raises(ValueError, match="follow_head"):
