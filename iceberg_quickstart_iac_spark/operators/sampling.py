@@ -97,6 +97,38 @@ def weighted_sample(
     return eligible.orderBy(pri, F.col(id_col)).limit(k)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    k: int,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the Gopher / LLaMA data-recipe
+    op): draw ``k`` rows so each source's expected share of the sample is
+    proportional to ``n_source^alpha`` — ``alpha=1`` reproduces natural
+    frequency, ``alpha=0`` equalizes sources, values between down-weight
+    a dominant crawl without dropping it.
+
+    Mechanics: a per-row weight ``n_source^(alpha-1)`` (one tiny
+    broadcast-joined count aggregate — |sources| rows), then the
+    deterministic Efraimidis–Spirakis draw (:func:`weighted_sample`):
+    source mass ∝ n_s · n_s^(alpha-1) = n_s^alpha. Inherits E-S's
+    without-replacement exactness, partition independence, and
+    engine-portable arithmetic (the oracle replays it); plans a
+    broadcast join + TakeOrderedAndProject — no global sort, no skew
+    (the weight varies per SOURCE, the heap per partition).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_source"))
+    weighted = df.join(F.broadcast(counts), source_col).withColumn(
+        "_mix_w",
+        F.pow(F.col("_n_source").cast("double"), F.lit(alpha - 1.0)),
+    )
+    return weighted_sample(weighted, "_mix_w", k, id_col).drop(
+        "_mix_w", "_n_source"
+    )
+
+
 def assign_training_shards(
     df: DataFrame,
     n_shards: int,
@@ -124,7 +156,12 @@ def assign_training_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    out = df.withColumn("shard", (id_hash(id_col) % F.lit(n_shards)).cast("long"))
+    # pmod, not %: Spark's % follows the dividend's sign, so a NEGATIVE id
+    # would land in a negative "shard" (and disagree with Python's %).
+    # For non-negative ids pmod == %, which is what the SQL oracle replays.
+    out = df.withColumn(
+        "shard", F.pmod(id_hash(id_col), F.lit(n_shards)).cast("long")
+    )
     if with_position:
         w = W.partitionBy("shard").orderBy(id_hash(id_col), F.col(id_col))
         out = out.withColumn("shard_pos", F.row_number().over(w))

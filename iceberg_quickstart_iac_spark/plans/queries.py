@@ -136,6 +136,7 @@ _GATE_PRIORITY: list[str] = [
     "time_travel_sql_named_query",
     "changelog_sql_view",
     "training_shard_stats",
+    "temperature_mixture_sample",
     # then the r6-certified queries (2 rounds old) — lifecycle/serving
     # queries first since they exercise the code this round changes
     # (register follow-head, ANN serving path, verify_integrity
@@ -173,10 +174,9 @@ _GATE_PRIORITY: list[str] = [
     "near_dup_minhash_pairs",
     "packed_context_windows",
     "partitioned_table_pruning",
-    "pseudonymized_user_activity",
-    # the 16 remaining r6-certified queries (q11…q9 TPC-H block) don't fit
-    # the 50-slot gate; they rotate to the r9 lead and stay covered by the
-    # pytest oracle replay meanwhile.
+    # the 17 remaining r6-certified queries (pseudonymized_user_activity +
+    # the q11…q9 TPC-H block) don't fit the 50-slot gate; they rotate to
+    # the r9 lead and stay covered by the pytest oracle replay meanwhile.
 ]
 
 
@@ -4319,6 +4319,45 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weighted_sample(docs, "n_chars", 500, "doc_id")
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (round 8; the Gopher/LLaMA data-recipe
+# op, operators/sampling.py::temperature_mixture_sample): sample so each
+# group's share ∝ n^alpha — alpha=0.5 down-weights the dominant language
+# without dropping it. Per-row weight n_lang^(alpha-1) from one broadcast
+# count join, then the deterministic E-S draw; the oracle replays the
+# window count + priority arithmetic exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             -ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                 / 4294967296.0)
+               / pow(CAST(COUNT(*) OVER (PARTITION BY lang) AS DOUBLE),
+                     -0.5) AS pri
+      FROM documents
+      ORDER BY pri, doc_id
+      LIMIT 200
+    )
+    ORDER BY doc_id
+    """,
+)
+def temperature_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mixture_sample(docs, "lang", 200, "doc_id", alpha=0.5)
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     )
 

@@ -54,9 +54,9 @@ class Lakehouse:
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
-        # lazy SQL front door: view name -> (access_level, with_metadata)
-        # already registered by sql() in this process
-        self._sql_registry: dict[str, tuple[str, bool]] = {}
+        # lazy SQL front door: view name -> (access_level, with_metadata,
+        # head_sequence) already registered by sql() in this process
+        self._sql_registry: dict[str, tuple[str, bool, int]] = {}
 
     # -- tables ------------------------------------------------------------
 
@@ -110,9 +110,12 @@ class Lakehouse:
         ``__snapshots``/``__files``/… metadata views — those register
         only when actually named, so footer-stat builds are never paid
         unreferenced), registers the hits once with ``follow_head=True``
-        (commits through this process auto-refresh the views, so the
-        cache never serves a stale head), and memoizes per view name —
-        repeat statements against the same tables re-register nothing.
+        (commits through this process auto-refresh the views), and
+        memoizes per view name — repeat statements against the same
+        tables re-register nothing. The memo also pins each table's head
+        SEQUENCE via a filename-only probe, so a commit made by ANOTHER
+        process re-registers on the next statement: this path can never
+        serve a stale head.
 
         Name matching is identifier-token based: a table whose name only
         appears inside a string literal registers harmlessly; a table
@@ -122,26 +125,47 @@ class Lakehouse:
         import re
 
         tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
-        for name in self.list_tables():
-            wants_md = any(name + s in tokens for s in self._MD_SUFFIXES)
-            if name not in tokens and not wants_md:
-                continue
-            t = self.table(name)
-            if t.current_snapshot() is None:
-                continue
-            prev = self._sql_registry.get(name)
-            with_md = wants_md or (prev[1] if prev else False)
-            want = (str(access_level), with_md)
-            if prev != want:
-                t.register(
-                    spark,
-                    name=name,
-                    access_level=access_level,
-                    metadata_tables=with_md,
-                    follow_head=True,
-                )
-                self._sql_registry[name] = want
-        return spark.sql(statement)
+
+        def ensure_registered() -> None:
+            for name in self.list_tables():
+                wants_md = any(name + s in tokens for s in self._MD_SUFFIXES)
+                if name not in tokens and not wants_md:
+                    continue
+                t = self.table(name)
+                # filename-only head probe: follow_head refreshes commits
+                # made IN this process, but a commit from another process
+                # never fires our registry — the probe (one directory
+                # listing, no reads) catches it per statement
+                head = t.head_sequence()
+                if head is None:
+                    continue
+                prev = self._sql_registry.get(name)
+                with_md = wants_md or (prev[1] if prev else False)
+                want = (str(access_level), with_md, head)
+                if prev != want:
+                    t.register(
+                        spark,
+                        name=name,
+                        access_level=access_level,
+                        metadata_tables=with_md,
+                        follow_head=True,
+                    )
+                    self._sql_registry[name] = want
+
+        ensure_registered()
+        try:
+            return spark.sql(statement)
+        except Exception:
+            # the memo can go stale if a view was dropped behind our back
+            # (manual unregister / new session): forget it, re-register the
+            # referenced tables once, and let a real error re-raise
+            for name in list(self._sql_registry):
+                if name in tokens or any(
+                    name + s in tokens for s in self._MD_SUFFIXES
+                ):
+                    self._sql_registry.pop(name, None)
+            ensure_registered()
+            return spark.sql(statement)
 
     # -- catalog branches --------------------------------------------------
 

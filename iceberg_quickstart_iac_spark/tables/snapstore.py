@@ -325,6 +325,16 @@ _ORC_SKIP_WARNED: set[Path] = set()
 _HEAD_REGISTRATIONS: dict[str, dict[str, dict]] = {}
 
 
+def _head_reg_key(root: Path) -> str:
+    """Registry key for a table root: resolved, so two SnapTable handles
+    opened through different path spellings (relative vs absolute, via a
+    symlinked warehouse) refresh each other's registrations."""
+    try:
+        return str(Path(root).resolve())
+    except OSError:
+        return str(root)
+
+
 def _footer_stats_match(f: Path, filters: list[tuple]) -> bool:
     """Can any row group of parquet file ``f`` satisfy every conjunct in
     ``filters``? Footer statistics only — no data read. Conservative:
@@ -534,6 +544,16 @@ class SnapTable:
     def current_snapshot(self) -> dict | None:
         entries = self._entries()
         return entries[-1] if entries else None
+
+    def head_sequence(self) -> int | None:
+        """Sequence of the newest committed entry in THIS log dir — a
+        filename-only probe (no entry reads, one directory listing): the
+        cheap staleness check the lazy SQL front door polls per statement
+        to notice commits made by OTHER processes. On a branch view this
+        probes the branch-local log only (None until the branch's first
+        own commit)."""
+        seqs = [int(p.stem) for p in self.log_dir.glob(self._LOG_GLOB)]
+        return max(seqs) if seqs else None
 
     def _commit(self, build_entry, retries: int | None = None) -> dict:
         """Atomic commit: write temp file, link into the next sequence slot.
@@ -2064,7 +2084,7 @@ class SnapTable:
             )
             self.refs(spark).createOrReplaceTempView(f"{base}__refs")
         if follow_head:
-            _HEAD_REGISTRATIONS.setdefault(str(self.root), {})[base] = {
+            _HEAD_REGISTRATIONS.setdefault(_head_reg_key(self.root), {})[base] = {
                 "table": self,
                 "spark": spark,
                 "access_level": access_level,
@@ -2135,7 +2155,7 @@ class SnapTable:
         """Drop a registration's views and, if it was follow-head, stop
         tracking commits for it."""
         base = name or self.meta["name"]
-        _HEAD_REGISTRATIONS.get(str(self.root), {}).pop(base, None)
+        _HEAD_REGISTRATIONS.get(_head_reg_key(self.root), {}).pop(base, None)
         for suffix in ("", "__snapshots", "__files", "__partitions",
                        "__delete_files", "__refs", "__changes"):
             spark.catalog.dropTempView(base + suffix)
@@ -2147,7 +2167,7 @@ class SnapTable:
         a commit on either never serves the other's rows."""
         import warnings
 
-        specs = _HEAD_REGISTRATIONS.get(str(self.root), {})
+        specs = _HEAD_REGISTRATIONS.get(_head_reg_key(self.root), {})
         for base, spec in list(specs.items()):
             try:
                 spec["table"].register(
@@ -3167,7 +3187,11 @@ class SnapTable:
                 or child.name in ref_subs
             ):
                 continue
-            if child.stat().st_mtime * 1000 > older_than_ms:
+            # truncate mtime to ms the same way _now_ms truncates: the raw
+            # float keeps fractional milliseconds, so a dir created within
+            # the same millisecond as the cutoff would compare as "newer
+            # than now" and flakily survive a grace_ms=0 sweep
+            if int(child.stat().st_mtime * 1000) > older_than_ms:
                 continue
             shutil.rmtree(child)
             removed.append(child.name)

@@ -937,3 +937,49 @@ def test_shard_position_is_a_reproducible_shuffle(spark, sf_dir):
     # manifest agrees with the assignment
     man = {r.shard: r.n_rows for r in shard_manifest(docs, 4, "doc_id").collect()}
     assert man == {s: len(p) for s, p in by_shard.items()}
+
+
+def test_temperature_mixture_sample_rebalances_sources(spark):
+    """alpha<1 must shift sample mass from the dominant source toward the
+    tail: with a 900/90/10 corpus and alpha=0, expected mass equalizes
+    (within sampling noise); alpha=1 reproduces natural frequency."""
+    from collections import Counter
+
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i, "mid") for i in range(900, 990)]
+        + [(i, "small") for i in range(990, 1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    flat = Counter(
+        r.source
+        for r in temperature_mixture_sample(
+            df, "source", 60, "doc_id", alpha=0.0
+        ).collect()
+    )
+    natural = Counter(
+        r.source
+        for r in temperature_mixture_sample(
+            df, "source", 60, "doc_id", alpha=1.0
+        ).collect()
+    )
+    # natural frequency keeps the 90/9/1 skew
+    assert natural["big"] > 45 and natural["small"] <= 3
+    # alpha=0 equalizes: the tail source is fully included (only 10 docs)
+    # and the dominant source loses most of its share
+    assert flat["small"] == 10
+    # equalized mass: big and mid converge to ~25 each (vs 54/5 natural)
+    assert flat["big"] < 35 and flat["mid"] > 15
+    # exact-k, without replacement, deterministic
+    assert sum(flat.values()) == 60 == sum(natural.values())
+    again = Counter(
+        r.source
+        for r in temperature_mixture_sample(
+            df.repartition(7), "source", 60, "doc_id", alpha=0.0
+        ).collect()
+    )
+    assert again == flat

@@ -258,3 +258,41 @@ def test_lakehouse_sql_respects_access_level(spark, lake, tmp_path):
     t.append(spark.createDataFrame([(1, "x")], "k LONG, pii STRING"))
     out = lh.sql(spark, "SELECT * FROM gov", access_level="reader")
     assert out.columns == ["k"]
+
+
+def test_named_queries_run_through_lazy_front_door(spark, lake):
+    """The reference's Athena named-query set runs against the catalog
+    with ZERO manual registration: Lakehouse.sql sees the metadata-view
+    token in the rendered statement and registers table + views lazily."""
+    from iceberg_quickstart_iac_spark.templates.ddl import named_queries
+
+    spark.catalog.dropTempView("b")
+    spark.catalog.dropTempView("b__snapshots")
+    nq = named_queries(_tpl("b"))
+    rows = lake.sql(spark, nq["snapshot-history-b"]).collect()
+    assert len(rows) == 1 and rows[0].operation == "append"
+
+
+def test_lakehouse_sql_recovers_from_stale_memo(spark, lake):
+    """A view dropped behind the memo's back (manual unregister, another
+    session) must not poison sql() forever — it forgets and re-registers
+    once."""
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM c").first().n == 1
+    lake.table("c").unregister(spark, "c")
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM c").first().n == 1
+
+
+def test_lakehouse_sql_sees_other_process_commits(spark, lake):
+    """The memo pins the head SEQUENCE via a filename-only probe, so a
+    commit this process's follow-head registry never saw (another
+    writer process) still re-registers on the next statement."""
+    from iceberg_quickstart_iac_spark.tables import snapstore
+
+    n0 = lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n
+    # simulate the other-process commit: the on-disk log moves but OUR
+    # follow-head registry never fires
+    snapstore._HEAD_REGISTRATIONS.clear()
+    lake.table("a").append(
+        spark.createDataFrame([(99, "ext")], "k LONG, v STRING")
+    )
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == n0 + 1
