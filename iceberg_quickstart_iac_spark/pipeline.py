@@ -74,6 +74,7 @@ def materialize(
     register_view: bool = False,
     register_access_level: str = "reader",
     register_metadata_tables: bool | None = None,
+    register_follow_head: bool = False,
 ) -> Materialization:
     """Materialize one table from its template (the "asset run").
 
@@ -127,11 +128,15 @@ def materialize(
     entry = table.append(df) if mode == "append" else table.overwrite(df)
 
     if register_view:
+        # follow_head keeps the view current across LATER commits too
+        # (incremental appends after this run) — without it the view pins
+        # this materialization's snapshot until the next register
         table.register(
             spark,
             name=name,
             access_level=register_access_level,
             metadata_tables=register_metadata_tables,
+            follow_head=register_follow_head,
         )
 
     return Materialization(

@@ -226,12 +226,31 @@ def wl_pq_adc(spark, sf_dir: str, factor: int) -> int:
     return pq_adc_topk(encoded, books, queries, k=10).count()
 
 
+def wl_training_shards(spark, sf_dir: str, factor: int) -> int:
+    """X30 shard export at corpus scale: assignment + per-shard position +
+    manifest over the replicated documents table. Shard count scales with
+    the factor (constant expected shard size — the export contract)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        assign_training_shards,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = assign_training_shards(
+        docs.select("doc_id", "source"), 64 * factor, "doc_id",
+        with_position=True,
+    )
+    return out.groupBy("shard").agg(F.max("shard_pos").alias("n")).count()
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
     "embedding_ann_ivf": wl_ann_ivf,
     "semantic_dedup_cells": wl_semantic_dedup,
     "embedding_pq_adc": wl_pq_adc,
+    "training_shards": wl_training_shards,
 }
 
 

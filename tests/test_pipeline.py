@@ -247,3 +247,30 @@ def test_materialize_register_metadata_tables_opt_in_redacts(spark, tmp_path):
     ]
     assert bounds and all("secret" not in b for b in bounds)
     assert any("id" in b for b in bounds)  # non-restricted bounds survive
+
+
+def test_materialize_register_follow_head_tracks_appends(spark, tmp_path):
+    """register_follow_head=True: the view a materialization registers
+    keeps serving the head across later append runs (mode='append'
+    ingest cadence) without re-registering."""
+    from iceberg_quickstart_iac_spark.pipeline import materialize
+
+    tpl = {
+        "name": "reg_fh", "namespace": "lakehouse",
+        "partition_spec": [],
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "label", "type": "string"},
+        ],
+    }
+    df1 = spark.createDataFrame([(1, "a")], "id LONG, label STRING")
+    materialize(spark, tpl, tmp_path / "wh", df=df1, register_view=True,
+                register_follow_head=True)
+    assert spark.sql("SELECT COUNT(*) AS n FROM reg_fh").first().n == 1
+    df2 = spark.createDataFrame([(2, "b")], "id LONG, label STRING")
+    # a later run through the TABLE api (not materialize) must surface too
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    t = SnapTable.load(tmp_path / "wh" / "lakehouse" / "reg_fh")
+    t.append(df2)
+    assert spark.sql("SELECT COUNT(*) AS n FROM reg_fh").first().n == 2

@@ -196,3 +196,45 @@ def test_incremental_dedup_plans_anti_join_with_pruned_store(spark, sf_dir_small
         if "ReadSchema" in ln and "doc_id:bigint,text:string>" in ln
     ]
     assert store_scans, plan
+
+
+def test_training_shards_plan_is_one_partial_final_agg_no_window(
+    spark, sf_dir_small
+):
+    """Shard stats must plan as a single scan -> partial+final hash agg on
+    the derived shard key: no window (global or per-shard), no join — the
+    zero-coordination contract the operator advertises."""
+    p = _plan(spark, queries()["training_shard_stats"](spark, sf_dir_small))
+    assert p.count("HashAggregate") >= 2  # map-side combine
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_temperature_mixture_plans_broadcast_count_and_topk_heap(
+    spark, sf_dir_small
+):
+    """The mixing weight comes from a BROADCAST-joined per-source count
+    (|sources| rows — never a shuffle join), and the k-smallest draw is a
+    TakeOrderedAndProject heap, not a global sort."""
+    p = _plan(
+        spark, queries()["temperature_mixture_sample"](spark, sf_dir_small)
+    )
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_shard_position_window_is_per_shard_not_global(spark, sf_dir_small):
+    """with_position partitions its window BY SHARD — an unpartitioned
+    window would serialize the corpus through one task."""
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        assign_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir_small, "documents").select("doc_id")
+    p = _plan(spark, assign_training_shards(docs, 8, "doc_id", with_position=True))
+    assert "Window" in p
+    # the window's partition spec names the shard key (no empty PartitionBy)
+    win = [ln for ln in p.splitlines() if "Window" in ln or "windowspecdefinition" in ln]
+    assert any("shard" in ln for ln in win), win
