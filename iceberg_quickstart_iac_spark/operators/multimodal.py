@@ -291,3 +291,193 @@ def parse_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             F.length(c).cast("long").alias("n_bytes"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL sample/pixel decode for the codec-FREE formats (round 8). RIFF/WAVE
+# PCM and uncompressed 24-bit BMP are containers, not codecs: their payloads
+# decode with byte arithmetic + one numpy frombuffer — no Pillow/torchaudio.
+# This moves the stub boundary inward again: only COMPRESSED codecs
+# (JPEG pixels, MP3/AAC samples, video) still raise the real-decoder error.
+# Stats are INTEGER-exact (peak, sum of squared samples, channel sums) so
+# an engine-portable oracle can replay them without float-order hazards.
+# ---------------------------------------------------------------------------
+
+
+def build_pcm_wav(
+    samples: list[int], sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Canonical 16-bit PCM RIFF/WAVE bytes from integer samples
+    (interleaved when channels > 1) — the synthesis half tests and
+    fixtures use; the decode half is :func:`decode_wav_samples`."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _parse_wav_pcm(b: bytes | None) -> tuple | None:
+    """(n_channels, sample_rate, n_samples, peak, sum_sq) from PCM WAV
+    bytes; None for non-WAV; NotImplementedError for compressed formats."""
+    import numpy as np
+
+    if b is None or len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = b[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        _require_real_decoder(f"audio (WAVE format tag {audio_format})")
+    if bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+            np.int64
+        )
+    elif bits == 8:
+        arr = np.frombuffer(data, dtype="u1").astype(np.int64) - 128
+    else:
+        _require_real_decoder(f"audio ({bits}-bit PCM)")
+    n_samples = len(arr) // max(channels, 1)
+    peak = int(np.max(np.abs(arr))) if len(arr) else 0
+    sum_sq = int(np.sum(arr * arr)) if len(arr) else 0
+    return (channels, rate, n_samples, peak, sum_sq)
+
+
+def decode_wav_samples(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL PCM sample decode, Arrow-batched: walk the RIFF chunk list,
+    read fmt, frombuffer the data chunk. Integer-exact per-media stats
+    (peak amplitude, sum of squared samples) so a SQL oracle can replay
+    the decode. Compressed WAVE payloads (format tag != 1) raise the
+    real-decoder error — honestly, not silently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_wav_pcm(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_channels": [p[0] if p else None for p in parsed],
+                    "sample_rate": [p[1] if p else None for p in parsed],
+                    "n_samples": [p[2] if p else None for p in parsed],
+                    "peak": [p[3] if p else None for p in parsed],
+                    "sum_sq": [p[4] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_channels long, sample_rate long, "
+            "n_samples long, peak long, sum_sq long"
+        ),
+    )
+
+
+def build_bmp(pixels) -> bytes:
+    """Canonical bottom-up 24-bit uncompressed BMP from an HxWx3 RGB
+    array-like of 0-255 ints."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR, bottom-up
+        for y in range(h - 1, -1, -1)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def _parse_bmp_pixels(b: bytes | None) -> tuple | None:
+    """(width, height, sum_r, sum_g, sum_b) from 24-bit uncompressed BMP
+    bytes; None for non-BMP; NotImplementedError for compressed/other
+    depths."""
+    import numpy as np
+
+    if b is None or len(b) < 54 or b[0:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        _require_real_decoder(f"image (BMP bpp={bpp} compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    if len(b) < off + stride * h:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows.astype(np.int64).sum(axis=(0, 1))  # file order is BGR
+    return (w, h, int(bgr[2]), int(bgr[1]), int(bgr[0]))
+
+
+def decode_bmp_pixels(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL pixel decode for uncompressed 24-bit BMP, Arrow-batched:
+    header arithmetic + one frombuffer/reshape (stride-padded, bottom-up
+    or top-down). Integer-exact per-channel sums; compressed or other
+    bit depths raise the real-decoder error."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_bmp_pixels(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [p[0] if p else None for p in parsed],
+                    "height": [p[1] if p else None for p in parsed],
+                    "sum_r": [p[2] if p else None for p in parsed],
+                    "sum_g": [p[3] if p else None for p in parsed],
+                    "sum_b": [p[4] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, width long, height long, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )

@@ -137,6 +137,7 @@ _GATE_PRIORITY: list[str] = [
     "changelog_sql_view",
     "training_shard_stats",
     "temperature_mixture_sample",
+    "media_pcm_stats",
     # then the r6-certified queries (2 rounds old) — lifecycle/serving
     # queries first since they exercise the code this round changes
     # (register follow-head, ANN serving path, verify_integrity
@@ -173,10 +174,10 @@ _GATE_PRIORITY: list[str] = [
     "near_dup_doc_clusters",
     "near_dup_minhash_pairs",
     "packed_context_windows",
-    "partitioned_table_pruning",
-    # the 17 remaining r6-certified queries (pseudonymized_user_activity +
-    # the q11…q9 TPC-H block) don't fit the 50-slot gate; they rotate to
-    # the r9 lead and stay covered by the pytest oracle replay meanwhile.
+    # the 18 remaining r6-certified queries (partitioned_table_pruning,
+    # pseudonymized_user_activity + the q11…q9 TPC-H block) don't fit the
+    # 50-slot gate; they rotate to the r9 lead and stay covered by the
+    # pytest oracle replay meanwhile.
 ]
 
 
@@ -4321,6 +4322,55 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL PCM sample decode (round 8; SURVEY §2.13 X5 — the codec-free half
+# of pixel/sample decode, operators/multimodal.py::decode_wav_samples):
+# RIFF/WAVE PCM is a container, not a codec — chunk-walk + numpy
+# frombuffer, no audio library. Payloads are synthesized from a closed
+# form (build_pcm_wav) so the DuckDB oracle replays the DECODE with pure
+# integer arithmetic; stats are integer-exact (peak, sum of squares) to
+# avoid float-order hazards. Compressed WAVE still raises the loud
+# real-decoder error — the stub boundary is now only true codecs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_pcm_stats",
+    oracle="""
+    SELECT t.id AS media_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(((t.id*31 + s.i*17) % 4001) - 2000)) AS BIGINT) AS peak,
+           CAST(SUM((((t.id*31 + s.i*17) % 4001) - 2000)
+                    * (((t.id*31 + s.i*17) % 4001) - 2000)) AS BIGINT) AS sum_sq
+    FROM range(50) t(id) CROSS JOIN range(64) s(i)
+    GROUP BY t.id
+    ORDER BY media_id
+    """,
+)
+def media_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        build_pcm_wav,
+        decode_wav_samples,
+    )
+
+    rows = [
+        (
+            mid,
+            bytearray(
+                build_pcm_wav(
+                    [((mid * 31 + i * 17) % 4001) - 2000 for i in range(64)],
+                    sample_rate=8000,
+                )
+            ),
+        )
+        for mid in range(50)
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    return decode_wav_samples(media).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------

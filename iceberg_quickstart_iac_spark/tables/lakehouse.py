@@ -152,10 +152,12 @@ class Lakehouse:
                     )
                     self._sql_registry[name] = want
 
+        from pyspark.errors import AnalysisException
+
         ensure_registered()
         try:
             return spark.sql(statement)
-        except Exception:
+        except AnalysisException:
             # the memo can go stale if a view was dropped behind our back
             # (manual unregister / new session): forget it, re-register the
             # referenced tables once, and let a real error re-raise

@@ -2084,6 +2084,14 @@ class SnapTable:
             )
             self.refs(spark).createOrReplaceTempView(f"{base}__refs")
         if follow_head:
+            # a view name tracks exactly ONE table: if another table root
+            # holds a follow-head registration under this name, drop it —
+            # otherwise commits on either table would silently thrash the
+            # view between two tables' heads (last committer wins)
+            own = _head_reg_key(self.root)
+            for root_key, specs in _HEAD_REGISTRATIONS.items():
+                if root_key != own:
+                    specs.pop(base, None)
             _HEAD_REGISTRATIONS.setdefault(_head_reg_key(self.root), {})[base] = {
                 "table": self,
                 "spark": spark,

@@ -983,3 +983,87 @@ def test_temperature_mixture_sample_rebalances_sources(spark):
         ).collect()
     )
     assert again == flat
+
+
+# --- real codec-free decode (round 8) ---------------------------------------
+
+
+def test_wav_pcm_decode_roundtrip_exact(spark):
+    """build_pcm_wav → decode_wav_samples is exact: channels, rate, sample
+    count, integer peak and sum of squares all match the closed form."""
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        build_pcm_wav, decode_wav_samples,
+    )
+
+    rows = []
+    expect = {}
+    for mid in range(6):
+        samples = [((mid * 31 + i * 17) % 4001) - 2000 for i in range(64)]
+        rows.append((mid, bytearray(build_pcm_wav(samples, 8000))))
+        expect[mid] = (
+            1, 8000, 64,
+            max(abs(s) for s in samples),
+            sum(s * s for s in samples),
+        )
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {
+        r.media_id: (r.n_channels, r.sample_rate, r.n_samples, r.peak, r.sum_sq)
+        for r in decode_wav_samples(df).collect()
+    }
+    assert got == expect
+    # stereo: n_samples is per channel
+    stereo = build_pcm_wav([1, -1, 2, -2, 3, -3], 44100, channels=2)
+    df2 = spark.createDataFrame(
+        [(9, bytearray(stereo))], "media_id LONG, content BINARY"
+    )
+    r = decode_wav_samples(df2).first()
+    assert (r.n_channels, r.sample_rate, r.n_samples) == (2, 44100, 3)
+    # non-WAV bytes decode to NULLs, never crash the batch
+    df3 = spark.createDataFrame(
+        [(10, bytearray(b"not a wav"))], "media_id LONG, content BINARY"
+    )
+    assert decode_wav_samples(df3).first().n_samples is None
+
+
+def test_wav_compressed_format_raises_real_decoder_error(spark):
+    """A compressed WAVE payload (format tag != 1 PCM) must raise the
+    loud real-decoder error, not silently mis-decode."""
+    import struct
+
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        build_pcm_wav, decode_wav_samples,
+    )
+
+    wav = bytearray(build_pcm_wav([0, 1], 8000))
+    # fmt chunk payload starts at byte 20; patch the format tag to 85 (MP3)
+    wav[20:22] = struct.pack("<H", 85)
+    df = spark.createDataFrame([(1, wav)], "media_id LONG, content BINARY")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="format tag 85"):
+        decode_wav_samples(df).collect()
+
+
+def test_bmp_pixel_decode_roundtrip_exact(spark):
+    """build_bmp → decode_bmp_pixels is exact for padded widths, bottom-up
+    storage, and per-channel integer sums."""
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        build_bmp, decode_bmp_pixels,
+    )
+
+    rows, expect = [], {}
+    for mid, (h, w) in enumerate([(3, 5), (4, 4), (1, 7)]):  # 5,7: stride pad
+        px = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) % 251
+        rows.append((mid, bytearray(build_bmp(px))))
+        expect[mid] = (
+            w, h,
+            int(px[:, :, 0].sum()), int(px[:, :, 1].sum()), int(px[:, :, 2].sum()),
+        )
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {
+        r.media_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in decode_bmp_pixels(df).collect()
+    }
+    assert got == expect

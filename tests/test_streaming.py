@@ -385,3 +385,32 @@ def test_streaming_cdc_mor_inline_maintenance(spark, tmp_path):
     assert table.current_snapshot()["operation"] == "compact"
     # and the MoR merge commit is still in history (time-travel intact)
     assert any(e["operation"] == "merge" for e in table._entries())
+
+
+def test_streaming_ingest_keeps_follow_head_view_fresh(spark, tmp_path):
+    """The streaming sink commits through _commit, so a follow-head SQL
+    registration serves each micro-batch's result as soon as the run
+    finishes — the live-dashboard shape: readStream → table → spark.sql
+    with no re-register between ingest runs."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapTable.create(
+        tmp_path / "tbl_fh",
+        {"name": "stream_fh", "namespace": "lakehouse", "columns": [],
+         "partition_spec": []},
+    )
+    _write_batch(spark, src, 0, 10)
+    q = incremental_file_ingest(spark, src, SCHEMA, table, ckpt)
+    q.awaitTermination(120)
+    table.register(spark, name="stream_fh_view", follow_head=True,
+                   metadata_tables=False)
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM stream_fh_view"
+    ).first().n == 10
+    _write_batch(spark, src, 100, 5)
+    q = incremental_file_ingest(spark, src, SCHEMA, table, ckpt)
+    q.awaitTermination(120)
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM stream_fh_view"
+    ).first().n == 15
+    table.unregister(spark, "stream_fh_view")

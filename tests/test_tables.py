@@ -2181,6 +2181,54 @@ def test_register_changes_serves_governed_changelog_sql(spark, gov_table):
         spark.sql("SELECT * FROM fd_delta__changes").collect()
 
 
+def test_register_follow_head_name_takeover_stops_old_table(spark, tmp_path):
+    """A view name tracks exactly one table: re-registering the name from
+    ANOTHER table takes over — commits on the first table must no longer
+    thrash the view back to their head."""
+    def mk(n):
+        t = SnapTable.create(
+            tmp_path / n,
+            {"name": n, "namespace": "lakehouse",
+             "columns": [{"name": "k", "type": "long"}]},
+        )
+        t.append(spark.createDataFrame([(1,)], "k LONG"))
+        return t
+
+    t1, t2 = mk("fh_one"), mk("fh_two")
+    t1.register(spark, name="fh_shared", follow_head=True,
+                metadata_tables=False)
+    t2.register(spark, name="fh_shared", follow_head=True,
+                metadata_tables=False)
+    # a commit on the OLD owner must not steal the view back
+    t1.append(spark.createDataFrame([(2,)], "k LONG"))
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_shared").first().n == 1
+    t2.append(spark.createDataFrame([(3,)], "k LONG"))
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_shared").first().n == 2
+
+
+def test_register_follow_head_on_branch_tracks_branch_head(spark, tmp_path):
+    """A branch view registers + follows like any table: branch commits
+    surface through it, main commits refresh it without serving main's
+    rows (each registration re-resolves through its OWN handle)."""
+    t = SnapTable.create(
+        tmp_path / "br",
+        {"name": "br", "namespace": "lakehouse",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    t.append(spark.createDataFrame([(1,)], "k LONG"))
+    b = t.create_branch("audit")
+    b.register(spark, name="br_audit", follow_head=True,
+               metadata_tables=False)
+    t.register(spark, name="br_main", follow_head=True,
+               metadata_tables=False)
+    b.append(spark.createDataFrame([(2,)], "k LONG"))
+    assert spark.sql("SELECT COUNT(*) AS n FROM br_audit").first().n == 2
+    assert spark.sql("SELECT COUNT(*) AS n FROM br_main").first().n == 1
+    t.append(spark.createDataFrame([(3,)], "k LONG"))
+    assert spark.sql("SELECT COUNT(*) AS n FROM br_main").first().n == 2
+    assert spark.sql("SELECT COUNT(*) AS n FROM br_audit").first().n == 2
+
+
 def test_register_follow_head_excludes_time_travel(spark, gov_table):
     pre = gov_table.current_snapshot()["snapshot_id"]
     with pytest.raises(ValueError, match="follow_head"):
