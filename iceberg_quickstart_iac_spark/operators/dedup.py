@@ -119,6 +119,136 @@ def incremental_dedup(
     return reps.join(store, "__fp", "left_anti")
 
 
+def incremental_near_dup(
+    new_docs: DataFrame,
+    store_signatures: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_df: int = 1000,
+) -> DataFrame:
+    """NEAR-dup admission control for continuous ingest — the minhash
+    analog of :func:`incremental_dedup`: score a NEW batch against the
+    already-ingested corpus's persisted signature store (one
+    ``(id, minhash)`` row per corpus doc, the table the store should
+    append each admitted batch's signatures to) plus against the batch
+    itself, without ever re-pairing the corpus with itself.
+
+    Returns ``(new_id, dup_of, est_jaccard, source)`` — the BEST match at
+    or above ``threshold`` per new doc (max estimate, min partner id on
+    ties), ``source`` ∈ {'store', 'batch'}. New docs with no row are
+    admissible as novel.
+
+    Scale shape (the part worth reading): the store is banded MAP-ONLY
+    and then SEMI-JOINED against the batch's bucket keys BROADCAST — a
+    batch occupies at most |batch|·bands buckets, so the store side
+    prunes to candidate buckets before any pair forms; corpus-vs-corpus
+    pairs never exist. Candidate scoring touches only signatures of
+    candidate ids. In-batch pairs reuse the capped LSH funnel.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    r = num_perm // bands
+
+    def banded(signatures: DataFrame) -> DataFrame:
+        return signatures.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * r + j + 1)
+                                    for j in range(r)
+                                ],
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+    ).localCheckpoint()
+    new_banded = banded(new_sigs)
+    # the batch's bucket footprint is small (|batch|·bands keys): broadcast
+    # it so the corpus-side banding prunes BEFORE any join materializes
+    batch_keys = new_banded.select("band", "bucket").distinct()
+    store_banded = banded(store_signatures).join(
+        F.broadcast(batch_keys), ["band", "bucket"]
+    )
+    store_pairs = (
+        new_banded.alias("n")
+        .join(
+            store_banded.alias("s"),
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.bucket") == F.col("s.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"s.{id_col}").alias("partner"),
+        )
+        .distinct()
+    )
+    # score store candidates: only candidate ids' signatures are touched
+    cand_store_sigs = store_signatures.join(
+        store_pairs.select(F.col("partner").alias(id_col)).distinct(), id_col
+    )
+    sig_n = new_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("minhash").alias("__sn")
+    )
+    sig_s = cand_store_sigs.select(
+        F.col(id_col).alias("partner"), F.col("minhash").alias("__ss")
+    )
+    agree = sum(
+        F.when(
+            F.element_at("__sn", p + 1) == F.element_at("__ss", p + 1), 1
+        ).otherwise(0)
+        for p in range(num_perm)
+    )
+    scored_store = (
+        store_pairs.join(sig_n, "new_id")
+        .join(sig_s, "partner")
+        .withColumn("est_jaccard", agree / num_perm)
+        .select("new_id", F.col("partner").alias("dup_of"), "est_jaccard")
+        .withColumn("source", F.lit("store"))
+    )
+    # in-batch near-dups: the later (greater-id) doc defers to the earlier
+    batch_pairs = lsh_candidate_pairs(
+        new_sigs, id_col, bands=bands, num_perm=num_perm,
+        max_bucket_df=max_bucket_df,
+    )
+    scored_batch = (
+        signature_similarity(batch_pairs, new_sigs, id_col, num_perm=num_perm)
+        .select(
+            F.col("id_b").alias("new_id"),
+            F.col("id_a").alias("dup_of"),
+            "est_jaccard",
+        )
+        .withColumn("source", F.lit("batch"))
+    )
+    from pyspark.sql import Window
+
+    all_matches = scored_store.unionByName(scored_batch).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    best = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("dup_of").asc(), F.col("source").asc()
+    )
+    return (
+        all_matches.withColumn("__rk", F.row_number().over(best))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def shingles(col, k: int = 5):
     """Character k-shingles of the normalized text (array<string>).
 

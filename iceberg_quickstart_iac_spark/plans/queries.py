@@ -138,6 +138,7 @@ _GATE_PRIORITY: list[str] = [
     "training_shard_stats",
     "temperature_mixture_sample",
     "media_pcm_stats",
+    "incremental_near_dup_admission",
     # then the r6-certified queries (2 rounds old) — lifecycle/serving
     # queries first since they exercise the code this round changes
     # (register follow-head, ANN serving path, verify_integrity
@@ -173,11 +174,10 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_media_stats",
     "near_dup_doc_clusters",
     "near_dup_minhash_pairs",
-    "packed_context_windows",
-    # the 18 remaining r6-certified queries (partitioned_table_pruning,
-    # pseudonymized_user_activity + the q11…q9 TPC-H block) don't fit the
-    # 50-slot gate; they rotate to the r9 lead and stay covered by the
-    # pytest oracle replay meanwhile.
+    # the 19 remaining r6-certified queries (packed_context_windows,
+    # partitioned_table_pruning, pseudonymized_user_activity + the
+    # q11…q9 TPC-H block) don't fit the 50-slot gate; they rotate to the
+    # r9 lead and stay covered by the pytest oracle replay meanwhile.
 ]
 
 
@@ -942,6 +942,59 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup admission (round 8; the minhash analog of
+# incremental_dedup_new_docs, operators/dedup.py::incremental_near_dup):
+# a new batch scores against the full corpus's persisted signature store
+# — the store is banded map-only and pruned to the batch's broadcast
+# bucket footprint, so corpus-vs-corpus pairs never form. Planted exact
+# copies (jaccard 1.0 ⇒ est 1.0 deterministically — all 64 minima equal)
+# + an in-batch duplicate pair give a table-derived oracle at a 0.9
+# threshold that natural cross-doc similarity (≤0.31 true jaccard at
+# this sf) cannot reach.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_near_dup_admission",
+    oracle="""
+    SELECT CAST(10000 + doc_id AS BIGINT) AS new_id,
+           CAST(doc_id AS BIGINT) AS dup_of,
+           CAST(1.0 AS DOUBLE) AS est_jaccard,
+           'store' AS source
+    FROM documents WHERE doc_id IN (1, 7, 42)
+    UNION ALL
+    SELECT CAST(30002 AS BIGINT), CAST(30001 AS BIGINT),
+           CAST(1.0 AS DOUBLE), 'batch'
+    ORDER BY new_id
+    """,
+)
+def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    copies = docs.filter(F.col("doc_id").isin(1, 7, 42)).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    extras = spark.createDataFrame(
+        [
+            (20001, "zq7 xvw fresh admission text one with nothing shared"),
+            (20002, "brand new unseen content block two qxj plv wnt"),
+            (30001, "identical in batch payload row for the duplicate pair"),
+            (30002, "identical in batch payload row for the duplicate pair"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = copies.unionByName(extras)
+    return incremental_near_dup(
+        batch, store_sigs, "doc_id", "text", threshold=0.9
+    ).orderBy("new_id")
 
 
 # ---------------------------------------------------------------------------

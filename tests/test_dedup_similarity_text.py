@@ -1067,3 +1067,37 @@ def test_bmp_pixel_decode_roundtrip_exact(spark):
         for r in decode_bmp_pixels(df).collect()
     }
     assert got == expect
+
+
+def test_incremental_near_dup_admission(spark, planted_docs):
+    """New-batch admission against a persisted signature store: exact and
+    near copies of corpus docs match 'store', in-batch dups match 'batch'
+    (later doc defers to earlier), novel docs return no row — and the
+    corpus is never paired with itself."""
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        incremental_near_dup, minhash_signatures,
+    )
+
+    store = planted_docs.filter("doc_id < 100")  # the 10 distinct docs
+    store_sigs = minhash_signatures(store, "doc_id", "text", num_perm=64)
+    base_text = {r.doc_id: r.text for r in store.collect()}
+    batch = spark.createDataFrame(
+        [
+            (1000, base_text[0]),                      # exact copy of doc 0
+            (1001, base_text[3].replace("fox", "ox")), # near copy of doc 3
+            (1002, "completely novel content that matches nothing at all"),
+            (1003, "shared batch text for the in-batch duplicate pair"),
+            (1004, "shared batch text for the in-batch duplicate pair"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.new_id: (r.dup_of, r.est_jaccard, r.source)
+        for r in incremental_near_dup(
+            batch, store_sigs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert out[1000] == (0, 1.0, "store")
+    assert out[1001][0] == 3 and out[1001][1] >= 0.5 and out[1001][2] == "store"
+    assert out[1004] == (1003, 1.0, "batch")
+    assert 1002 not in out and 1003 not in out

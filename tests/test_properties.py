@@ -571,3 +571,41 @@ def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):
             assert not any(
                 _derives_from_restricted(k) for k in _json.loads(r.partition)
             ), r
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_media_byte_parsers_never_crash_on_garbage(payload):
+    """The WAV/BMP parsers run on UNTRUSTED bytes inside executor batches:
+    any input must yield a parse, None, or the loud real-decoder error —
+    never an IndexError/struct.error that would kill the Spark task."""
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        _parse_bmp_pixels, _parse_wav_pcm,
+    )
+
+    for parse in (_parse_wav_pcm, _parse_bmp_pixels):
+        try:
+            out = parse(payload)
+        except NotImplementedError:
+            continue  # the documented compressed-format refusal
+        assert out is None or isinstance(out, tuple)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_never_crash_on_prefixed_garbage(payload):
+    """Valid magic bytes followed by garbage must also degrade cleanly —
+    the adversarial half (signature passes, structure lies)."""
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        _parse_bmp_pixels, _parse_wav_pcm,
+    )
+
+    for prefix, parse in (
+        (b"RIFF\x10\x00\x00\x00WAVE", _parse_wav_pcm),
+        (b"BM", _parse_bmp_pixels),
+    ):
+        try:
+            out = parse(prefix + payload)
+        except NotImplementedError:
+            continue
+        assert out is None or isinstance(out, tuple)
