@@ -978,7 +978,13 @@ def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    store_sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    # in production the store is a PERSISTED table (fit once, append per
+    # admitted batch); built inline here, checkpoint it so the banding
+    # scan and the candidate-scoring join don't each re-run the full
+    # shingle-explode + 64-hash signature DAG
+    store_sigs = minhash_signatures(
+        docs, "doc_id", "text", num_perm=64
+    ).localCheckpoint()
     copies = docs.filter(F.col("doc_id").isin(1, 7, 42)).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
