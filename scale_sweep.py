@@ -244,6 +244,40 @@ def wl_training_shards(spark, sf_dir: str, factor: int) -> int:
     return out.groupBy("shard").agg(F.max("shard_pos").alias("n")).count()
 
 
+def wl_incremental_admission(spark, sf_dir: str, factor: int) -> int:
+    """X32 at corpus scale: a FIXED 50-doc batch admits against a store
+    that grows with the factor. The claim under test: batch-side work is
+    constant, store-side work is the map-only signature+banding scan
+    pruned by the batch's broadcast bucket footprint — so wall time grows
+    with the store SCAN (alpha <= ~1), never with store pairing
+    (an all-pairs bug would show alpha -> 2)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    store_sigs = minhash_signatures(
+        docs.select("doc_id", "text"), "doc_id", "text", num_perm=64
+    ).localCheckpoint()
+    batch = (
+        docs.filter(F.col("doc_id") < 25)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 125))
+            .select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail novelty")).alias("text"),
+            )
+        )
+    )
+    return incremental_near_dup(
+        batch, store_sigs, "doc_id", "text", threshold=0.5
+    ).count()
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
@@ -251,6 +285,7 @@ WORKLOADS = {
     "semantic_dedup_cells": wl_semantic_dedup,
     "embedding_pq_adc": wl_pq_adc,
     "training_shards": wl_training_shards,
+    "incremental_admission": wl_incremental_admission,
 }
 
 
