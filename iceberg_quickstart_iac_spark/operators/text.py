@@ -370,3 +370,54 @@ def _spread_tokens(docs, id_col: str, text_col: str):
     return _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
     )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-LM quality proxy (the integer-exact cousin of CCNet's
+    wiki-LM perplexity filter): per doc, how many of its token bigrams
+    are COMMON in the corpus (total occurrences >= ``min_df``) vs NOVEL.
+    A high novel share flags word salad, boilerplate mutations, and
+    generator junk; a near-zero share flags copy-paste. Integer counts
+    only — no float log-prob sums whose addition order would break
+    cross-engine oracle hashes.
+
+    Returns ``(id, n_bigrams, n_common, n_novel)``; docs with fewer than
+    two tokens emit no row.
+
+    Scale shape: one explode to ``(doc, bigram)`` (map-only), one
+    bigram-count aggregate (map-side combine), one equi-join back on the
+    bigram (rows = total bigram occurrences — never more than the
+    explode; ultra-common bigrams are skewed KEYS, which AQE's skew-join
+    split handles), one per-doc aggregate. No window, no driver state.
+    """
+    toks = df.select(id_col, word_tokens(text_col).alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("__c") >= min_df, 1).otherwise(0)).alias(
+                "n_common"
+            ),
+            F.sum(F.when(F.col("__c") < min_df, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )

@@ -139,6 +139,7 @@ _GATE_PRIORITY: list[str] = [
     "temperature_mixture_sample",
     "media_pcm_stats",
     "incremental_near_dup_admission",
+    "doc_bigram_novelty",
     # then the r6-certified queries (2 rounds old) — lifecycle/serving
     # queries first since they exercise the code this round changes
     # (register follow-head, ANN serving path, verify_integrity
@@ -173,11 +174,11 @@ _GATE_PRIORITY: list[str] = [
     "latest_order_per_customer",
     "multimodal_media_stats",
     "near_dup_doc_clusters",
-    "near_dup_minhash_pairs",
-    # the 19 remaining r6-certified queries (packed_context_windows,
-    # partitioned_table_pruning, pseudonymized_user_activity + the
-    # q11…q9 TPC-H block) don't fit the 50-slot gate; they rotate to the
-    # r9 lead and stay covered by the pytest oracle replay meanwhile.
+    # the 20 remaining r6-certified queries (near_dup_minhash_pairs,
+    # packed_context_windows, partitioned_table_pruning,
+    # pseudonymized_user_activity + the q11…q9 TPC-H block) don't fit
+    # the 50-slot gate; they rotate to the r9 lead and stay covered by
+    # the pytest oracle replay meanwhile.
 ]
 
 
@@ -1001,6 +1002,52 @@ def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFram
     return incremental_near_dup(
         batch, store_sigs, "doc_id", "text", threshold=0.9
     ).orderBy("new_id")
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty scoring (round 8; SURVEY §2.13 X4 extension —
+# operators/text.py::bigram_novelty): the integer-exact cousin of CCNet's
+# LM-perplexity quality filter. Corpus bigram frequencies come from the
+# FULL table; output is bounded to doc_id < 300. The oracle rebuilds the
+# same normalize → split → adjacent-pair pipeline with DuckDB list
+# functions — integer counts only, no float log-prob order hazards.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_bigram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) FILTER (WHERE c >= 2) AS BIGINT) AS n_common,
+           CAST(COUNT(*) FILTER (WHERE c < 2) AS BIGINT) AS n_novel
+    FROM bg JOIN cnt USING (bigram)
+    WHERE doc_id < 300
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import bigram_novelty
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        bigram_novelty(docs, "doc_id", "text", min_df=2)
+        .filter(F.col("doc_id") < 300)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

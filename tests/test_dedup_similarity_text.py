@@ -1101,3 +1101,30 @@ def test_incremental_near_dup_admission(spark, planted_docs):
     assert out[1001][0] == 3 and out[1001][1] >= 0.5 and out[1001][2] == "store"
     assert out[1004] == (1003, 1.0, "batch")
     assert 1002 not in out and 1003 not in out
+
+
+def test_bigram_novelty_counts_exact(spark):
+    """Planted corpus with known bigram frequencies: shared phrase bigrams
+    count as common, unique tails as novel; one-token docs emit no row."""
+    from iceberg_quickstart_iac_spark.operators.text import bigram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox"),          # bigrams: 'the quick', 'quick fox'
+            (2, "the quick dog"),          # 'the quick' shared with doc 1
+            (3, "THE  Quick fox"),         # normalizes identically to doc 1
+            (4, "solo"),                   # 1 token -> no row
+            (5, "zebra xylophone"),        # unique bigram
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.n_common, r.n_novel)
+        for r in bigram_novelty(df, "doc_id", "text", min_df=2).collect()
+    }
+    # 'the quick' occurs 3x, 'quick fox' 2x, 'quick dog' 1x, 'zebra xylophone' 1x
+    assert out[1] == (2, 2, 0)
+    assert out[2] == (2, 1, 1)
+    assert out[3] == (2, 2, 0)
+    assert out[5] == (1, 0, 1)
+    assert 4 not in out
