@@ -42,6 +42,38 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(target, id_col)
 
 
+def _band_bucket_array(r: int, bands: int, sig_col: str = "minhash"):
+    """``array<long>`` of the ``bands`` banded bucket hashes of a minhash
+    signature, built as ONE parsed SQL expression. The unrolled
+    per-element form is the fast EXECUTOR path (plain codegen, no
+    higher-order-function eval), but constructing it element-by-element
+    through the Python Column API costs thousands of py4j round-trips —
+    measured ~2 s of pure DRIVER time per admission call at bands=16.
+    One ``F.expr`` string is the same expression tree at zero driver
+    cost; the SQL functions are byte-identical to their ``F.*``
+    counterparts (equivalence pinned in tests)."""
+    parts = []
+    for b in range(bands):
+        els = ", ".join(
+            f"element_at({sig_col}, {b * r + j + 1})" for j in range(r)
+        )
+        parts.append(f"xxhash64(concat_ws(',', {els}))")
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _agreement_fraction(a_col: str, b_col: str, num_perm: int):
+    """Fraction of agreeing minhash positions between two signature
+    columns — the unrolled ``element_at`` comparison sum (codegen path,
+    measured ~2x over ``zip_with`` on 500k pairs) built as one parsed
+    SQL expression for the same driver-cost reason as
+    :func:`_band_bucket_array`."""
+    terms = " + ".join(
+        f"IF(element_at({a_col}, {p}) = element_at({b_col}, {p}), 1, 0)"
+        for p in range(1, num_perm + 1)
+    )
+    return F.expr(f"({terms}) / {num_perm}")
+
+
 def _has_unorderable(dtype) -> bool:
     """True when a type cannot participate in a MIN/MAX aggregate (maps,
     possibly nested inside arrays/structs)."""
@@ -148,7 +180,40 @@ def incremental_near_dup(
     prunes to candidate buckets before any pair forms; corpus-vs-corpus
     pairs never exist. Candidate scoring touches only signatures of
     candidate ids. In-batch pairs reuse the capped LSH funnel.
+
+    The production loop around this op is :func:`admit_batch` (persisted
+    SnapTable store, txn-stamped appends).
     """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+    ).localCheckpoint()
+    return _near_dup_matches(
+        new_sigs,
+        store_signatures,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_df=max_bucket_df,
+    )
+
+
+def _near_dup_matches(
+    new_sigs: DataFrame,
+    store_signatures: DataFrame,
+    id_col: str,
+    *,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    max_bucket_df: int,
+) -> DataFrame:
+    """Signature-level core of :func:`incremental_near_dup` — takes the
+    batch's (id, minhash) rows directly so :func:`admit_batch` can compute
+    them ONCE and reuse them for both scoring and the store append.
+    Store matches exclude same-id pairs: a crash-replayed admission (the
+    batch's signatures already appended) must return the same matches as
+    the original run, not flag every admitted doc as a dup of itself."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     r = num_perm // bands
@@ -156,27 +221,9 @@ def incremental_near_dup(
     def banded(signatures: DataFrame) -> DataFrame:
         return signatures.select(
             F.col(id_col),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * r + j + 1)
-                                    for j in range(r)
-                                ],
-                            )
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "bucket"),
+            F.posexplode(_band_bucket_array(r, bands)).alias("band", "bucket"),
         )
 
-    new_sigs = minhash_signatures(
-        new_docs, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
-    ).localCheckpoint()
     new_banded = banded(new_sigs)
     # the batch's bucket footprint is small (|batch|·bands keys): broadcast
     # it so the corpus-side banding prunes BEFORE any join materializes
@@ -195,6 +242,11 @@ def incremental_near_dup(
             F.col(f"n.{id_col}").alias("new_id"),
             F.col(f"s.{id_col}").alias("partner"),
         )
+        # same-id store pairs only arise on crash replay (the batch's own
+        # signatures already landed) — excluding them keeps replay
+        # deterministic instead of rejecting every admitted doc as a
+        # dup of itself
+        .filter(F.col("new_id") != F.col("partner"))
         .distinct()
     )
     # score store candidates: only candidate ids' signatures are touched
@@ -207,16 +259,12 @@ def incremental_near_dup(
     sig_s = cand_store_sigs.select(
         F.col(id_col).alias("partner"), F.col("minhash").alias("__ss")
     )
-    agree = sum(
-        F.when(
-            F.element_at("__sn", p + 1) == F.element_at("__ss", p + 1), 1
-        ).otherwise(0)
-        for p in range(num_perm)
-    )
     scored_store = (
         store_pairs.join(sig_n, "new_id")
         .join(sig_s, "partner")
-        .withColumn("est_jaccard", agree / num_perm)
+        .withColumn(
+            "est_jaccard", _agreement_fraction("__sn", "__ss", num_perm)
+        )
         .select("new_id", F.col("partner").alias("dup_of"), "est_jaccard")
         .withColumn("source", F.lit("store"))
     )
@@ -247,6 +295,150 @@ def incremental_near_dup(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def create_signature_store(
+    root,
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    namespace: str = "pipeline",
+) -> "SnapTable":
+    """Create the persisted minhash signature store :func:`admit_batch`
+    admits against: a SnapTable of one ``(id, minhash array<long>)`` row
+    per ingested doc. The minhash configuration is stamped into the table
+    properties so every later admission derives batch signatures with
+    EXACTLY the store's parameters — signatures computed under a
+    different ``num_perm``/``shingle_k`` never agree, so a config drift
+    would silently admit everything; pinning it in the store makes the
+    drift impossible. (The reference's own follow-up for incremental
+    loads: ``docs/bring-your-own-data.md:226-228``.)"""
+    from pathlib import Path
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    root = Path(root)
+    return SnapTable.create(
+        root,
+        {
+            "name": root.name,
+            "namespace": namespace,
+            "columns": [
+                {"name": id_col, "type": "long", "required": True},
+                {"name": "minhash", "type": "list<long>", "required": True},
+            ],
+            "properties": {
+                "minhash_num_perm": int(num_perm),
+                "minhash_bands": int(bands),
+                "minhash_shingle_k": int(shingle_k),
+            },
+        },
+    )
+
+
+def load_or_build_signature_store(
+    spark,
+    docs: DataFrame,
+    root,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> "SnapTable":
+    """Fit-once/load-many for the signature store: the first call per
+    ``root`` creates the table and appends the corpus signatures (the
+    expensive shingle-explode + minhash fit); every later call loads the
+    persisted table — no fit, no corpus scan. Signatures are
+    deterministic (xxhash64 mins of the same text), so a rebuilt store
+    is bit-identical to a loaded one. A crash between create and the
+    seed append leaves head_sequence None; the next call re-seeds."""
+    from iceberg_quickstart_iac_spark.tables import SnapTable, TableNotFoundError
+
+    try:
+        store = SnapTable.load(root)
+    except TableNotFoundError:
+        store = create_signature_store(
+            root, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        )
+    if store.head_sequence() is None:
+        seed = minhash_signatures(
+            docs, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+        )
+        store.append(seed.select(id_col, "minhash"), txn=("sig_store_seed", 0))
+    return store
+
+
+def admit_batch(
+    store: "SnapTable",
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    max_bucket_df: int = 1000,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """One turn of the production near-dup admission loop: score a new
+    batch against the PERSISTED signature store (:func:`create_signature_
+    store`), then append the ADMITTED docs' signatures so the next batch
+    admits against the updated store.
+
+    Returns ``{"matches": DataFrame, "admitted": DataFrame, "commit":
+    dict}`` — ``matches`` is :func:`incremental_near_dup`'s
+    ``(new_id, dup_of, est_jaccard, source)`` rows, ``admitted`` the
+    batch rows with no match, ``commit`` the store's append entry.
+
+    Exactly-once: pass ``txn=(app_id, version)`` — the store's
+    idempotent-write ledger skips a replayed append, and the scoring is
+    replay-deterministic by construction: matches are pinned to the
+    pre-append snapshot (``read`` resolves data dirs eagerly), same-id
+    store pairs are excluded (the replayed batch's own signatures), and
+    a batch-pair loser that IS in the store after replay still reports
+    ``source='batch'`` (the best-row window breaks the est/partner tie
+    on source ascending). The batch's signatures are computed ONCE
+    (checkpointed) and reused for scoring and the append.
+
+    Scale: work is linear in the batch (the store side prunes to the
+    batch's broadcast bucket footprint — measured α 0.12 at 10× store,
+    SCALE_SWEEP_r08); the append is one map-only write of |admitted|
+    rows."""
+    spark = new_docs.sparkSession
+    props = store.meta.get("properties", {})
+    num_perm = int(props.get("minhash_num_perm", 64))
+    bands = int(props.get("minhash_bands", 16))
+    shingle_k = int(props.get("minhash_shingle_k", 5))
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+    ).localCheckpoint()
+    store_sigs = (
+        store.read(spark)
+        if store.head_sequence() is not None
+        else store._empty_declared(spark)
+    )
+    # materialize the admission decisions ONCE (bounded by |batch| rows):
+    # they drive the admitted-signature append AND the caller's read of
+    # matches/admitted — without the checkpoint each consumer re-runs the
+    # full scoring DAG (store banding + joins) from scratch
+    matches = _near_dup_matches(
+        new_sigs,
+        store_sigs,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_df=max_bucket_df,
+    ).localCheckpoint()
+    rejected = matches.select(F.col("new_id").alias(id_col)).distinct()
+    admitted_sigs = new_sigs.join(rejected, id_col, "left_anti").select(
+        id_col, "minhash"
+    )
+    commit = store.append(admitted_sigs, txn=txn)
+    admitted = new_docs.join(rejected, id_col, "left_anti")
+    return {"matches": matches, "admitted": admitted, "commit": commit}
 
 
 def shingles(col, k: int = 5):
@@ -299,12 +491,14 @@ def minhash_signatures(
     # (no signed-overflow risk) while remaining a proper independent hash
     # family (measured ~2x on the signature stage at sf0.1)
     sh = sh.select(id_col, F.xxhash64("__sh").alias("__h"))
+    # one F.expr per aggregate (and one for the array) instead of nested
+    # Column construction: same expression tree, a fraction of the py4j
+    # round-trips — see _band_bucket_array for the measurement
     mins = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"mh{p}") for p in range(num_perm)]
+        *[F.expr(f"min(xxhash64(__h, {p}))").alias(f"mh{p}") for p in range(num_perm)]
     )
-    return mins.select(
-        id_col, F.array(*[F.col(f"mh{p}") for p in range(num_perm)]).alias("minhash")
-    )
+    arr = "array(" + ", ".join(f"mh{p}" for p in range(num_perm)) + ")"
+    return mins.select(id_col, F.expr(arr).alias("minhash"))
 
 
 def _capped_bucket_pairs(
@@ -401,16 +595,7 @@ def lsh_candidate_pairs(
     signatures = signatures.localCheckpoint()
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(_band_bucket_array(r, bands)).alias("band", "bucket"),
     )
     return _capped_bucket_pairs(
         banded, id_col, ["band", "bucket"], max_bucket_df
@@ -450,16 +635,7 @@ def lsh_screened_pairs(
     signatures = signatures.localCheckpoint()
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(_band_bucket_array(r, bands)).alias("band", "bucket"),
     )
     pairs = _capped_bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket_df)
 
@@ -505,17 +681,17 @@ def signature_similarity(
     Agreement is summed over explicit ``element_at`` comparisons rather than
     a ``zip_with`` lambda — higher-order-function evaluation is the slow
     path; the unrolled form stays in codegen (measured ~2x on 500k pairs).
+    Built as one parsed SQL expression (:func:`_agreement_fraction`) so
+    the driver doesn't pay per-element py4j construction either.
     """
     sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__sig_a"))
     sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__sig_b"))
-    agree = sum(
-        F.when(F.element_at("__sig_a", p + 1) == F.element_at("__sig_b", p + 1), 1).otherwise(0)
-        for p in range(num_perm)
-    )
     return (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
-        .withColumn("est_jaccard", agree / num_perm)
+        .withColumn(
+            "est_jaccard", _agreement_fraction("__sig_a", "__sig_b", num_perm)
+        )
         .select("id_a", "id_b", "est_jaccard")
     )
 

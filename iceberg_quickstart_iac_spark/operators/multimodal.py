@@ -192,25 +192,29 @@ def _le_int(col, pos: int, nbytes: int):
 def png_meta(col):
     """(width, height) struct for PNG payloads, NULL if the signature
     doesn't match. IHDR is mandatory-first: width at byte 17 (1-based),
-    height at 21, both 4-byte big-endian."""
+    height at 21, both 4-byte big-endian. try_cast, not cast: the PNG
+    spec caps dimensions at 2^31-1, so a larger field is a MALFORMED
+    header — it must read as NULL, not throw CAST_OVERFLOW under ANSI
+    and kill the task (found by the round-9 untrusted-bytes fuzz)."""
     is_png = F.hex(F.substring(col, 1, 8)) == F.lit("89504E470D0A1A0A")
     return F.when(
         is_png,
         F.struct(
-            _be_int(col, 17, 4).cast("int").alias("width"),
-            _be_int(col, 21, 4).cast("int").alias("height"),
+            _be_int(col, 17, 4).try_cast("int").alias("width"),
+            _be_int(col, 21, 4).try_cast("int").alias("height"),
         ),
     )
 
 
 def gif_meta(col):
-    """(width, height) for GIF87a/GIF89a: 2-byte little-endian at 7 and 9."""
+    """(width, height) for GIF87a/GIF89a: 2-byte little-endian at 7 and 9
+    (2-byte fields cannot overflow int; try_cast for symmetry/safety)."""
     sig = F.substring(col, 1, 6).cast("string")
     return F.when(
         sig.isin("GIF87a", "GIF89a"),
         F.struct(
-            _le_int(col, 7, 2).cast("int").alias("width"),
-            _le_int(col, 9, 2).cast("int").alias("height"),
+            _le_int(col, 7, 2).try_cast("int").alias("width"),
+            _le_int(col, 9, 2).try_cast("int").alias("height"),
         ),
     )
 
@@ -223,10 +227,37 @@ def wav_duration_ms(col):
     )
     byte_rate = _le_int(col, 29, 4)
     data_bytes = F.length(col) - F.lit(44)
+    # length guard: a RIFF/WAVE blob truncated INSIDE the 44-byte header
+    # must read NULL, not a negative duration
     return F.when(
-        is_wav & (byte_rate > 0),
-        (data_bytes * 1000 / byte_rate).cast("long"),
+        is_wav & (byte_rate > 0) & (data_bytes >= 0),
+        (data_bytes * 1000 / byte_rate).try_cast("long"),
     )
+
+
+def _parse_jpeg_dims(b) -> tuple[int, int] | None:
+    """(width, height) from a JPEG SOF0/1/2 marker scan, or None for
+    non-JPEG/malformed bytes. Module-level (not closed over by the udf)
+    so the untrusted-bytes fuzz tests drive it without a SparkSession."""
+    if b is None or len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h)
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        i += 2 + seg_len
+    return None
 
 
 def jpeg_meta_udf():
@@ -236,30 +267,9 @@ def jpeg_meta_udf():
     expressions; everything else is still plain byte parsing."""
     from pyspark.sql.functions import pandas_udf
 
-    def parse_one(b) -> tuple[int, int] | None:
-        if b is None or len(b) < 4 or b[0:2] != b"\xff\xd8":
-            return None
-        i = 2
-        while i + 9 < len(b):
-            if b[i] != 0xFF:
-                return None
-            marker = b[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
-                h = int.from_bytes(b[i + 5 : i + 7], "big")
-                w = int.from_bytes(b[i + 7 : i + 9], "big")
-                return (w, h)
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
-                continue
-            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
-            if seg_len < 2:
-                return None
-            i += 2 + seg_len
-        return None
-
     @pandas_udf("struct<width:int,height:int>")
     def parse(contents: pd.Series) -> pd.DataFrame:
-        dims = [parse_one(c) for c in contents]
+        dims = [_parse_jpeg_dims(c) for c in contents]
         return pd.DataFrame(
             {
                 "width": [d[0] if d else None for d in dims],
@@ -440,6 +450,12 @@ def _parse_bmp_pixels(b: bytes | None) -> tuple | None:
         _require_real_decoder(f"image (BMP bpp={bpp} compression={compression})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # the width field is signed but a BMP width is never negative (only
+        # the height sign encodes orientation) — a w<=0 header is malformed,
+        # and letting it through would pass the bounds check with a negative
+        # byte count and reshape into nonsense stats. Parse contract: None.
+        return None
     row = w * 3
     stride = (row + 3) // 4 * 4
     if len(b) < off + stride * h:

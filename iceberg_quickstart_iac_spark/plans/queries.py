@@ -115,70 +115,78 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-8 gate (VERDICT r7 next #1): the 12 queries whose newest driver
-    # row dates from r5 lead — after this round no catalog query's driver
-    # certification is older than r6.
-    "pivot_segment_status",
-    "q10_returned_item_customers",
-    "q13_customer_order_histogram",
-    "q14_promo_revenue_pct",
-    "q18_large_orders",
-    "q7_nation_volume",
-    "q8_market_share",
-    "rollup_order_status",
-    "scd2_chain_from_orders",
-    "semantic_dedup_cells_gemm",
-    "user_sessions",
-    "weighted_doc_sample",
-    # round-8 additions: need their FIRST driver row (VERDICT r7 next
-    # #3/#4 plus the changelog front-door view and training-shard export)
-    "sql_view_follows_head",
-    "time_travel_sql_named_query",
-    "changelog_sql_view",
-    "training_shard_stats",
-    "temperature_mixture_sample",
-    "media_pcm_stats",
-    "incremental_near_dup_admission",
-    "doc_bigram_novelty",
-    # then the r6-certified queries (2 rounds old) — lifecycle/serving
-    # queries first since they exercise the code this round changes
-    # (register follow-head, ANN serving path, verify_integrity
-    # grandfathering, scoped-rewrite accounting).
-    "ann_index_lifecycle",
-    "embedding_ann_ivf",
-    "mor_maintenance_lifecycle",
-    "orc_table_lifecycle",
-    "branch_lifecycle",
-    "drift_sensor_cycle",
-    "cohort_retention",
-    "corpus_filter_funnel",
-    "customer_running_totals",
-    "customer_spend_quartiles",
-    "customers_without_big_orders",
-    "doc_benchmark_contamination",
-    "doc_bpe_token_stats",
-    "doc_chunks",
-    "doc_hash_split",
-    "doc_pii_redaction",
-    "doc_repetition_signals",
-    "embedding_int8_audit",
-    "embedding_label_centroids",
-    "embedding_lsh_topk",
-    "enrich_orders_by_segment",
-    "event_followup_pairs",
-    "event_time_hierarchy_rollup",
-    "flagship_event_type_counts",
-    "funnel_click_to_purchase",
-    "inter_source_overlap",
-    "latest_event_per_user",
-    "latest_order_per_customer",
-    "multimodal_media_stats",
-    "near_dup_doc_clusters",
-    # the 20 remaining r6-certified queries (near_dup_minhash_pairs,
-    # packed_context_windows, partitioned_table_pruning,
-    # pseudonymized_user_activity + the q11…q9 TPC-H block) don't fit
-    # the 50-slot gate; they rotate to the r9 lead and stay covered by
-    # the pytest oracle replay meanwhile.
+    # round-9 gate (VERDICT r8 next #1): the 20 queries whose newest driver
+    # row dates from r6 lead — after this round no catalog query's driver
+    # certification is older than r7. Steady state: a 120-query catalog
+    # over a 50-slot gate makes 3 rounds the maximum certification age.
+    "near_dup_minhash_pairs",
+    "packed_context_windows",
+    "partitioned_table_pruning",
+    "pseudonymized_user_activity",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_flat_revenue",
+    "q9_product_profit",
+    "q11_top_nation_share",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_avg_yearly",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_late_shippers",
+    "q22_dormant_rich_customers",
+    # round-9 additions: need their FIRST driver row (persisted
+    # signature-store admission lifecycle — VERDICT r8 next #2 — and the
+    # follow-head changelog view — next #7)
+    "near_dup_store_lifecycle",
+    "changelog_follow_head_view",
+    # then 28 of the 50 r7-certified queries (2 rounds old), picked to
+    # re-certify the code THIS round changes: the fold cosine partial
+    # top-k, the dedup/signature paths around the persisted store, the
+    # snapstore metadata/merge/seed fixes, and the fuzzed media parsers.
+    "embedding_cosine_topk",
+    "dedup_docs_by_key",
+    "incremental_dedup_new_docs",
+    "simhash_near_pairs_block2k",
+    "ngram_jaccard_dups_block1k",
+    "embedding_near_dup_pairs",
+    "semantic_dedup_cells",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "media_header_roundtrip",
+    "snapshot_metadata_lifecycle",
+    "partition_stats_table",
+    "catalog_branch_lifecycle",
+    "tag_retention_lifecycle",
+    "flagship_sql_front_door",
+    "dml_lifecycle",
+    "merge_upsert_lifecycle",
+    "cdc_changelog_apply",
+    "cdc_changelog_apply_mor",
+    "mor_delete_lifecycle",
+    "zorder_compact_lifecycle",
+    "partition_evolution_lifecycle",
+    "partition_compaction_lifecycle",
+    "incremental_rollup_maintenance",
+    "streaming_cdc_ingest_lifecycle",
+    "pii_safe_events",
+    "row_policy_events",
+    "quality_checks_events",
+    # the remaining 22 r7-certified queries rotate to the r10 lead (3
+    # rounds old then — the steady-state maximum) and stay covered by the
+    # pytest oracle replay meanwhile: soda_yaml_checks,
+    # setops_customer_cohorts, topk_orders, monthly_order_stats,
+    # json_props_rollup, event_minute_windows, asof_last_click_before_
+    # purchase, bucketed_join_orders_lineitem, above_customer_avg_orders,
+    # brand_size_stats, cube_status_year, distinct_customers_per_priority,
+    # doc_fingerprint_dedup, doc_language_id, doc_quality_scores,
+    # doc_token_rarity, doc_token_stats, event_value_by_nation,
+    # order_price_stats, source_mixture_weights, stratified_doc_sample,
+    # token_vocabulary.
 ]
 
 
@@ -973,19 +981,34 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
     from iceberg_quickstart_iac_spark.operators.dedup import (
         incremental_near_dup,
-        minhash_signatures,
+        load_or_build_signature_store,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # in production the store is a PERSISTED table (fit once, append per
-    # admitted batch); built inline here, checkpoint it so the banding
-    # scan and the candidate-scoring join don't each re-run the full
-    # shingle-explode + 64-hash signature DAG
-    store_sigs = minhash_signatures(
-        docs, "doc_id", "text", num_perm=64
-    ).localCheckpoint()
+    # the store is a PERSISTED SnapTable (fit-once/load-many, same shape
+    # as the ivfpq index root above): the first run per sf_dir pays the
+    # corpus signature fit; every later run loads the table — the cost a
+    # production deployment amortizes into the store's append loop
+    # (operators/dedup.py::admit_batch; certified by
+    # near_dup_store_lifecycle)
+    key = hashlib.md5(
+        json.dumps(
+            {"sf_dir": str(Path(sf_dir).resolve()), "num_perm": 64,
+             "bands": 16, "shingle_k": 5},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"sgraft_sig_store_{key}"
+    store = load_or_build_signature_store(
+        spark, docs, root, "doc_id", "text", num_perm=64
+    )
+    store_sigs = store.read(spark)
     copies = docs.filter(F.col("doc_id").isin(1, 7, 42)).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
@@ -1002,6 +1025,102 @@ def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFram
     return incremental_near_dup(
         batch, store_sigs, "doc_id", "text", threshold=0.9
     ).orderBy("new_id")
+
+
+# ---------------------------------------------------------------------------
+# Persisted signature-store admission LIFECYCLE (round 9; VERDICT r8 next
+# #2 — operators/dedup.py::admit_batch): the production loop around
+# incremental_near_dup made first-class. Wave 1 admits a batch against an
+# EMPTY store and appends the admitted docs' signatures (txn-stamped);
+# wave 2 plants exact copies of wave-1 admissions — including one whose
+# text exists NOWHERE in the corpus, so it can only be caught if the
+# wave-1 append actually landed — and must reject them FROM THE UPDATED
+# STORE. store_rows_after pins the append accounting per wave. Identical
+# text ⇒ identical signatures ⇒ est 1.0 deterministically; natural
+# cross-doc similarity at this sf can't reach the 0.9 threshold.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "near_dup_store_lifecycle",
+    oracle="""
+    SELECT CAST(1 AS INT) AS wave,
+           CAST(30002 AS BIGINT) AS new_id,
+           CAST(30001 AS BIGINT) AS dup_of,
+           CAST(1.0 AS DOUBLE) AS est_jaccard,
+           'batch' AS source,
+           CAST(5 AS BIGINT) AS store_rows_after
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(50000 + doc_id AS BIGINT),
+           CAST(doc_id AS BIGINT), CAST(1.0 AS DOUBLE), 'store',
+           CAST(6 AS BIGINT)
+    FROM documents WHERE doc_id IN (1, 7, 42)
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(60001 AS BIGINT), CAST(20001 AS BIGINT),
+           CAST(1.0 AS DOUBLE), 'store', CAST(6 AS BIGINT)
+    ORDER BY wave, new_id
+    """,
+)
+def near_dup_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        admit_batch,
+        create_signature_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fresh root each run: the lifecycle IS the append loop; it must not
+    # pollute the fit-once store the admission query serves from
+    store = create_signature_store(
+        Path(tempfile.mkdtemp(prefix="sigstore_")) / "sig_store", "doc_id"
+    )
+    # 3 rows, scanned by both waves and their match recomputes — pin them
+    corpus3 = docs.filter(F.col("doc_id").isin(1, 7, 42)).localCheckpoint()
+    wave1 = corpus3.unionByName(
+        spark.createDataFrame(
+            [
+                (20001, "unique wave one payload zq7 xvw nothing shared"),
+                (30001, "identical in batch payload row for the duplicate pair"),
+                (30002, "identical in batch payload row for the duplicate pair"),
+            ],
+            "doc_id LONG, text STRING",
+        )
+    )
+    r1 = admit_batch(
+        store, wave1, "doc_id", "text", threshold=0.9, txn=("lifecycle", 1)
+    )
+    # wave 2: exact copies of wave-1 ADMISSIONS — corpus docs under
+    # 50000+id, the literal 20001 doc under 60001 — plus one novel doc
+    wave2 = corpus3.select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (60001, "unique wave one payload zq7 xvw nothing shared"),
+                (70001, "fresh wave two content qxj plv wnt totally new"),
+            ],
+            "doc_id LONG, text STRING",
+        )
+    )
+    r2 = admit_batch(
+        store, wave2, "doc_id", "text", threshold=0.9, txn=("lifecycle", 2)
+    )
+
+    def waved(r: dict, wave: int) -> DataFrame:
+        return r["matches"].select(
+            F.lit(wave).cast("int").alias("wave"),
+            "new_id",
+            "dup_of",
+            "est_jaccard",
+            "source",
+            F.lit(r["commit"]["row_count"]).cast("long").alias(
+                "store_rows_after"
+            ),
+        )
+
+    return waved(r1, 1).unionByName(waved(r2, 2)).orderBy("wave", "new_id")
 
 
 # ---------------------------------------------------------------------------
@@ -6647,6 +6766,85 @@ def changelog_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY change_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Follow-head changelog view (round 9; VERDICT r8 next #7 —
+# snapstore.py::register_changes(follow_head=True)): the live-CDC-feed
+# shape, Delta CDF's readChangeFeed + startingVersion. The view is
+# registered ONCE after the anchor snapshot; two later commits (an
+# append, then a MoR delete) must surface through it with NO re-register
+# — the interval end re-resolves per commit. The oracle replays both
+# commits' deltas from the orders table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "changelog_follow_head_view",
+    oracle="""
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 900 AND o_orderkey < 1200
+    UNION ALL
+    SELECT 'delete',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders
+    WHERE o_orderkey < 900 AND o_orderkey % 7 = 0
+    ORDER BY change_type
+    """,
+)
+def changelog_follow_head_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1200
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = SnapTable.create(
+        tempfile.mkdtemp(prefix="clfh_") + "/orders_clfh",
+        {
+            "name": "orders_clfh",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "required": True},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "identifier_fields": ["o_orderkey"],
+        },
+    )
+    t.overwrite(orders.filter(F.col("o_orderkey") < 900))
+    v1 = t.current_snapshot()["snapshot_id"]
+    # register ONCE at the anchor…
+    t.register_changes(
+        spark, from_snapshot_id=v1, name="orders_clfh", follow_head=True
+    )
+    # …then commit twice: the view must pick BOTH up with no re-register
+    t.append(orders.filter(F.col("o_orderkey") >= 900))
+    t.delete_where(spark, "o_orderkey % 7 = 0 AND o_orderkey < 900", mode="mor")
+    out = spark.sql(
+        """
+        SELECT _change_type AS change_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_clfh__changes
+        GROUP BY _change_type
+        ORDER BY change_type
+        """
+    )
+    # the temp view survives the query (the driver collects later); the
+    # registration spec dies with the table's temp root — but drop the
+    # follow-head tracking now so later commits in shared test sessions
+    # never touch a stale SparkSession
+    out = out.localCheckpoint()
+    t.unregister(spark, "orders_clfh")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -137,12 +137,37 @@ class Lakehouse:
                 # never fires our registry — the probe (one directory
                 # listing, no reads) catches it per statement
                 head = t.head_sequence()
-                if head is None:
-                    continue
                 prev = self._sql_registry.get(name)
                 with_md = wants_md or (prev[1] if prev else False)
                 want = (str(access_level), with_md, head)
-                if prev != want:
+                if prev == want:
+                    continue
+                if head is None:
+                    # created-but-never-committed: serve the DECLARED
+                    # empty schema (governed) rather than silently
+                    # skipping — `SELECT * FROM t` on a fresh table is 0
+                    # typed rows, not an opaque TABLE_OR_VIEW_NOT_FOUND
+                    # after a pointless memo-recovery retry. Metadata
+                    # views need a snapshot; referencing one here is a
+                    # real user error worth a descriptive raise.
+                    if wants_md:
+                        raise TableNotFoundError(
+                            f"Table {name!r} has no commits yet — its "
+                            f"metadata views ({name}__snapshots/…) only "
+                            f"exist after the first commit"
+                        )
+                    from iceberg_quickstart_iac_spark.governance.access import (
+                        read_with_access_level,
+                    )
+
+                    df = read_with_access_level(
+                        t._empty_declared(spark),
+                        t.meta,
+                        access_level,
+                        table=t.fq_name,
+                    )
+                    df.createOrReplaceTempView(name)
+                else:
                     t.register(
                         spark,
                         name=name,
@@ -150,7 +175,7 @@ class Lakehouse:
                         metadata_tables=with_md,
                         follow_head=True,
                     )
-                    self._sql_registry[name] = want
+                self._sql_registry[name] = want
 
         from pyspark.errors import AnalysisException
 

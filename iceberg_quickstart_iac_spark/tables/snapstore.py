@@ -518,7 +518,11 @@ class SnapTable:
         return self._read_log(self.log_dir)
 
     def _write_meta(self, meta: dict) -> None:
-        (self.root / "table.json").write_text(json.dumps(meta, indent=2))
+        # temp + atomic rename: concurrent readers (commit retries, verify,
+        # reads in other processes) must never observe a torn table.json
+        tmp = self.root / f".tmp-meta-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(meta, indent=2))
+        os.replace(tmp, self.root / "table.json")
 
     def _seed_expired_sequences(self) -> None:
         """Upgrade shim: tables whose snapshots were expired BEFORE the
@@ -530,16 +534,30 @@ class SnapTable:
         unattributable anyway); from then on a NEW unexplained gap is a
         real lost entry and fails fsck. Writes the MAIN table.json
         directly: tombstones only ever explain main-log gaps, and a
-        branch's copy-on-evolve ``_write_meta`` would drop the key."""
+        branch's copy-on-evolve ``_write_meta`` would drop the key.
+
+        Runs on every :meth:`_commit`, so it must be race-safe: N writer
+        processes all seed on their first commit against a pre-upgrade
+        table while readers re-read ``table.json`` (commit retries,
+        verify, reads). The rewrite goes through a temp file +
+        ``os.replace`` (atomic on POSIX) so a concurrent reader never
+        sees a torn file, and a per-handle flag skips the read entirely
+        once this handle has observed the key."""
+        if getattr(self, "_expired_seqs_seeded", False):
+            return
         main_path = self.root / "table.json"
         meta = json.loads(main_path.read_text())
         if "expired_sequences" in meta:
+            self._expired_seqs_seeded = True
             return
         seqs = {e["sequence"] for e in self._read_log(self.root / "_log")}
         meta["expired_sequences"] = (
             [s for s in range(max(seqs)) if s not in seqs] if seqs else []
         )
-        main_path.write_text(json.dumps(meta, indent=2))
+        tmp = self.root / f".tmp-meta-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(meta, indent=2))
+        os.replace(tmp, main_path)
+        self._expired_seqs_seeded = True
 
     def current_snapshot(self) -> dict | None:
         entries = self._entries()
@@ -2028,7 +2046,12 @@ class SnapTable:
         arguments (a pinned snapshot cannot also track the head) and costs
         one view re-resolution per commit (plus the metadata-table rebuild
         when those are registered — leave them off on hot write paths).
-        Returns the base view name.
+        Follow-head is PROCESS-LOCAL: temp views are Spark session objects
+        and the refresh hook fires only for commits made through this
+        process's table handles — for multi-process serving use
+        ``Lakehouse.sql``, which head-probes the commit log per statement
+        (one directory listing) and re-registers on any unseen commit,
+        whoever made it. Returns the base view name.
 
         Audit granularity: the underlying ``table_read`` plus a
         ``table_registered`` event log at REGISTRATION time; subsequent
@@ -2120,6 +2143,7 @@ class SnapTable:
         name: str | None = None,
         access_level: str = "admin",
         row_policies: dict[str, str] | None = None,
+        follow_head: bool = False,
     ) -> str:
         """Register the row-level changelog between two snapshots
         (:meth:`read_changes` — Delta CDF / Iceberg changelog-scan
@@ -2129,14 +2153,27 @@ class SnapTable:
         the changelog exactly as to reads — a reader's restricted columns
         are dropped from the change rows inside the view plan, and row
         policies filter both the insert and delete sides (a reader must
-        not learn a restricted row existed by seeing its delete). The
-        view pins the two snapshots resolved here; changelogs are
-        interval-valued, so there is no follow-head mode."""
+        not learn a restricted row existed by seeing its delete).
+
+        By default the view pins the two snapshots resolved here.
+        ``follow_head=True`` is the live-CDC-feed shape (Delta CDF's
+        ``readChangeFeed`` with ``startingVersion``): the interval START
+        stays fixed at ``from_snapshot_id`` and the END re-resolves to
+        the current head on every commit made through this process, so
+        the view always serves "everything changed since the anchor".
+        Follow-head excludes ``to_snapshot_id`` (a pinned end cannot also
+        track the head) and, like :meth:`register`, is process-local —
+        temp views are session objects."""
         from iceberg_quickstart_iac_spark.governance.access import (
             read_with_access_level,
             read_with_row_policies,
         )
 
+        if follow_head and to_snapshot_id is not None:
+            raise ValueError(
+                "register_changes(follow_head=True) tracks the head as the "
+                "interval end — it cannot combine with to_snapshot_id"
+            )
         base = (name or self.meta["name"]) + "__changes"
         df = self.read_changes(spark, from_snapshot_id, to_snapshot_id)
         df = read_with_access_level(
@@ -2146,6 +2183,24 @@ class SnapTable:
             df, row_policies or {}, access_level, table=self.fq_name
         )
         df.createOrReplaceTempView(base)
+        if follow_head:
+            # same name-takeover guard as register(): one view name tracks
+            # exactly one table root
+            own = _head_reg_key(self.root)
+            for root_key, specs in _HEAD_REGISTRATIONS.items():
+                if root_key != own:
+                    specs.pop(base, None)
+            _HEAD_REGISTRATIONS.setdefault(own, {})[base] = {
+                "table": self,
+                "spark": spark,
+                "access_level": access_level,
+                "row_policies": dict(row_policies or {}),
+                "kind": "changes",
+                "from_snapshot_id": from_snapshot_id,
+                # strip the suffix: the refresh passes name= back in and
+                # register_changes re-appends __changes
+                "name": (name or self.meta["name"]),
+            }
         log_audit_event(
             "table_registered",
             self.fq_name,
@@ -2163,7 +2218,9 @@ class SnapTable:
         """Drop a registration's views and, if it was follow-head, stop
         tracking commits for it."""
         base = name or self.meta["name"]
-        _HEAD_REGISTRATIONS.get(_head_reg_key(self.root), {}).pop(base, None)
+        specs = _HEAD_REGISTRATIONS.get(_head_reg_key(self.root), {})
+        specs.pop(base, None)
+        specs.pop(base + "__changes", None)  # follow-head changelog spec
         for suffix in ("", "__snapshots", "__files", "__partitions",
                        "__delete_files", "__refs", "__changes"):
             spark.catalog.dropTempView(base + suffix)
@@ -2178,6 +2235,18 @@ class SnapTable:
         specs = _HEAD_REGISTRATIONS.get(_head_reg_key(self.root), {})
         for base, spec in list(specs.items()):
             try:
+                if spec.get("kind") == "changes":
+                    # live changelog view: fixed interval start, end
+                    # re-resolves to the just-committed head
+                    spec["table"].register_changes(
+                        spec["spark"],
+                        spec["from_snapshot_id"],
+                        name=spec["name"],
+                        access_level=spec["access_level"],
+                        row_policies=spec["row_policies"],
+                        follow_head=True,
+                    )
+                    continue
                 spec["table"].register(
                     spec["spark"],
                     name=base,
@@ -2419,6 +2488,23 @@ class SnapTable:
                 for c in redact
             )
 
+        def _redact_path(p: str) -> str:
+            # file_path and data_dir embed the same ``__p_<col>=<value>``
+            # segments the partition JSON parses from — a restricted
+            # partition column's VALUES must not leak through the path
+            # columns either (the docstring's "never their names or
+            # values" guarantee applies to every emitted column)
+            if not redact:
+                return p
+            out = []
+            for seg in p.split("/"):
+                if "=" in seg:
+                    k, _, _v = seg.partition("=")
+                    if _partition_key_redacted(k):
+                        seg = k + "=<redacted>"
+                out.append(seg)
+            return "/".join(out)
+
         rows = []
         for d in snap["data_dirs"]:
             base = self.data_dir / d
@@ -2440,8 +2526,8 @@ class SnapTable:
                 }
                 rows.append(
                     (
-                        str(f.relative_to(self.root)),
-                        d,
+                        _redact_path(str(f.relative_to(self.root))),
+                        _redact_path(d),
                         json.dumps(parts, sort_keys=True),
                         _footer_row_count([f]),
                         f.stat().st_size,
@@ -3770,6 +3856,10 @@ class SnapTable:
             self.fq_name,
             details={"mode": "merge_branch", "branch": name, "head_sequence": new_head},
         )
+        # merge mutates the committed head outside _commit (fast-forward
+        # links entries directly; the branch ref rewinds) — follow-head
+        # views must re-resolve or they'd keep serving the pre-merge state
+        self._refresh_head_registrations()
         return last if last else {}
 
 
@@ -3827,6 +3917,9 @@ class _BranchView(SnapTable):
         for p in self.log_dir.glob(self._LOG_GLOB):
             if int(p.stem) > target["sequence"]:
                 p.unlink()
+        # head moved without a _commit — re-resolve follow-head views so a
+        # registered branch view stops serving the discarded commits
+        self._refresh_head_registrations()
 
     def _maintenance_unsupported(self, op: str):
         raise RuntimeError(

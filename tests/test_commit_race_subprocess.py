@@ -122,3 +122,57 @@ def test_subprocess_writers_race_cleanly(tmp_path):
     # fsck clean after the melee
     report = t.verify_integrity()
     assert report["ok"], report
+
+
+def test_subprocess_writers_race_through_seeding(tmp_path):
+    """Pre-upgrade table (no ``expired_sequences`` key): every worker's
+    FIRST commit runs ``_seed_expired_sequences`` — a table.json rewrite —
+    while its rivals concurrently READ table.json (meta for retry counts,
+    write epochs, commit re-bases). The rewrite goes through temp-file +
+    ``os.replace``, so no reader can ever observe a torn file; with a
+    plain ``write_text`` this melee aborts otherwise-valid commits with
+    JSONDecodeError."""
+    import json
+
+    n_workers, n_commits = 4, 6
+    root = tmp_path / "seedrace"
+    t = SnapTable.create(
+        root,
+        {
+            "name": "seedrace", "namespace": "lakehouse",
+            "columns": [{"name": "k", "type": "long"}],
+            "properties": {"commit_num_retries": 60},
+        },
+    )
+    # simulate the pre-tombstone on-disk layout the shim upgrades
+    meta_path = root / "table.json"
+    meta = json.loads(meta_path.read_text())
+    meta.pop("expired_sequences", None)
+    meta_path.write_text(json.dumps(meta, indent=2))
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {**os.environ, "PYTHONPATH": str(REPO)}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(root), str(w), str(n_commits)],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in range(n_workers)
+    ]
+    (root / "_go").touch()
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out, err)
+
+    total = n_workers * n_commits
+    entries = t._entries()
+    assert len(entries) == total
+    assert [e["sequence"] for e in entries] == list(range(total))
+    # the shim stamped the key (an intact, parseable table.json) and a
+    # fresh table has no pre-existing gaps to grandfather
+    meta = json.loads(meta_path.read_text())
+    assert meta["expired_sequences"] == []
+    report = t.verify_integrity()
+    assert report["ok"], report

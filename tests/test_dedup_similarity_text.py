@@ -1128,3 +1128,118 @@ def test_bigram_novelty_counts_exact(spark):
     assert out[3] == (2, 2, 0)
     assert out[5] == (1, 0, 1)
     assert 4 not in out
+
+
+def test_bmp_negative_width_is_malformed_not_garbage():
+    """The BMP width field is signed on disk but only the HEIGHT sign
+    encodes orientation — a negative/zero width must parse as None
+    (malformed), not slip past the byte-bounds check with a negative byte
+    count and reshape into nonsense stats."""
+    import struct
+
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        _parse_bmp_pixels, build_bmp,
+    )
+
+    good = build_bmp([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]])
+    assert _parse_bmp_pixels(good)[0:2] == (2, 2)
+    for w in (-1, -2, 0):
+        bad = bytearray(good)
+        bad[18:22] = struct.pack("<i", w)
+        assert _parse_bmp_pixels(bytes(bad)) is None, w
+
+
+def test_signature_store_admit_append_admit(spark, tmp_path):
+    """The production near-dup admission loop (VERDICT r8 next #2):
+    wave-1 admits against an empty store and appends the admitted docs'
+    signatures; wave-2 must catch a copy of a wave-1 admission FROM THE
+    UPDATED STORE; a crash-replayed wave (same txn) must skip the append
+    and return identical matches."""
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        admit_batch,
+        create_signature_store,
+    )
+
+    store = create_signature_store(tmp_path / "sig", "doc_id")
+    w1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (7, "completely different content about catalyst optimizer plans"),
+            (30001, "identical in batch payload row for the duplicate pair"),
+            (30002, "identical in batch payload row for the duplicate pair"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    r1 = admit_batch(store, w1, "doc_id", "text", threshold=0.9, txn=("lc", 1))
+    assert [tuple(r) for r in r1["matches"].collect()] == [
+        (30002, 30001, 1.0, "batch")
+    ]
+    assert r1["commit"]["row_count"] == 3  # 1, 7, 30001 admitted
+    assert sorted(r.doc_id for r in r1["admitted"].collect()) == [1, 7, 30001]
+
+    w2 = spark.createDataFrame(
+        [
+            # exact copy of admitted doc 1 — catchable only via the store
+            (50001, "the quick brown fox jumps over the lazy dog again and again"),
+            (70001, "fresh wave two content totally new material here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    r2 = admit_batch(store, w2, "doc_id", "text", threshold=0.9, txn=("lc", 2))
+    assert [tuple(r) for r in r2["matches"].collect()] == [
+        (50001, 1, 1.0, "store")
+    ]
+    assert r2["commit"]["row_count"] == 4  # +70001
+
+    # crash replay: same txn → append skipped, matches identical (the
+    # replayed batch's own signatures in the store are self-excluded)
+    r2b = admit_batch(store, w2, "doc_id", "text", threshold=0.9, txn=("lc", 2))
+    assert r2b["commit"]["row_count"] == 4
+    assert [tuple(r) for r in r2b["matches"].collect()] == [
+        (50001, 1, 1.0, "store")
+    ]
+    # ledger: the store's head still carries txn version 2
+    assert store.last_txn_version("lc") == 2
+
+
+def test_expr_string_forms_match_column_api(spark):
+    """_band_bucket_array/_agreement_fraction build their expression trees
+    from ONE parsed SQL string (driver-cost fix, round 9); this pins that
+    the SQL functions are byte-identical to the F.* Column constructions
+    they replaced."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        _agreement_fraction,
+        _band_bucket_array,
+    )
+
+    sig = [((i * 37 + 11) % 97 - 48) * 9_999_999_999 for i in range(8)]
+    df = spark.createDataFrame(
+        [(sig, sig[:4] + [0, 0, 0, 0])], "minhash ARRAY<LONG>, other ARRAY<LONG>"
+    )
+    r, bands = 2, 4
+    old_band = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.element_at("minhash", b * r + j + 1) for j in range(r)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    old_agree = sum(
+        F.when(F.element_at("minhash", p + 1) == F.element_at("other", p + 1), 1)
+        .otherwise(0)
+        for p in range(8)
+    ) / 8
+    row = df.select(
+        old_band.alias("ob"),
+        _band_bucket_array(r, bands).alias("nb"),
+        old_agree.alias("oa"),
+        _agreement_fraction("minhash", "other", 8).alias("na"),
+    ).first()
+    assert row.ob == row.nb
+    assert row.oa == row.na == 0.5

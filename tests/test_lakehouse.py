@@ -296,3 +296,35 @@ def test_lakehouse_sql_sees_other_process_commits(spark, lake):
         spark.createDataFrame([(99, "ext")], "k LONG, v STRING")
     )
     assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == n0 + 1
+
+
+def test_lakehouse_sql_serves_declared_empty_for_uncommitted_table(spark, lake):
+    """A created-but-never-committed table referenced through sql() serves
+    its DECLARED schema with 0 rows (standard SQL semantics), not an opaque
+    TABLE_OR_VIEW_NOT_FOUND after a pointless memo-recovery retry; its
+    metadata views (which need a snapshot) raise descriptively."""
+    from iceberg_quickstart_iac_spark.tables.snapstore import TableNotFoundError
+
+    lake.create_table(_tpl("fresh"))
+    out = lake.sql(spark, "SELECT * FROM fresh")
+    assert out.columns == ["k", "v"] and out.count() == 0
+    # governance applies to the empty view too
+    lake2 = Lakehouse(lake.root)
+    lake2.create_table({
+        "name": "freshgov", "namespace": "lakehouse",
+        "columns": [
+            {"name": "k", "type": "long"},
+            {"name": "pii", "type": "string", "access_level": "restricted"},
+        ],
+    })
+    gov = lake2.sql(spark, "SELECT * FROM freshgov", access_level="reader")
+    assert gov.columns == ["k"] and gov.count() == 0
+    # the head probe flips the memo on the first commit (None -> 0)
+    lake.table("fresh").append(
+        spark.createDataFrame([(1, "x")], "k LONG, v STRING")
+    )
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM fresh").first().n == 1
+    # metadata views only exist after the first commit — descriptive raise
+    lake.create_table(_tpl("fresh2"))
+    with pytest.raises(TableNotFoundError, match="no commits yet"):
+        lake.sql(spark, "SELECT * FROM fresh2__snapshots")

@@ -238,3 +238,29 @@ def test_shard_position_window_is_per_shard_not_global(spark, sf_dir_small):
     # the window's partition spec names the shard key (no empty PartitionBy)
     win = [ln for ln in p.splitlines() if "Window" in ln or "windowspecdefinition" in ln]
     assert any("shard" in ln for ln in win), win
+
+
+def test_cosine_topk_fold_shuffles_only_k_per_partition(spark, sf_dir_small):
+    """The fold cosine_topk's rank<=k window must plan a PARTIAL
+    WindowGroupLimit BEFORE the exchange (VERDICT r8 next #3): Spark's
+    rank-limit rewrite prunes each input partition to k rows per query
+    map-side, so only k*P rows per query shuffle and the final task sorts
+    k*P rows, never |corpus|. An explicit two-level window was measured
+    and rejected (it adds a second exchange for the same prune); this
+    test pins the optimizer behavior the operator relies on instead."""
+    df = queries()["embedding_cosine_topk"](spark, sf_dir_small)
+    p = _plan(spark, df)
+    lines = p.splitlines()
+    partial_at = next(
+        (i for i, ln in enumerate(lines)
+         if "row_number()" in ln and "Partial" in ln), None
+    )
+    final_at = next(
+        (i for i, ln in enumerate(lines)
+         if "row_number()" in ln and "Final" in ln), None
+    )
+    assert partial_at is not None and final_at is not None, p
+    exchange_between = any(
+        "Exchange" in ln for ln in lines[partial_at:final_at]
+    )
+    assert exchange_between, p

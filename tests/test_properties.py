@@ -571,6 +571,16 @@ def test_reader_registration_never_leaks_restricted_columns(spark, tmp_path):
             assert not any(
                 _derives_from_restricted(k) for k in _json.loads(r.partition)
             ), r
+        # the PATH columns embed the same __p_<col>=<value> segments the
+        # partition JSON parses from — a restricted partition column's
+        # values must not republish through file_path/data_dir either
+        for r in spark.sql(f"SELECT * FROM v_leakmd{seed}__files").collect():
+            for field in ("file_path", "data_dir"):
+                for seg in r[field].split("/"):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        if _derives_from_restricted(k):
+                            assert v == "<redacted>", (field, seg)
 
 
 @given(st.binary(min_size=0, max_size=300))
@@ -609,3 +619,69 @@ def test_media_parsers_never_crash_on_prefixed_garbage(payload):
         except NotImplementedError:
             continue
         assert out is None or isinstance(out, tuple)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_jpeg_marker_scan_never_crashes_on_garbage(payload):
+    """The JPEG SOF scan runs on UNTRUSTED crawl bytes inside executor
+    batches (round 9, VERDICT r8 next #6): raw garbage AND valid-magic
+    prefixed garbage must both yield (w, h) or None — never an exception,
+    never a non-terminating scan."""
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        _parse_jpeg_dims,
+    )
+
+    for blob in (payload, b"\xff\xd8" + payload):
+        out = _parse_jpeg_dims(blob)
+        assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+
+def test_header_expressions_survive_garbage_batch(spark):
+    """png_meta/gif_meta/wav_duration_ms are JVM column expressions over
+    untrusted bytes: one batch of seeded-random garbage + adversarial
+    magic-prefixed garbage (truncated headers, giant fields) must run to
+    completion under ANSI mode with NULL-or-struct results — a malformed
+    crawl blob must never kill a task."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.multimodal import (
+        gif_meta,
+        png_meta,
+        wav_duration_ms,
+    )
+
+    rng = random.Random(9)
+    payloads = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+                for _ in range(200)]
+    magics = [
+        bytes.fromhex("89504E470D0A1A0A"),  # PNG
+        b"GIF87a", b"GIF89a",
+        b"RIFF\xff\xff\xff\xffWAVE",
+        b"RIFF", b"GIF", b"\x89PN",
+    ]
+    for m in magics:
+        for _ in range(30):
+            payloads.append(m + bytes(rng.randrange(256)
+                                      for _ in range(rng.randrange(0, 60))))
+        payloads.append(m)          # bare magic, truncated header
+        payloads.append(m + b"\xff" * 40)  # max-value fields
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i LONG, content BINARY"
+    )
+    out = df.select(
+        "i",
+        png_meta(F.col("content")).alias("png"),
+        gif_meta(F.col("content")).alias("gif"),
+        wav_duration_ms(F.col("content")).alias("wav_ms"),
+    ).collect()
+    # completion IS the property (no ANSI cast/conv task kill); spot-check
+    # the shapes: every non-null result is a well-typed struct/long
+    assert len(out) == len(payloads)
+    for r in out:
+        if r.png is not None:
+            assert r.png.width is None or r.png.width >= 0
+        if r.wav_ms is not None:
+            assert isinstance(r.wav_ms, int)

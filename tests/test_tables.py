@@ -535,6 +535,30 @@ def test_branch_reset_rolls_back(spark, table, events_df):
     assert br.read(spark).count() == 3          # back to the fork state
 
 
+def test_follow_head_views_track_reset_and_merge(spark, table, events_df):
+    """reset() and merge_branch() move the committed head WITHOUT going
+    through _commit — follow-head views must re-resolve there too, or a
+    registered view keeps serving discarded/pre-merge state."""
+    table.overwrite(events_df)
+    br = table.create_branch("feature/fh")
+    fork_snap = table.current_snapshot()["snapshot_id"]
+    br.append(events_df)
+    br.register(spark, name="fh_branch", follow_head=True)
+    table.register(spark, name="fh_main", follow_head=True)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_branch").first().n == 6
+    # reset discards the branch commit: the branch view must follow
+    br.reset(fork_snap)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_branch").first().n == 3
+    # merge fast-forwards main by linking entries directly (no _commit):
+    # the main view must see the merged rows without re-registering
+    br.append(events_df.limit(2))
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_main").first().n == 3
+    table.merge_branch("feature/fh")
+    assert spark.sql("SELECT COUNT(*) AS n FROM fh_main").first().n == 5
+    table.unregister(spark, "fh_branch")
+    table.unregister(spark, "fh_main")
+
+
 def test_branch_dirs_protected_from_maintenance(spark, table, events_df):
     table.overwrite(events_df)
     br = table.create_branch("feature/keep")
@@ -1778,6 +1802,10 @@ def test_verify_integrity_grandfathers_pre_tombstone_gaps(spark, tmp_path):
     meta = _json.loads((t.root / "table.json").read_text())
     meta.pop("expired_sequences", None)
     (t.root / "table.json").write_text(_json.dumps(meta, indent=2))
+    # the upgrade topology: the pre-tombstone state is LOADED by the new
+    # version, not mutated under a live handle (the seeding shim caches a
+    # per-handle seen-flag so every commit doesn't re-read table.json)
+    t = SnapTable.load(tmp_path / "legacy")
     report = t.verify_integrity()
     assert report["ok"], report
     assert report["retention_gaps"] == [(0, 2)]
@@ -2179,6 +2207,50 @@ def test_register_changes_serves_governed_changelog_sql(spark, gov_table):
 
     with pytest.raises(AnalysisException):
         spark.sql("SELECT * FROM fd_delta__changes").collect()
+
+
+def test_register_changes_follow_head_extends_interval(spark, gov_table):
+    """register_changes(follow_head=True) is the live CDC feed (Delta
+    CDF's readChangeFeed + startingVersion): the interval start stays
+    anchored, the end re-resolves on every commit — no re-register."""
+    v1 = gov_table.current_snapshot()["snapshot_id"]
+    gov_table.append(spark.createDataFrame(
+        [(300, 7, "c", 1.0)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    gov_table.register_changes(
+        spark, from_snapshot_id=v1, name="live_delta", follow_head=True
+    )
+    got = {(r._change_type, r.event_id) for r in spark.sql(
+        "SELECT _change_type, event_id FROM live_delta__changes").collect()}
+    assert got == {("insert", 300)}
+    # a later commit widens the served interval without re-registering
+    gov_table.append(spark.createDataFrame(
+        [(301, 8, "d", 2.0)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    got = {(r._change_type, r.event_id) for r in spark.sql(
+        "SELECT _change_type, event_id FROM live_delta__changes").collect()}
+    assert got == {("insert", 300), ("insert", 301)}
+    # pinned end + follow_head is contradictory
+    with pytest.raises(ValueError, match="cannot combine"):
+        gov_table.register_changes(
+            spark, from_snapshot_id=v1,
+            to_snapshot_id=gov_table.current_snapshot()["snapshot_id"],
+            follow_head=True,
+        )
+    # unregister stops tracking: a further commit must not resurrect it
+    gov_table.unregister(spark, "live_delta")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM live_delta__changes").collect()
+    gov_table.append(spark.createDataFrame(
+        [(302, 9, "e", 3.0)],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    ))
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM live_delta__changes").collect()
 
 
 def test_register_follow_head_name_takeover_stops_old_table(spark, tmp_path):
