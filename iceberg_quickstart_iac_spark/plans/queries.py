@@ -140,11 +140,12 @@ _GATE_PRIORITY: list[str] = [
     "q21_sole_late_shippers",
     "q22_dormant_rich_customers",
     # round-9 additions: need their FIRST driver row (persisted
-    # signature-store admission lifecycle — VERDICT r8 next #2 — and the
-    # follow-head changelog view — next #7)
+    # signature-store admission lifecycle — VERDICT r8 next #2 — the
+    # follow-head changelog view — next #7 — and the SQL DML front door)
     "near_dup_store_lifecycle",
     "changelog_follow_head_view",
-    # then 28 of the 50 r7-certified queries (2 rounds old), picked to
+    "sql_dml_lifecycle",
+    # then 27 of the 50 r7-certified queries (2 rounds old), picked to
     # re-certify the code THIS round changes: the fold cosine partial
     # top-k, the dedup/signature paths around the persisted store, the
     # snapstore metadata/merge/seed fixes, and the fuzzed media parsers.
@@ -175,10 +176,10 @@ _GATE_PRIORITY: list[str] = [
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
     "row_policy_events",
-    "quality_checks_events",
-    # the remaining 22 r7-certified queries rotate to the r10 lead (3
+    # the remaining 23 r7-certified queries rotate to the r10 lead (3
     # rounds old then — the steady-state maximum) and stay covered by the
-    # pytest oracle replay meanwhile: soda_yaml_checks,
+    # pytest oracle replay meanwhile: quality_checks_events,
+    # soda_yaml_checks,
     # setops_customer_cohorts, topk_orders, monthly_order_stats,
     # json_props_rollup, event_minute_windows, asof_last_click_before_
     # purchase, bucketed_join_orders_lineitem, above_customer_avg_orders,
@@ -1121,6 +1122,126 @@ def near_dup_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return waved(r1, 1).unionByName(waved(r2, 2)).orderBy("wave", "new_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL DML front door lifecycle (round 9; tables/sql_dml.py): the
+# reference's users submit DML to their warehouse as SQL STRINGS (Athena
+# named queries / runbook statements) — this certifies the same surface
+# against snapstore: UPDATE, DELETE, INSERT-SELECT (self-referential,
+# pre-insert snapshot semantics), and a full MERGE (aliased target,
+# subquery source, matched-update + guarded not-matched-insert) all run
+# as statements through Lakehouse.sql; the follow-head registration keeps
+# each statement reading the previous statement's committed state. The
+# oracle replays the four statements relationally in DuckDB. Float
+# mutations are +const only (bit-exact IEEE on both engines).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_dml_lifecycle",
+    oracle="""
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 900
+    ),
+    s1 AS (  -- UPDATE … SET o_totalprice = o_totalprice + 1.5 WHERE status='F'
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM seed
+    ),
+    s2 AS (  -- DELETE … WHERE o_orderkey % 10 = 0
+      SELECT * FROM s1 WHERE o_orderkey % 10 <> 0
+    ),
+    s3 AS (  -- INSERT … SELECT +100000 shifted copies of keys < 100
+      SELECT * FROM s2
+      UNION ALL
+      SELECT o_orderkey + 100000, o_orderstatus, o_totalprice + 0.25
+      FROM s2 WHERE o_orderkey < 100
+    ),
+    u AS (   -- the MERGE source: matched half + shifted unmatched half
+      SELECT o_orderkey AS k, o_totalprice AS p FROM s3 WHERE o_orderkey < 100
+      UNION ALL
+      SELECT o_orderkey + 500000, o_totalprice FROM s3 WHERE o_orderkey < 100
+    ),
+    s4 AS (
+      SELECT t.o_orderkey, t.o_orderstatus,
+             CASE WHEN u.k IS NOT NULL THEN u.p + 100.0
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM s3 t LEFT JOIN u ON t.o_orderkey = u.k
+      UNION ALL
+      SELECT u.k, 'M', u.p FROM u LEFT JOIN s3 t ON t.o_orderkey = u.k
+      WHERE t.o_orderkey IS NULL AND u.k >= 500000
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM s4
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="sqldml_") + "/lake")
+    t = lake.create_table(
+        {
+            "name": "orders_sqldml",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "required": True},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "identifier_fields": ["o_orderkey"],
+        }
+    )
+    t.overwrite(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 900)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    lake.sql(spark, """
+        UPDATE orders_sqldml SET o_totalprice = o_totalprice + 1.5
+        WHERE o_orderstatus = 'F'
+    """)
+    lake.sql(spark, "DELETE FROM orders_sqldml WHERE o_orderkey % 10 = 0")
+    lake.sql(spark, """
+        INSERT INTO orders_sqldml
+        SELECT o_orderkey + 100000, o_orderstatus, o_totalprice + 0.25
+        FROM orders_sqldml WHERE o_orderkey < 100
+    """)
+    lake.sql(spark, """
+        MERGE INTO orders_sqldml AS tgt
+        USING (
+            SELECT o_orderkey AS k, o_totalprice AS p
+            FROM orders_sqldml WHERE o_orderkey < 100
+            UNION ALL
+            SELECT o_orderkey + 500000, o_totalprice
+            FROM orders_sqldml WHERE o_orderkey < 100
+        ) AS u
+        ON tgt.o_orderkey = u.k
+        WHEN MATCHED THEN UPDATE SET o_totalprice = u.p + 100.0
+        WHEN NOT MATCHED AND u.k >= 500000 THEN
+            INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (u.k, 'M', u.p)
+    """)
+    out = lake.sql(spark, """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_sqldml
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """).localCheckpoint()
+    t.unregister(spark, "orders_sqldml")
+    return out
 
 
 # ---------------------------------------------------------------------------

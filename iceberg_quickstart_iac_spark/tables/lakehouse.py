@@ -121,8 +121,24 @@ class Lakehouse:
         appears inside a string literal registers harmlessly; a table
         referenced through a quoted identifier with special characters
         is not supported (snapstore names are word-shaped).
+
+        DML goes through the same front door: ``INSERT INTO`` /
+        ``DELETE FROM`` / ``UPDATE`` / ``MERGE INTO`` statements are
+        recognized and routed to the SnapTable executors
+        (:mod:`tables.sql_dml` — conditions/expressions pass through as
+        verbatim Spark SQL), returning the commit entry dict instead of
+        a DataFrame. The statement's source tables (an INSERT's SELECT,
+        a MERGE's USING subquery) resolve through the same lazy
+        registration, and a registered follow-head view of the target
+        picks the write up immediately (the executors commit through
+        ``_commit``). Reader sessions cannot execute DML.
         """
         import re
+
+        from iceberg_quickstart_iac_spark.tables.sql_dml import (
+            execute_dml,
+            is_dml,
+        )
 
         tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
 
@@ -180,6 +196,8 @@ class Lakehouse:
         from pyspark.errors import AnalysisException
 
         ensure_registered()
+        if is_dml(statement):
+            return execute_dml(self, spark, statement, access_level)
         try:
             return spark.sql(statement)
         except AnalysisException:

@@ -1,0 +1,323 @@
+"""SQL DML front door: route INSERT/DELETE/UPDATE/MERGE statements to the
+SnapTable executors.
+
+The reference's user-facing promise is plain SQL against the lakehouse —
+including writes (its named queries and runbooks submit DML to
+Athena/BigQuery verbatim; the engine weighing in ``docs/deep-dive.md`` is
+explicitly about upsert/DML behavior). Spark temp views are read-only, so
+``spark.sql("DELETE FROM t …")`` can never reach a snapstore table on its
+own; this module recognizes the four DML statement shapes, parses the
+table-independent parts (conditions and expressions stay VERBATIM SQL —
+they are evaluated by Spark inside the SnapTable executors, so anything
+Spark SQL accepts in a WHERE/SET/ON position works here), and delegates:
+
+- ``INSERT INTO t [(cols)] <query>``  → ``t.append(spark.sql(query))``
+  (query output maps positionally, exactly ANSI semantics; a column
+  subset fills the rest with typed NULLs)
+- ``DELETE FROM t [WHERE cond]``      → ``t.delete_where(cond)``
+- ``UPDATE t SET c = e, … [WHERE p]`` → ``t.update_where(p, {c: e})``
+- ``MERGE INTO t [AS a] USING src [AS b] ON cond WHEN …``
+                                       → ``t.merge_into(…)``
+
+MERGE accepts arbitrary target/source aliases and rewrites them to the
+executor's fixed ``t``/``s`` prefixes (word-boundary ``alias.`` matching,
+applied outside string literals). Clause grammar follows Spark's own
+MERGE surface: WHEN MATCHED [AND c] THEN UPDATE SET …|DELETE, WHEN NOT
+MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)|INSERT *,
+WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …|DELETE.
+
+Governance: DML requires writer/admin — a reader session raises before
+any parse (column/row policies govern what a reader SEES; writes are a
+capability, not a filter). Statements that are not DML return None and
+fall through to the read path.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DML_KW = re.compile(r"^\s*(insert|delete|update|merge)\b", re.IGNORECASE)
+
+
+def is_dml(statement: str) -> bool:
+    return _DML_KW.match(statement) is not None
+
+
+def _strip(statement: str) -> str:
+    return statement.strip().rstrip(";").strip()
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and single-quoted strings."""
+    parts, depth, in_str, last = [], 0, False, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                # '' is an escaped quote inside a SQL string literal
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_alias(expr: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``alias.`` column prefixes to the executor's fixed prefixes,
+    outside single-quoted string literals."""
+    out = []
+    for i, chunk in enumerate(re.split(r"('(?:[^']|'')*')", expr)):
+        if i % 2 == 0:  # outside a string literal
+            for alias, target in mapping.items():
+                chunk = re.sub(
+                    rf"\b{re.escape(alias)}\s*\.", target + ".", chunk,
+                    flags=re.IGNORECASE,
+                )
+        out.append(chunk)
+    return "".join(out)
+
+
+def _parse_set_list(set_sql: str, alias_map: dict[str, str]) -> dict[str, str]:
+    exprs: dict[str, str] = {}
+    for item in _split_top_level(set_sql):
+        col, eq, rhs = item.partition("=")
+        if not eq:
+            raise ValueError(f"DML: malformed SET item {item!r}")
+        name = col.strip()
+        # accept (and drop) a target prefix on the assigned column
+        name = re.sub(r"^\w+\s*\.\s*", "", name)
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(f"DML: malformed SET column {col.strip()!r}")
+        exprs[name] = _rewrite_alias(rhs.strip(), alias_map)
+    return exprs
+
+
+# ---------------------------------------------------------------------------
+# statement parsers — each returns a plan dict consumed by execute_dml
+# ---------------------------------------------------------------------------
+
+
+_INSERT_RE = re.compile(
+    r"^insert\s+into\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^delete\s+from\s+(\w+)(?:\s+where\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^merge\s+into\s+(\w+)(?:\s+(?:as\s+)?(\w+))?"
+    r"\s+using\s+(.+?)\s+on\s+(.+?)\s+(when\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_SRC_RE = re.compile(
+    r"^(\(.*\)|\w+)(?:\s+(?:as\s+)?(\w+))?$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _parse_merge_clauses(tail: str, alias_map: dict[str, str]) -> dict:
+    """Split the ``WHEN …`` tail into merge_into's clause dicts."""
+    # split at top-level WHEN boundaries (never inside parens/strings)
+    pieces, depth, in_str, starts = [], 0, False, [0]
+    i = 0
+    upper = tail.upper()
+    while i < len(tail):
+        c = tail[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(tail) and tail[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and i > 0 and upper.startswith("WHEN", i) and tail[i - 1].isspace():
+            starts.append(i)
+        i += 1
+    for a, b in zip(starts, starts[1:] + [len(tail)]):
+        pieces.append(tail[a:b].strip())
+
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    by_source: list[dict] = []
+    clause_re = re.compile(
+        r"^when\s+(matched|not\s+matched(?:\s+by\s+(target|source))?)"
+        r"(?:\s+and\s+(.+?))?\s+then\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for piece in pieces:
+        m = clause_re.match(piece)
+        if not m:
+            raise ValueError(f"MERGE: unparseable clause {piece!r}")
+        kind_raw, by, cond, action_sql = m.groups()
+        kind = "matched" if kind_raw.lower() == "matched" else (
+            "by_source" if (by or "").lower() == "source" else "not_matched"
+        )
+        action_sql = action_sql.strip()
+        clause: dict = {}
+        if cond:
+            clause["condition"] = _rewrite_alias(cond.strip(), alias_map)
+        au = action_sql.upper()
+        if au == "DELETE":
+            clause["action"] = "delete"
+        elif au.startswith("UPDATE"):
+            set_m = re.match(r"^update\s+set\s+(.+)$", action_sql,
+                             re.IGNORECASE | re.DOTALL)
+            if not set_m:
+                raise ValueError(f"MERGE: malformed UPDATE in {piece!r}")
+            clause["action"] = "update"
+            body = set_m.group(1).strip()
+            clause["set"] = (
+                "*" if body == "*" else _parse_set_list(body, alias_map)
+            )
+        elif au.startswith("INSERT"):
+            if kind != "not_matched":
+                raise ValueError("MERGE: INSERT is only valid WHEN NOT MATCHED")
+            clause["action"] = "insert"
+            body = action_sql[len("insert"):].strip()
+            if body == "*":
+                clause["values"] = "*"
+            else:
+                ins_m = re.match(r"^\(([^)]*)\)\s*values\s*\((.+)\)$", body,
+                                 re.IGNORECASE | re.DOTALL)
+                if not ins_m:
+                    raise ValueError(f"MERGE: malformed INSERT in {piece!r}")
+                cols = [c.strip() for c in ins_m.group(1).split(",")]
+                vals = _split_top_level(ins_m.group(2))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"MERGE: INSERT column/value count mismatch in {piece!r}"
+                    )
+                clause["values"] = {
+                    c: _rewrite_alias(v, alias_map) for c, v in zip(cols, vals)
+                }
+        else:
+            raise ValueError(f"MERGE: unknown action {action_sql!r}")
+        {"matched": matched, "not_matched": not_matched,
+         "by_source": by_source}[kind].append(clause)
+    return {
+        "when_matched": matched,
+        "when_not_matched": not_matched,
+        "when_not_matched_by_source": by_source,
+    }
+
+
+def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
+    """Parse and run a DML statement against the catalog; returns the
+    commit entry dict from the SnapTable executor. Raises on a reader
+    session, an unknown table, or an unparseable statement."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.governance.access import AccessLevel
+
+    if AccessLevel(access_level) is AccessLevel.READER:
+        raise PermissionError(
+            "reader sessions cannot execute DML — column/row policies "
+            "govern what a reader sees; writes need writer/admin"
+        )
+    s = _strip(statement)
+    kw = s.split(None, 1)[0].lower()
+
+    if kw == "insert":
+        m = _INSERT_RE.match(s)
+        if not m:
+            raise ValueError(f"DML: unparseable INSERT {statement!r}")
+        table, cols_sql, source_sql = m.groups()
+        t = lake.table(table)
+        declared = [c["name"] for c in t.meta.get("columns", [])]
+        df = spark.sql(source_sql.strip())
+        if cols_sql:
+            cols = [c.strip() for c in cols_sql.split(",")]
+            unknown = set(cols) - set(declared)
+            if unknown:
+                raise ValueError(f"INSERT: unknown columns {sorted(unknown)}")
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT: query returns {len(df.columns)} columns for "
+                    f"{len(cols)} listed"
+                )
+            df = df.toDF(*cols)
+            # ANSI: unlisted declared columns fill with typed NULLs (the
+            # append path casts them to the declared types)
+            for c in declared:
+                if c not in cols:
+                    df = df.withColumn(c, F.lit(None))
+            df = df.select(*declared)
+        else:
+            if len(df.columns) != len(declared):
+                raise ValueError(
+                    f"INSERT: query returns {len(df.columns)} columns; "
+                    f"{table} declares {len(declared)} — positional mapping "
+                    f"needs all of them (or list the columns)"
+                )
+            df = df.toDF(*declared)
+        return t.append(df)
+
+    if kw == "delete":
+        m = _DELETE_RE.match(s)
+        if not m:
+            raise ValueError(f"DML: unparseable DELETE {statement!r}")
+        table, cond = m.groups()
+        return lake.table(table).delete_where(spark, cond or "true")
+
+    if kw == "update":
+        m = _UPDATE_RE.match(s)
+        if not m:
+            raise ValueError(f"DML: unparseable UPDATE {statement!r}")
+        table, set_sql, cond = m.groups()
+        return lake.table(table).update_where(
+            spark, cond or "true", _parse_set_list(set_sql, {})
+        )
+
+    if kw == "merge":
+        m = _MERGE_RE.match(s)
+        if not m:
+            raise ValueError(f"DML: unparseable MERGE {statement!r}")
+        table, t_alias, src_sql, on_sql, when_tail = m.groups()
+        src_m = _MERGE_SRC_RE.match(src_sql.strip())
+        if not src_m:
+            raise ValueError(f"MERGE: unparseable USING source {src_sql!r}")
+        src_body, s_alias = src_m.groups()
+        alias_map = {}
+        if t_alias:
+            alias_map[t_alias] = "t"
+        if s_alias:
+            alias_map[s_alias] = "s"
+        # an un-aliased plain-table source is addressable by its name
+        if not s_alias and re.fullmatch(r"\w+", src_body):
+            alias_map[src_body] = "s"
+        if not t_alias:
+            alias_map.setdefault(table, "t")
+        source = spark.sql(
+            src_body[1:-1] if src_body.startswith("(") else
+            f"SELECT * FROM {src_body}"
+        )
+        clauses = _parse_merge_clauses(when_tail, alias_map)
+        return lake.table(table).merge_into(
+            spark,
+            source,
+            on=_rewrite_alias(on_sql.strip(), alias_map),
+            **clauses,
+        )
+
+    raise ValueError(f"DML: unsupported statement {statement!r}")

@@ -1,0 +1,165 @@
+"""SQL DML front door (round 9): INSERT/DELETE/UPDATE/MERGE statements
+through Lakehouse.sql route to the SnapTable executors with verbatim
+Spark-SQL conditions/expressions; reads are unaffected; readers are
+blocked; follow-head views see the writes."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    lh = Lakehouse(tmp_path / "dml_lake")
+    t = lh.create_table({
+        "name": "accounts", "namespace": "lakehouse",
+        "columns": [
+            {"name": "id", "type": "long", "required": True},
+            {"name": "status", "type": "string"},
+            {"name": "balance", "type": "double"},
+        ],
+        "identifier_fields": ["id"],
+    })
+    t.append(spark.createDataFrame(
+        [(1, "open", 10.0), (2, "open", 20.0), (3, "closed", 30.0)],
+        "id LONG, status STRING, balance DOUBLE",
+    ))
+    return lh
+
+
+def _rows(spark, lake):
+    return {
+        (r.id, r.status, r.balance)
+        for r in lake.table("accounts").read(spark).collect()
+    }
+
+
+def test_insert_values_positional(spark, lake):
+    entry = lake.sql(spark, "INSERT INTO accounts VALUES (4, 'open', 40.0)")
+    assert entry["operation"] == "append"
+    assert (4, "open", 40.0) in _rows(spark, lake)
+
+
+def test_insert_select_with_column_subset_fills_nulls(spark, lake):
+    lake.sql(
+        spark,
+        "INSERT INTO accounts (id, balance) SELECT 5, 50.0",
+    )
+    assert (5, None, 50.0) in _rows(spark, lake)
+
+
+def test_insert_select_reads_catalog_tables_lazily(spark, lake):
+    # the INSERT's source SELECT references the catalog table itself —
+    # lazy registration must resolve it before the DML runs
+    spark.catalog.dropTempView("accounts")
+    lake.sql(
+        spark,
+        "INSERT INTO accounts SELECT id + 100, status, balance * 2 "
+        "FROM accounts WHERE id = 1",
+    )
+    assert (101, "open", 20.0) in _rows(spark, lake)
+
+
+def test_delete_where_and_delete_all(spark, lake):
+    lake.sql(spark, "DELETE FROM accounts WHERE status = 'closed'")
+    assert {r[0] for r in _rows(spark, lake)} == {1, 2}
+    lake.sql(spark, "DELETE FROM accounts")
+    assert _rows(spark, lake) == set()
+
+
+def test_update_with_commas_in_expressions(spark, lake):
+    lake.sql(
+        spark,
+        "UPDATE accounts SET balance = round(balance * 1.1, 2), "
+        "status = concat(status, ',flagged') WHERE id <= 2",
+    )
+    got = _rows(spark, lake)
+    assert (1, "open,flagged", 11.0) in got
+    assert (2, "open,flagged", 22.0) in got
+    assert (3, "closed", 30.0) in got  # untouched
+
+
+def test_merge_full_clause_surface(spark, lake):
+    src = spark.createDataFrame(
+        [(2, "upgraded", 99.0), (9, "new", 9.0)],
+        "id LONG, status STRING, balance DOUBLE",
+    )
+    src.createOrReplaceTempView("acct_updates")
+    entry = lake.sql(spark, """
+        MERGE INTO accounts AS tgt
+        USING acct_updates AS u
+        ON tgt.id = u.id
+        WHEN MATCHED AND u.balance > 50 THEN UPDATE SET
+            status = u.status, balance = u.balance
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (id, status, balance)
+            VALUES (u.id, u.status, u.balance)
+        WHEN NOT MATCHED BY SOURCE AND tgt.status = 'closed' THEN DELETE
+    """)
+    assert entry["operation"] == "merge"
+    # id 2 updated (balance 99 > 50); id 9 inserted; id 3 (closed, not in
+    # source) deleted; id 1 (open, not in source) untouched
+    assert _rows(spark, lake) == {
+        (1, "open", 10.0), (2, "upgraded", 99.0), (9, "new", 9.0),
+    }
+
+
+def test_merge_star_shorthands(spark, lake):
+    spark.createDataFrame(
+        [(1, "star", 111.0), (7, "fresh", 7.0)],
+        "id LONG, status STRING, balance DOUBLE",
+    ).createOrReplaceTempView("star_updates")
+    lake.sql(spark, """
+        MERGE INTO accounts USING star_updates AS s2 ON accounts.id = s2.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = _rows(spark, lake)
+    assert (1, "star", 111.0) in got and (7, "fresh", 7.0) in got
+
+
+def test_reader_sessions_cannot_dml(spark, lake):
+    with pytest.raises(PermissionError, match="reader"):
+        lake.sql(spark, "DELETE FROM accounts", access_level="reader")
+    # reads still work for readers
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM accounts", access_level="reader"
+    ).first().n == 3
+
+
+def test_follow_head_view_sees_dml_through_front_door(spark, lake):
+    n0 = lake.sql(spark, "SELECT COUNT(*) AS n FROM accounts").first().n
+    lake.sql(spark, "INSERT INTO accounts VALUES (42, 'open', 1.0)")
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM accounts"
+    ).first().n == n0 + 1
+    lake.sql(spark, "DELETE FROM accounts WHERE id = 42")
+    # the memoized view refreshed through the executor's _commit — no
+    # re-registration, same statement text
+    assert spark.sql("SELECT COUNT(*) AS n FROM accounts").first().n == n0
+
+
+def test_string_literals_survive_alias_rewrite_and_splitting(spark, lake):
+    # a comma and an alias-looking prefix INSIDE a string literal must not
+    # confuse the SET splitter or the alias rewriter
+    lake.sql(
+        spark,
+        "UPDATE accounts SET status = 'a,b tgt. c''d' WHERE id = 1",
+    )
+    assert (1, "a,b tgt. c'd", 10.0) in _rows(spark, lake)
+
+
+def test_non_dml_statements_unaffected(spark, lake):
+    out = lake.sql(
+        spark,
+        "SELECT status, COUNT(*) AS n FROM accounts "
+        "WHERE status <> 'insert into nothing' GROUP BY status",
+    )
+    assert {(r.status, r.n) for r in out.collect()} == {("open", 2), ("closed", 1)}
+
+
+def test_unparseable_dml_raises_not_silently_reads(spark, lake):
+    with pytest.raises(ValueError, match="DML"):
+        lake.sql(spark, "DELETE accounts WHERE id = 1")  # missing FROM
