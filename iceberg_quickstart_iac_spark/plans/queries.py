@@ -145,7 +145,8 @@ _GATE_PRIORITY: list[str] = [
     "near_dup_store_lifecycle",
     "changelog_follow_head_view",
     "sql_dml_lifecycle",
-    # then 27 of the 50 r7-certified queries (2 rounds old), picked to
+    "sql_ddl_lifecycle",
+    # then 26 of the 50 r7-certified queries (2 rounds old), picked to
     # re-certify the code THIS round changes: the fold cosine partial
     # top-k, the dedup/signature paths around the persisted store, the
     # snapstore metadata/merge/seed fixes, and the fuzzed media parsers.
@@ -175,11 +176,10 @@ _GATE_PRIORITY: list[str] = [
     "incremental_rollup_maintenance",
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
-    "row_policy_events",
-    # the remaining 23 r7-certified queries rotate to the r10 lead (3
+    # the remaining 24 r7-certified queries rotate to the r10 lead (3
     # rounds old then — the steady-state maximum) and stay covered by the
-    # pytest oracle replay meanwhile: quality_checks_events,
-    # soda_yaml_checks,
+    # pytest oracle replay meanwhile: row_policy_events,
+    # quality_checks_events, soda_yaml_checks,
     # setops_customer_cohorts, topk_orders, monthly_order_stats,
     # json_props_rollup, event_minute_windows, asof_last_click_before_
     # purchase, bucketed_join_orders_lineitem, above_customer_avg_orders,
@@ -1241,6 +1241,78 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
     """).localCheckpoint()
     t.unregister(spark, "orders_sqldml")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SQL DDL front door lifecycle (round 9; tables/sql_ddl.py): stand up,
+# evolve, and retire a table with STATEMENTS alone — CREATE TABLE
+# (partitioned), INSERT-SELECT, ALTER ADD COLUMN (pre-evolution rows
+# read as typed NULLs), WRITE ORDERED BY, a second INSERT carrying the
+# evolved column, and DROP TABLE. The oracle replays both waves
+# relationally; the '<pre-evolution>' bucket certifies the read-time
+# schema resolution through the SQL surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_ddl_lifecycle",
+    oracle="""
+    WITH w1 AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+      FROM orders WHERE o_orderkey < 400
+    ),
+    w2 AS (
+      SELECT o_orderkey + 100000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
+    ),
+    t AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+    SELECT COALESCE(o_orderstatus, '<pre-evolution>') AS status_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM t
+    GROUP BY 1
+    ORDER BY status_bucket
+    """,
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="sqlddl_") + "/lake")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("orders_src")
+    lake.sql_script(spark, """
+        CREATE NAMESPACE IF NOT EXISTS lakehouse.sales;
+        CREATE TABLE lakehouse.sales.orders_ddl (
+          o_orderkey BIGINT NOT NULL,
+          o_totalprice DOUBLE
+        ) USING iceberg;
+        INSERT INTO orders_ddl
+          SELECT o_orderkey, o_totalprice FROM orders_src
+          WHERE o_orderkey < 400;
+        ALTER TABLE orders_ddl ADD COLUMN o_orderstatus STRING;
+        ALTER TABLE orders_ddl WRITE ORDERED BY o_orderkey DESC NULLS LAST;
+        INSERT INTO orders_ddl
+          SELECT o_orderkey + 100000, o_totalprice, o_orderstatus
+          FROM orders_src
+          WHERE o_orderkey >= 400 AND o_orderkey < 800
+    """)
+    out = lake.sql(spark, """
+        SELECT COALESCE(o_orderstatus, '<pre-evolution>') AS status_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_ddl
+        GROUP BY 1
+        ORDER BY status_bucket
+    """).localCheckpoint()
+    lake.table("orders_ddl").unregister(spark, "orders_ddl")
+    lake.sql(spark, "DROP TABLE orders_ddl")
+    spark.catalog.dropTempView("orders_src")
     return out
 
 

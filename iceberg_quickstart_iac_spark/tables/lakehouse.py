@@ -69,6 +69,23 @@ class Lakehouse:
     def table(self, name: str) -> SnapTable:
         return SnapTable.load(self.root / name)
 
+    def drop_table(self, name: str, if_exists: bool = False) -> bool:
+        """Remove a table — its metadata, commit log, and data files.
+        Destructive and unversioned (there is no catalog-level log to
+        time-travel a drop); the SQL front door additionally gates it to
+        admin. Registered temp views in other sessions keep serving
+        their already-resolved snapshot until re-registration fails."""
+        import shutil
+
+        root = self.root / name
+        if not (root / "table.json").exists():
+            if if_exists:
+                return False
+            raise TableNotFoundError(f"No table {name!r} in {self.root}")
+        shutil.rmtree(root)
+        self._sql_registry.pop(name, None)
+        return True
+
     def list_tables(self) -> list[str]:
         return sorted(
             p.parent.name for p in self.root.glob("*/table.json")
@@ -132,13 +149,27 @@ class Lakehouse:
         registration, and a registered follow-head view of the target
         picks the write up immediately (the executors commit through
         ``_commit``). Reader sessions cannot execute DML.
+
+        DDL too (:mod:`tables.sql_ddl`): ``CREATE TABLE`` /
+        ``CREATE NAMESPACE`` / ``DROP TABLE`` (admin-only) /
+        ``ALTER TABLE ADD|DROP|RENAME|ALTER COLUMN`` /
+        ``ALTER TABLE … WRITE ORDERED BY`` parse the same Iceberg DDL
+        dialect ``templates/ddl.py`` GENERATES — the repo's own rendered
+        DDL round-trips through this method (pinned by test).
         """
         import re
 
+        from iceberg_quickstart_iac_spark.tables.sql_ddl import (
+            execute_ddl,
+            is_ddl,
+        )
         from iceberg_quickstart_iac_spark.tables.sql_dml import (
             execute_dml,
             is_dml,
         )
+
+        if is_ddl(statement):
+            return execute_ddl(self, spark, statement, access_level)
 
         tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
 
@@ -211,6 +242,29 @@ class Lakehouse:
                     self._sql_registry.pop(name, None)
             ensure_registered()
             return spark.sql(statement)
+
+    def sql_script(self, spark, script: str, access_level: str = "admin"):
+        """Run a ``;``-separated statement script through :meth:`sql` in
+        order (the runbook shape — the reference's operational docs are
+        sequences of SQL statements submitted to the warehouse one after
+        another). The split respects string literals and parentheses, so
+        semicolons inside a quoted value never break a statement.
+        Returns the LAST statement's result (DataFrame for a read, commit
+        entry dict for DML); earlier DML statements commit as they run —
+        like any warehouse session, a failing statement leaves the
+        preceding ones committed (surface the error, never roll back
+        silently)."""
+        from iceberg_quickstart_iac_spark.tables.sql_dml import (
+            _split_top_level,
+        )
+
+        statements = _split_top_level(script, sep=";")
+        if not statements:
+            raise ValueError("sql_script: no statements in script")
+        result = None
+        for stmt in statements:
+            result = self.sql(spark, stmt, access_level=access_level)
+        return result
 
     # -- catalog branches --------------------------------------------------
 

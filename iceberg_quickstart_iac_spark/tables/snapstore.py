@@ -2720,6 +2720,36 @@ class SnapTable:
         r"^(identity|year|month|day|hour|bucket\[\d+\]|truncate\[\d+\])$"
     )
 
+    def evolve_sort_order(self, order: list[dict]) -> dict:
+        """Replace the declared write-time sort order (Iceberg's
+        ``ALTER TABLE … WRITE ORDERED BY``). Metadata-only and forward-
+        looking: existing files keep their layout; subsequent writes and
+        compactions cluster by the new order. Entries are
+        ``{"column", "direction" (asc|desc), "null_order"
+        (nulls_first|nulls_last)}`` — the template's sort_order shape."""
+        declared = {c["name"] for c in self.meta.get("columns", [])}
+        for o in order:
+            if o.get("column") not in declared:
+                raise ValueError(
+                    f"evolve_sort_order: unknown column {o.get('column')!r} "
+                    f"on {self.fq_name}"
+                )
+            if o.get("direction", "asc") not in ("asc", "desc"):
+                raise ValueError(f"evolve_sort_order: bad direction in {o}")
+            if o.get("null_order", "nulls_first") not in (
+                "nulls_first", "nulls_last"
+            ):
+                raise ValueError(f"evolve_sort_order: bad null_order in {o}")
+        meta = self.meta
+        meta["sort_order"] = [dict(o) for o in order]
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "sort_order", "order": order},
+        )
+        return meta
+
     def evolve_partition_spec(self, new_spec: list[dict]) -> dict:
         """Change how the table is partitioned WITHOUT rewriting any data —
         the partition-spec evolution the reference advertises as a core
@@ -3955,5 +3985,12 @@ class _BranchView(SnapTable):
         # change would be silently dropped at merge — require it on main
         raise RuntimeError(
             "Partition-spec evolution is table-wide metadata — run it on the "
+            f"main table, not branch {self.branch_name!r}"
+        )
+
+    def evolve_sort_order(self, order: list[dict]) -> dict:
+        # same reason: the branch ref carries only a columns override
+        raise RuntimeError(
+            "Sort-order evolution is table-wide metadata — run it on the "
             f"main table, not branch {self.branch_name!r}"
         )

@@ -1,0 +1,318 @@
+"""SQL DDL front door: CREATE/DROP/ALTER statements against the catalog.
+
+Completes the SQL-only workflow next to :mod:`tables.sql_dml`: the
+reference GENERATES Iceberg DDL strings (``templates/ddl.py`` —
+``create_table_ddl`` / ``write_order_ddl`` / ``create_namespace_ddl``,
+mirroring ``aws/modules/athena``'s named queries) and submits them to a
+warehouse; this module parses that same dialect back, so the repo's own
+generated DDL round-trips through ``Lakehouse.sql`` (pinned by test) and
+a user can stand up and evolve tables with statements alone:
+
+- ``CREATE TABLE [IF NOT EXISTS] [cat.][ns.]t (col TYPE [NOT NULL]
+  [COMMENT '…'], …) [USING iceberg] [PARTITIONED BY (transform, …)]
+  [TBLPROPERTIES ('k'='v', …)]`` → ``Lakehouse.create_table``
+- ``CREATE NAMESPACE [IF NOT EXISTS] …`` → no-op acknowledgment
+  (snapstore namespaces are template metadata, not directories)
+- ``DROP TABLE [IF EXISTS] t`` → ``Lakehouse.drop_table`` (admin only)
+- ``ALTER TABLE t ADD COLUMN c TYPE [COMMENT '…']``   → evolve_add_column
+- ``ALTER TABLE t DROP COLUMN c``                      → evolve_drop_column
+- ``ALTER TABLE t RENAME COLUMN a TO b``               → evolve_rename_column
+- ``ALTER TABLE t ALTER COLUMN c TYPE T``              → evolve_widen_column
+- ``ALTER TABLE t WRITE ORDERED BY c [ASC|DESC] [NULLS FIRST|LAST], …``
+                                                       → evolve_sort_order
+
+Types parse from the Spark DDL names the generator emits (BIGINT, INT,
+DOUBLE, FLOAT, STRING, BOOLEAN, DATE, TIMESTAMP/_NTZ, BINARY,
+DECIMAL(p,s), ARRAY<T>) back to the template's Iceberg names. Governance:
+readers cannot run DDL; DROP TABLE additionally requires admin
+(destructive — a writer can create and evolve, not erase history).
+"""
+
+from __future__ import annotations
+
+import re
+
+#: only the statement shapes this module handles — CREATE TEMP VIEW,
+#: CREATE FUNCTION, etc. fall through to spark.sql untouched
+_DDL_KW = re.compile(
+    r"^\s*(?:create\s+(?:table|namespace)|drop\s+table|alter\s+table)\b",
+    re.IGNORECASE,
+)
+
+#: Spark DDL type name → template (Iceberg) type name
+_REVERSE_TYPES = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "string": "string",
+    "varchar": "string",
+    "double": "double",
+    "float": "float",
+    "real": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "binary": "binary",
+    "uuid": "uuid",
+}
+
+#: DDL TBLPROPERTIES key → template property key (reverse of ddl.py's map)
+_REVERSE_PROPS = {
+    "write.format.default": "write_format",
+    "history.expire.max-snapshot-age-ms": "history_expire_max_snapshot_age_ms",
+    "commit.retry.num-retries": "commit_num_retries",
+}
+
+
+def is_ddl(statement: str) -> bool:
+    return _DDL_KW.match(statement) is not None
+
+
+def _parse_type(sql_type: str) -> str:
+    t = sql_type.strip().lower()
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"array\s*<(.+)>", t)
+    if m:
+        return f"list<{_parse_type(m.group(1))}>"
+    if t in _REVERSE_TYPES:
+        return _REVERSE_TYPES[t]
+    raise ValueError(f"DDL: unsupported column type {sql_type!r}")
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("''", "'")
+    return s
+
+
+def _parse_coldef(item: str) -> dict:
+    m = re.match(
+        r"^(\w+)\s+([A-Za-z_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\)|\s*<[^>]+>)?)"
+        r"(\s+not\s+null)?(?:\s+comment\s+('(?:[^']|'')*'))?\s*$",
+        item.strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"DDL: unparseable column definition {item!r}")
+    name, sql_type, not_null, comment = m.groups()
+    col: dict = {"name": name, "type": _parse_type(sql_type)}
+    if not_null:
+        col["required"] = True
+    if comment:
+        col["description"] = _unquote(comment)
+    return col
+
+
+def _parse_transform(entry: str) -> dict:
+    e = entry.strip()
+    m = re.fullmatch(r"(\w+)", e)
+    if m:
+        return {"column": m.group(1), "transform": "identity"}
+    m = re.fullmatch(r"(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)", e,
+                     re.IGNORECASE)
+    if m:
+        return {
+            "column": m.group(2),
+            "transform": m.group(1).lower().rstrip("s"),
+        }
+    m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", e,
+                     re.IGNORECASE)
+    if m:
+        return {
+            "column": m.group(3),
+            "transform": f"{m.group(1).lower()}[{m.group(2)}]",
+        }
+    raise ValueError(f"DDL: unparseable partition transform {entry!r}")
+
+
+def _table_name(dotted: str) -> tuple[str, str | None]:
+    """(table, namespace) from a possibly catalog-qualified name."""
+    parts = dotted.split(".")
+    if len(parts) == 1:
+        return parts[0], None
+    # cat.ns.name or ns.name — the last segment is always the table
+    return parts[-1], parts[-2]
+
+
+_CREATE_TABLE_HEAD_RE = re.compile(
+    r"^create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _scan_paren_group(s: str, open_idx: int) -> tuple[str, int]:
+    """Content of the balanced paren group opening at ``open_idx`` and
+    the index just past its closing paren (string-literal aware) — column
+    lists and PARTITIONED BY clauses nest parens (DECIMAL(18,6),
+    days(ts)), which a regex can't balance."""
+    depth, in_str = 0, False
+    i = open_idx
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i], i + 1
+        i += 1
+    raise ValueError("DDL: unbalanced parentheses")
+
+
+def _parse_create_table(s: str):
+    """(if_not_exists, dotted_name, cols_sql, part_sql, props_sql) for a
+    CREATE TABLE statement, or None if the head doesn't match."""
+    m = _CREATE_TABLE_HEAD_RE.match(s)
+    if not m:
+        return None
+    if_not_exists, dotted = m.groups()
+    cols_sql, pos = _scan_paren_group(s, m.end() - 1)
+    tail = s[pos:].strip()
+    um = re.match(r"^using\s+\w+\s*", tail, re.IGNORECASE)
+    if um:
+        tail = tail[um.end():].strip()
+    part_sql = props_sql = None
+    pm = re.match(r"^partitioned\s+by\s*\(", tail, re.IGNORECASE)
+    if pm:
+        part_sql, pos = _scan_paren_group(tail, pm.end() - 1)
+        tail = tail[pos:].strip()
+    tm = re.match(r"^tblproperties\s*\(", tail, re.IGNORECASE)
+    if tm:
+        props_sql, pos = _scan_paren_group(tail, tm.end() - 1)
+        tail = tail[pos:].strip()
+    if tail:
+        raise ValueError(f"DDL: unparseable CREATE TABLE trailer {tail!r}")
+    return if_not_exists, dotted, cols_sql, part_sql, props_sql
+_DROP_TABLE_RE = re.compile(
+    r"^drop\s+table\s+(if\s+exists\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_ALTER_RE = re.compile(
+    r"^alter\s+table\s+([\w.]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
+    """Parse and run a DDL statement; returns a result dict. Raises for
+    reader sessions, non-admin DROP, or unparseable statements."""
+    from iceberg_quickstart_iac_spark.governance.access import AccessLevel
+    from iceberg_quickstart_iac_spark.tables.sql_dml import _split_top_level
+
+    level = AccessLevel(access_level)
+    if level is AccessLevel.READER:
+        raise PermissionError(
+            "reader sessions cannot execute DDL — writes and schema "
+            "changes need writer/admin"
+        )
+    s = statement.strip().rstrip(";").strip()
+
+    parsed = _parse_create_table(s)
+    if parsed:
+        if_not_exists, dotted, cols_sql, part_sql, props_sql = parsed
+        name, namespace = _table_name(dotted)
+        if (lake.root / name / "table.json").exists():
+            if if_not_exists:
+                return {"operation": "create_table", "table": name,
+                        "created": False}
+            raise ValueError(f"Table {name!r} already exists")
+        template: dict = {
+            "name": name,
+            "namespace": namespace or "default",
+            "columns": [
+                _parse_coldef(c) for c in _split_top_level(cols_sql)
+            ],
+        }
+        if part_sql:
+            template["partition_spec"] = [
+                _parse_transform(p) for p in _split_top_level(part_sql)
+            ]
+        if props_sql:
+            props = {}
+            for pair in _split_top_level(props_sql):
+                k, eq, v = pair.partition("=")
+                if not eq:
+                    raise ValueError(f"DDL: malformed property {pair!r}")
+                key = _unquote(k)
+                props[_REVERSE_PROPS.get(key, key)] = _unquote(v)
+            template["properties"] = props
+        lake.create_table(template)
+        return {"operation": "create_table", "table": name, "created": True}
+
+    if re.match(r"^create\s+namespace\b", s, re.IGNORECASE):
+        # namespaces are template metadata on snapstore tables — the
+        # statement is accepted for script compatibility
+        return {"operation": "create_namespace", "created": True}
+
+    m = _DROP_TABLE_RE.match(s)
+    if m:
+        if level is not AccessLevel.ADMIN:
+            raise PermissionError(
+                "DROP TABLE erases committed history — admin only"
+            )
+        if_exists, dotted = m.groups()
+        name, _ = _table_name(dotted)
+        dropped = lake.drop_table(name, if_exists=bool(if_exists))
+        return {"operation": "drop_table", "table": name, "dropped": dropped}
+
+    m = _ALTER_RE.match(s)
+    if m:
+        dotted, action = m.groups()
+        name, _ = _table_name(dotted)
+        t = lake.table(name)
+        a = action.strip()
+        am = re.match(r"^add\s+columns?\s+(.+)$", a, re.IGNORECASE | re.DOTALL)
+        if am:
+            body = am.group(1).strip()
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1]
+            col = _parse_coldef(body)
+            return t.evolve_add_column(
+                col["name"], col["type"], doc=col.get("description", "")
+            )
+        am = re.match(r"^drop\s+columns?\s+(\w+)$", a, re.IGNORECASE)
+        if am:
+            return t.evolve_drop_column(am.group(1))
+        am = re.match(r"^rename\s+column\s+(\w+)\s+to\s+(\w+)$", a,
+                      re.IGNORECASE)
+        if am:
+            return t.evolve_rename_column(am.group(1), am.group(2))
+        am = re.match(r"^alter\s+column\s+(\w+)\s+type\s+(.+)$", a,
+                      re.IGNORECASE)
+        if am:
+            return t.evolve_widen_column(
+                am.group(1), _parse_type(am.group(2))
+            )
+        am = re.match(r"^write\s+ordered\s+by\s+(.+)$", a, re.IGNORECASE)
+        if am:
+            order = []
+            for item in _split_top_level(am.group(1)):
+                om = re.fullmatch(
+                    r"(\w+)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?",
+                    item.strip(), re.IGNORECASE,
+                )
+                if not om:
+                    raise ValueError(f"DDL: malformed sort entry {item!r}")
+                col, direction, nulls = om.groups()
+                entry = {"column": col,
+                         "direction": (direction or "asc").lower()}
+                if nulls:
+                    entry["null_order"] = "nulls_" + nulls.lower()
+                order.append(entry)
+            return t.evolve_sort_order(order)
+        raise ValueError(f"DDL: unsupported ALTER TABLE action {action!r}")
+
+    raise ValueError(f"DDL: unsupported statement {statement!r}")

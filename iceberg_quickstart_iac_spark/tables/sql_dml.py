@@ -13,8 +13,12 @@ Spark SQL accepts in a WHERE/SET/ON position works here), and delegates:
 
 - ``INSERT INTO t [(cols)] <query>``  → ``t.append(spark.sql(query))``
   (query output maps positionally, exactly ANSI semantics; a column
-  subset fills the rest with typed NULLs)
-- ``DELETE FROM t [WHERE cond]``      → ``t.delete_where(cond)``
+  subset fills the rest with typed NULLs);
+  ``INSERT OVERWRITE [TABLE] t …``    → ``t.overwrite(…)``
+- ``DELETE FROM t [WHERE cond]``      → ``t.delete_where(cond)`` — the
+  physical strategy follows the table's Iceberg ``write.delete.mode``
+  property (copy-on-write default; ``merge-on-read`` commits equality
+  deletes), so statements stay engine-portable
 - ``UPDATE t SET c = e, … [WHERE p]`` → ``t.update_where(p, {c: e})``
 - ``MERGE INTO t [AS a] USING src [AS b] ON cond WHEN …``
                                        → ``t.merge_into(…)``
@@ -110,7 +114,7 @@ def _parse_set_list(set_sql: str, alias_map: dict[str, str]) -> dict[str, str]:
 
 
 _INSERT_RE = re.compile(
-    r"^insert\s+into\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(.+)$",
+    r"^insert\s+(into|overwrite)\s+(?:table\s+)?(\w+)\s*(?:\(([^)]*)\)\s*)?(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
@@ -242,7 +246,7 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         m = _INSERT_RE.match(s)
         if not m:
             raise ValueError(f"DML: unparseable INSERT {statement!r}")
-        table, cols_sql, source_sql = m.groups()
+        mode, table, cols_sql, source_sql = m.groups()
         t = lake.table(table)
         declared = [c["name"] for c in t.meta.get("columns", [])]
         df = spark.sql(source_sql.strip())
@@ -271,6 +275,8 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
                     f"needs all of them (or list the columns)"
                 )
             df = df.toDF(*declared)
+        if mode.lower() == "overwrite":
+            return t.overwrite(df)
         return t.append(df)
 
     if kw == "delete":
@@ -278,7 +284,21 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         if not m:
             raise ValueError(f"DML: unparseable DELETE {statement!r}")
         table, cond = m.groups()
-        return lake.table(table).delete_where(spark, cond or "true")
+        t = lake.table(table)
+        # Iceberg's write.delete.mode table property picks the physical
+        # strategy for SQL deletes (copy-on-write default, merge-on-read
+        # for low-latency deletes on identifier-keyed tables) — the same
+        # knob real engines dispatch on, so a SQL user never hard-codes
+        # the executor mode into a statement
+        prop = str(
+            t.meta.get("properties", {}).get(
+                "write.delete.mode", "copy-on-write"
+            )
+        ).lower()
+        mor = prop in ("merge-on-read", "mor")
+        return t.delete_where(
+            spark, cond or "true", mode="mor" if mor else "cow"
+        )
 
     if kw == "update":
         m = _UPDATE_RE.match(s)

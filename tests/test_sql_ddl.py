@@ -1,0 +1,173 @@
+"""SQL DDL front door (round 9): CREATE/DROP/ALTER statements through
+Lakehouse.sql — including the round-trip of the repo's OWN generated DDL
+(templates/ddl.py) back through the parser."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return Lakehouse(tmp_path / "ddl_lake")
+
+
+def test_create_table_full_clause_surface(spark, lake):
+    r = lake.sql(spark, """
+        CREATE TABLE IF NOT EXISTS lakehouse.events.web_events (
+          event_id BIGINT NOT NULL COMMENT 'unique id',
+          ts TIMESTAMP_NTZ,
+          user_id BIGINT,
+          payload STRING,
+          score DOUBLE,
+          tags ARRAY<BIGINT>,
+          amount DECIMAL(18, 6)
+        ) USING iceberg
+        PARTITIONED BY (days(ts), bucket(8, user_id))
+        TBLPROPERTIES ('write.format.default' = 'parquet',
+                       'commit.retry.num-retries' = '5')
+    """)
+    assert r == {"operation": "create_table", "table": "web_events",
+                 "created": True}
+    t = lake.table("web_events")
+    cols = {c["name"]: c for c in t.meta["columns"]}
+    assert cols["event_id"]["type"] == "long"
+    assert cols["event_id"].get("required") is True
+    assert cols["event_id"]["description"] == "unique id"
+    assert cols["ts"]["type"] == "timestamp"
+    assert cols["tags"]["type"] == "list<long>"
+    assert cols["amount"]["type"] == "decimal(18,6)"
+    assert t.meta["partition_spec"] == [
+        {"column": "ts", "transform": "day"},
+        {"column": "user_id", "transform": "bucket[8]"},
+    ]
+    assert t.meta["properties"]["commit_num_retries"] == "5"
+    # IF NOT EXISTS: second run is a no-op, not an error
+    r2 = lake.sql(spark, "CREATE TABLE IF NOT EXISTS web_events (x INT)")
+    assert r2["created"] is False
+    # the new table is immediately writable and queryable via the front door
+    lake.sql(spark, """
+        INSERT INTO web_events (event_id, user_id, score)
+        SELECT 1, 10, 0.5
+    """)
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM web_events"
+    ).first().n == 1
+
+
+def test_generated_ddl_round_trips(spark, lake):
+    """templates/ddl.py renders a template to Iceberg DDL; parsing that
+    string back must recreate the same declared schema, partition spec,
+    and properties — the repo's DDL surface is self-consistent."""
+    from iceberg_quickstart_iac_spark.templates.ddl import (
+        create_namespace_ddl,
+        create_table_ddl,
+        write_order_ddl,
+    )
+
+    template = {
+        "name": "rt_orders", "namespace": "sales",
+        "columns": [
+            {"name": "o_orderkey", "type": "long", "required": True},
+            {"name": "o_orderdate", "type": "timestamp"},
+            {"name": "o_totalprice", "type": "double",
+             "description": "gross price"},
+        ],
+        "partition_spec": [{"column": "o_orderdate", "transform": "month"}],
+        "sort_order": [
+            {"column": "o_orderkey", "direction": "asc",
+             "null_order": "nulls_last"},
+        ],
+        "properties": {"write_format": "parquet"},
+    }
+    script = ";\n".join(filter(None, [
+        create_namespace_ddl(template),
+        create_table_ddl(template),
+        write_order_ddl(template),
+    ]))
+    lake.sql_script(spark, script)
+    t = lake.table("rt_orders")
+    assert [
+        {k: c[k] for k in ("name", "type")} for c in t.meta["columns"]
+    ] == [{k: c[k] for k in ("name", "type")} for c in template["columns"]]
+    assert t.meta["columns"][0].get("required") is True
+    assert t.meta["columns"][2]["description"] == "gross price"
+    assert t.meta["partition_spec"] == template["partition_spec"]
+    assert t.meta["sort_order"] == template["sort_order"]
+    assert t.meta["properties"]["write_format"] == "parquet"
+
+
+def test_alter_table_evolution_statements(spark, lake):
+    lake.sql(spark, "CREATE TABLE evo (id BIGINT NOT NULL, v INT)")
+    t = lake.table("evo")
+    t.append(spark.createDataFrame([(1, 2)], "id LONG, v INT"))
+    lake.sql(spark, "ALTER TABLE evo ADD COLUMN note STRING COMMENT 'freeform'")
+    lake.sql(spark, "ALTER TABLE evo ALTER COLUMN v TYPE BIGINT")
+    lake.sql(spark, "ALTER TABLE evo RENAME COLUMN note TO comment_text")
+    cols = {c["name"]: c for c in lake.table("evo").meta["columns"]}
+    # evolve_add_column stores the comment under its API's "doc" key
+    assert cols["comment_text"]["doc"] == "freeform"
+    assert cols["v"]["type"] == "long"
+    lake.sql(spark, "ALTER TABLE evo DROP COLUMN comment_text")
+    assert "comment_text" not in {
+        c["name"] for c in lake.table("evo").meta["columns"]
+    }
+    # pre-evolution data still reads under the evolved schema
+    assert {tuple(r) for r in lake.table("evo").read(spark).collect()} == {(1, 2)}
+    # unsafe narrowing raises through the statement path
+    with pytest.raises(ValueError, match="Unsafe"):
+        lake.sql(spark, "ALTER TABLE evo ALTER COLUMN v TYPE INT")
+
+
+def test_write_ordered_by_changes_sort_order(spark, lake):
+    lake.sql(spark, "CREATE TABLE sorted_t (a BIGINT, b STRING)")
+    lake.sql(
+        spark,
+        "ALTER TABLE sorted_t WRITE ORDERED BY a DESC NULLS LAST, b",
+    )
+    assert lake.table("sorted_t").meta["sort_order"] == [
+        {"column": "a", "direction": "desc", "null_order": "nulls_last"},
+        {"column": "b", "direction": "asc"},
+    ]
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.sql(spark, "ALTER TABLE sorted_t WRITE ORDERED BY nope")
+
+
+def test_drop_table_is_admin_only_and_if_exists(spark, lake):
+    lake.sql(spark, "CREATE TABLE doomed (id BIGINT)")
+    with pytest.raises(PermissionError, match="admin"):
+        lake.sql(spark, "DROP TABLE doomed", access_level="writer")
+    r = lake.sql(spark, "DROP TABLE doomed")
+    assert r["dropped"] is True
+    assert "doomed" not in lake.list_tables()
+    r = lake.sql(spark, "DROP TABLE IF EXISTS doomed")
+    assert r["dropped"] is False
+    from iceberg_quickstart_iac_spark.tables import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        lake.sql(spark, "DROP TABLE doomed")
+
+
+def test_reader_cannot_ddl(spark, lake):
+    with pytest.raises(PermissionError, match="reader"):
+        lake.sql(spark, "CREATE TABLE nope (id BIGINT)",
+                 access_level="reader")
+
+
+def test_branch_rejects_sort_order_evolution(spark, lake):
+    lake.sql(spark, "CREATE TABLE br_t (a BIGINT)")
+    t = lake.table("br_t")
+    t.append(spark.createDataFrame([(1,)], "a LONG"))
+    br = t.create_branch("dev")
+    with pytest.raises(RuntimeError, match="main table"):
+        br.evolve_sort_order([{"column": "a", "direction": "asc"}])
+
+
+def test_non_snapstore_ddl_passes_through_to_spark(spark, lake):
+    # CREATE TEMP VIEW is Spark-session DDL, not catalog DDL — it must
+    # reach spark.sql untouched
+    lake.sql(spark, "CREATE OR REPLACE TEMP VIEW ddl_passthrough AS SELECT 1 AS x")
+    assert spark.sql("SELECT x FROM ddl_passthrough").first().x == 1
+    spark.catalog.dropTempView("ddl_passthrough")

@@ -163,3 +163,46 @@ def test_non_dml_statements_unaffected(spark, lake):
 def test_unparseable_dml_raises_not_silently_reads(spark, lake):
     with pytest.raises(ValueError, match="DML"):
         lake.sql(spark, "DELETE accounts WHERE id = 1")  # missing FROM
+
+
+def test_insert_overwrite_replaces_table_state(spark, lake):
+    entry = lake.sql(
+        spark, "INSERT OVERWRITE accounts SELECT 99, 'only', 9.9"
+    )
+    assert entry["operation"] == "overwrite"
+    assert _rows(spark, lake) == {(99, "only", 9.9)}
+    # time travel still serves the pre-overwrite state
+    t = lake.table("accounts")
+    snaps = [r["snapshot_id"] for r in t._entries()]
+    assert t.read(spark, snapshot_id=snaps[-2]).count() == 3
+
+
+def test_delete_mode_follows_table_property(spark, tmp_path):
+    lh = Lakehouse(tmp_path / "mor_lake")
+    t = lh.create_table({
+        "name": "mor_acct", "namespace": "lakehouse",
+        "columns": [
+            {"name": "id", "type": "long", "required": True},
+            {"name": "v", "type": "double"},
+        ],
+        "identifier_fields": ["id"],
+        "properties": {"write.delete.mode": "merge-on-read"},
+    })
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id LONG, v DOUBLE"
+    ))
+    entry = lh.sql(spark, "DELETE FROM mor_acct WHERE id = 2")
+    # merge-on-read: the commit carries an equality-delete dir, data
+    # files untouched
+    assert entry.get("delete_dirs"), entry
+    assert {r.id for r in t.read(spark).collect()} == {1, 3}
+
+
+def test_sql_script_runs_statements_in_order(spark, lake):
+    out = lake.sql_script(spark, """
+        INSERT INTO accounts VALUES (50, 'batch;semi', 5.0);
+        UPDATE accounts SET balance = balance + 1.0 WHERE id = 50;
+        SELECT status, balance FROM accounts WHERE id = 50;
+    """)
+    rows = out.collect()
+    assert [(r.status, r.balance) for r in rows] == [("batch;semi", 6.0)]
