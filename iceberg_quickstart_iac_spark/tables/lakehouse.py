@@ -116,6 +116,91 @@ class Lakehouse:
             )
         return out
 
+    #: Spark/Iceberg time-travel clause: <table> FOR [SYSTEM_]VERSION|
+    #: [SYSTEM_]TIME|TIMESTAMP AS OF <string-literal | integer>
+    _ASOF_RE = None  # compiled lazily (class body keeps import-light)
+
+    def _rewrite_time_travel(self, spark, statement: str, access_level: str) -> str:
+        """Rewrite ``t FOR VERSION|TIMESTAMP AS OF x`` clauses (Spark's and
+        Iceberg's native time-travel syntax — Athena's ``FOR SYSTEM_VERSION
+        AS OF`` named-query shape) into registered PINNED views, so the
+        statement runs verbatim against temp views that cannot express the
+        clause natively. VERSION accepts a snapshot id ('hex'), a tag name
+        (string that isn't a snapshot), or an integer commit sequence;
+        TIMESTAMP accepts an ISO-8601 string (naive = UTC) or epoch
+        milliseconds. Pinned views are immutable, so each (table, clause)
+        registers once per session and memoizes."""
+        import hashlib
+        import re
+
+        if Lakehouse._ASOF_RE is None:
+            Lakehouse._ASOF_RE = re.compile(
+                r"\b(\w+)\s+FOR\s+(?:SYSTEM_)?(VERSION|TIMESTAMP|TIME)"
+                r"\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)",
+                re.IGNORECASE,
+            )
+        tables: set[str] | None = None
+
+        def sub(m: "re.Match[str]") -> str:
+            nonlocal tables
+            name, kind, raw = m.group(1), m.group(2).upper(), m.group(3)
+            if tables is None:
+                tables = set(self.list_tables())
+            if name not in tables:
+                return m.group(0)  # not ours — let Spark error naturally
+            value = (
+                raw[1:-1].replace("''", "'") if raw.startswith("'") else raw
+            )
+            view = (
+                f"{name}__asof_"
+                + hashlib.md5(f"{kind}|{value}".encode()).hexdigest()[:8]
+            )
+            want = (str(access_level), False, -1)
+            if self._sql_registry.get(view) != want:
+                t = self.table(name)
+                kwargs: dict = {}
+                if kind == "VERSION":
+                    if raw.startswith("'"):
+                        try:
+                            t._snapshot_for(value, None)
+                            kwargs["snapshot_id"] = value
+                        except ValueError:
+                            # not a snapshot id — resolve as a tag name
+                            kwargs["tag"] = value
+                    else:
+                        seq = int(value)
+                        entry = next(
+                            (e for e in t._entries() if e["sequence"] == seq),
+                            None,
+                        )
+                        if entry is None:
+                            raise ValueError(
+                                f"FOR VERSION AS OF {seq}: no commit with "
+                                f"that sequence on {name!r}"
+                            )
+                        kwargs["snapshot_id"] = entry["snapshot_id"]
+                else:  # TIMESTAMP / TIME
+                    if raw.startswith("'"):
+                        from datetime import datetime, timezone
+
+                        dt = datetime.fromisoformat(value)
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        kwargs["as_of_ms"] = int(dt.timestamp() * 1000)
+                    else:
+                        kwargs["as_of_ms"] = int(value)
+                t.register(
+                    spark,
+                    name=view,
+                    access_level=access_level,
+                    metadata_tables=False,
+                    **kwargs,
+                )
+                self._sql_registry[view] = want
+            return view
+
+        return Lakehouse._ASOF_RE.sub(sub, statement)
+
     def sql(self, spark, statement: str, access_level: str = "admin"):
         """Catalog-scale SQL front door: register ONLY the tables the
         statement references, lazily, then run it through ``spark.sql``.
@@ -150,6 +235,13 @@ class Lakehouse:
         picks the write up immediately (the executors commit through
         ``_commit``). Reader sessions cannot execute DML.
 
+        Time travel runs with Spark's native syntax: ``FROM t FOR
+        [SYSTEM_]VERSION AS OF '<snapshot-id>'|'<tag>'|<sequence>`` and
+        ``FOR [SYSTEM_]TIMESTAMP AS OF '<iso>'|<epoch-ms>`` rewrite to
+        pinned registered views before execution
+        (:meth:`_rewrite_time_travel`), so the Athena named-query texts
+        run verbatim.
+
         DDL too (:mod:`tables.sql_ddl`): ``CREATE TABLE`` /
         ``CREATE NAMESPACE`` / ``DROP TABLE`` (admin-only) /
         ``ALTER TABLE ADD|DROP|RENAME|ALTER COLUMN`` /
@@ -171,6 +263,10 @@ class Lakehouse:
         if is_ddl(statement):
             return execute_ddl(self, spark, statement, access_level)
 
+        if re.search(r"\bas\s+of\b", statement, re.IGNORECASE):
+            statement = self._rewrite_time_travel(
+                spark, statement, access_level
+            )
         tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
 
         def ensure_registered() -> None:

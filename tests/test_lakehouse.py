@@ -328,3 +328,50 @@ def test_lakehouse_sql_serves_declared_empty_for_uncommitted_table(spark, lake):
     lake.create_table(_tpl("fresh2"))
     with pytest.raises(TableNotFoundError, match="no commits yet"):
         lake.sql(spark, "SELECT * FROM fresh2__snapshots")
+
+
+def test_sql_time_travel_clause_rewrites_to_pinned_views(spark, lake):
+    """Spark's native time-travel syntax runs through the front door:
+    FOR [SYSTEM_]VERSION AS OF <snapshot-id|tag|sequence> and
+    FOR [SYSTEM_]TIMESTAMP AS OF <iso|epoch-ms> rewrite to pinned
+    registered views, so Athena-style named-query texts run verbatim."""
+    import time as _time
+
+    t = lake.table("a")
+    v1 = t.current_snapshot()["snapshot_id"]
+    ms_after_v1 = t.current_snapshot()["committed_at_ms"] + 1
+    _time.sleep(0.002)
+    t.append(spark.createDataFrame([(5, "later")], "k LONG, v STRING"))
+    t.create_tag("prepublish", snapshot_id=v1)
+
+    n_now = lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n
+    # snapshot id (string)
+    assert lake.sql(
+        spark, f"SELECT COUNT(*) AS n FROM a FOR VERSION AS OF '{v1}'"
+    ).first().n == n_now - 1
+    # tag name
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM a FOR SYSTEM_VERSION AS OF 'prepublish'"
+    ).first().n == n_now - 1
+    # integer commit sequence (v1 was the first commit = sequence 0)
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM a FOR VERSION AS OF 0"
+    ).first().n == n_now - 1
+    # epoch-ms timestamp between the commits
+    assert lake.sql(
+        spark, f"SELECT COUNT(*) AS n FROM a FOR TIMESTAMP AS OF {ms_after_v1}"
+    ).first().n == n_now - 1
+    # one statement mixing the head and an as-of view (the audit shape)
+    row = lake.sql(spark, f"""
+        SELECT (SELECT COUNT(*) FROM a) AS n_now,
+               (SELECT COUNT(*) FROM a FOR VERSION AS OF '{v1}') AS n_v1
+    """).first()
+    assert (row.n_now, row.n_v1) == (n_now, n_now - 1)
+    # unknown sequence raises descriptively
+    with pytest.raises(ValueError, match="no commit with that sequence"):
+        lake.sql(spark, "SELECT * FROM a FOR VERSION AS OF 99")
+    # a non-catalog name keeps the clause (Spark raises, we don't mangle)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        lake.sql(spark, "SELECT * FROM not_ours FOR VERSION AS OF 1")
