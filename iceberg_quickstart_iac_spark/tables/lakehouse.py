@@ -43,6 +43,14 @@ from iceberg_quickstart_iac_spark.tables.snapstore import (
 _REFS = "_catalog_refs"
 
 
+class _DmlScope:
+    """Adapter handing the DML executor scope-resolved table handles (a
+    catalog branch's ``table()`` forks lazily and returns branch views)."""
+
+    def __init__(self, accessor):
+        self.table = accessor
+
+
 class Lakehouse:
     """A directory of :class:`SnapTable` roots + catalog-level refs."""
 
@@ -54,9 +62,10 @@ class Lakehouse:
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
-        # lazy SQL front door: view name -> (access_level, with_metadata,
-        # head_sequence) already registered by sql() in this process
-        self._sql_registry: dict[str, tuple[str, bool, int]] = {}
+        # lazy SQL front door: view name -> (scope, access_level,
+        # with_metadata, head_sequence) already registered by sql() in
+        # this process (scope = "main" or a catalog-branch name)
+        self._sql_registry: dict[str, tuple] = {}
 
     # -- tables ------------------------------------------------------------
 
@@ -120,7 +129,14 @@ class Lakehouse:
     #: [SYSTEM_]TIME|TIMESTAMP AS OF <string-literal | integer>
     _ASOF_RE = None  # compiled lazily (class body keeps import-light)
 
-    def _rewrite_time_travel(self, spark, statement: str, access_level: str) -> str:
+    def _rewrite_time_travel(
+        self,
+        spark,
+        statement: str,
+        access_level: str,
+        accessor=None,
+        scope: str = "main",
+    ) -> str:
         """Rewrite ``t FOR VERSION|TIMESTAMP AS OF x`` clauses (Spark's and
         Iceberg's native time-travel syntax — Athena's ``FOR SYSTEM_VERSION
         AS OF`` named-query shape) into registered PINNED views, so the
@@ -153,11 +169,11 @@ class Lakehouse:
             )
             view = (
                 f"{name}__asof_"
-                + hashlib.md5(f"{kind}|{value}".encode()).hexdigest()[:8]
+                + hashlib.md5(f"{scope}|{kind}|{value}".encode()).hexdigest()[:8]
             )
-            want = (str(access_level), False, -1)
+            want = (scope, str(access_level), False, -1)
             if self._sql_registry.get(view) != want:
-                t = self.table(name)
+                t = (accessor or self.table)(name)
                 kwargs: dict = {}
                 if kind == "VERSION":
                     if raw.startswith("'"):
@@ -201,7 +217,15 @@ class Lakehouse:
 
         return Lakehouse._ASOF_RE.sub(sub, statement)
 
-    def sql(self, spark, statement: str, access_level: str = "admin"):
+    def sql(
+        self,
+        spark,
+        statement: str,
+        access_level: str = "admin",
+        *,
+        _scope: str = "main",
+        _accessor=None,
+    ):
         """Catalog-scale SQL front door: register ONLY the tables the
         statement references, lazily, then run it through ``spark.sql``.
 
@@ -260,12 +284,20 @@ class Lakehouse:
             is_dml,
         )
 
+        accessor = _accessor or self.table
         if is_ddl(statement):
+            if _scope != "main":
+                raise RuntimeError(
+                    "Catalog DDL is table-wide metadata — run it on the "
+                    "main catalog, not a catalog branch (branch refs carry "
+                    "only per-table data/schema overrides)"
+                )
             return execute_ddl(self, spark, statement, access_level)
 
         if re.search(r"\bas\s+of\b", statement, re.IGNORECASE):
             statement = self._rewrite_time_travel(
-                spark, statement, access_level
+                spark, statement, access_level, accessor=accessor,
+                scope=_scope,
             )
         tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
 
@@ -274,15 +306,18 @@ class Lakehouse:
                 wants_md = any(name + s in tokens for s in self._MD_SUFFIXES)
                 if name not in tokens and not wants_md:
                     continue
-                t = self.table(name)
+                t = accessor(name)
                 # filename-only head probe: follow_head refreshes commits
                 # made IN this process, but a commit from another process
                 # never fires our registry — the probe (one directory
                 # listing, no reads) catches it per statement
                 head = t.head_sequence()
                 prev = self._sql_registry.get(name)
-                with_md = wants_md or (prev[1] if prev else False)
-                want = (str(access_level), with_md, head)
+                with_md = wants_md or (prev[2] if prev else False)
+                # scope is part of the memo key: a main statement after a
+                # branch one (or vice versa) must re-register the view
+                # against its own handle, never serve the other scope's rows
+                want = (_scope, str(access_level), with_md, head)
                 if prev == want:
                     continue
                 if head is None:
@@ -324,7 +359,10 @@ class Lakehouse:
 
         ensure_registered()
         if is_dml(statement):
-            return execute_dml(self, spark, statement, access_level)
+            return execute_dml(
+                _DmlScope(accessor) if _accessor else self,
+                spark, statement, access_level,
+            )
         try:
             return spark.sql(statement)
         except AnalysisException:
@@ -456,6 +494,40 @@ class CatalogBranch:
         if not any(b["name"] == self._table_branch for b in t.list_branches()):
             t.create_branch(self._table_branch)
         return t.branch(self._table_branch)
+
+    def sql(self, spark, statement: str, access_level: str = "admin"):
+        """The SQL front door, scoped to this catalog branch: the SAME
+        statement texts that run on main run here against the branch's
+        table state — reads register branch views lazily, DML commits to
+        the per-table branches — which is WAP via SQL: stage writes with
+        the production statements, audit on the branch, ``merge()`` to
+        publish. Views keep their main-statement names; the registry's
+        scope key re-registers a name whenever consecutive statements
+        switch between main and branch (one Spark session serves one
+        scope per view name at a time — interleave scopes freely across
+        STATEMENTS, not within one). Catalog DDL is rejected on a branch
+        (branch refs carry only per-table data/schema overrides)."""
+        return self.lakehouse.sql(
+            spark,
+            statement,
+            access_level=access_level,
+            _scope=f"branch:{self.name}",
+            _accessor=self.table,
+        )
+
+    def sql_script(self, spark, script: str, access_level: str = "admin"):
+        """Branch-scoped :meth:`Lakehouse.sql_script` — the WAP runbook."""
+        from iceberg_quickstart_iac_spark.tables.sql_dml import (
+            _split_top_level,
+        )
+
+        statements = _split_top_level(script, sep=";")
+        if not statements:
+            raise ValueError("sql_script: no statements in script")
+        result = None
+        for stmt in statements:
+            result = self.sql(spark, stmt, access_level=access_level)
+        return result
 
     def merge(self) -> dict:
         """Publish the branch: merge every touched table into main.

@@ -375,3 +375,32 @@ def test_sql_time_travel_clause_rewrites_to_pinned_views(spark, lake):
 
     with pytest.raises(AnalysisException):
         lake.sql(spark, "SELECT * FROM not_ours FOR VERSION AS OF 1")
+
+
+def test_catalog_branch_sql_is_wap_via_sql(spark, lake):
+    """The WAP-via-SQL shape: the SAME statement texts run on a catalog
+    branch against branch state; main's views are untouched until merge;
+    the scope key re-registers views when statements switch scopes."""
+    br = lake.create_branch("wap9")
+    # stage a write on the branch with the production statement
+    br.sql(spark, "INSERT INTO a VALUES (77, 'staged')")
+    assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    # main's view of the same name re-registers against main state
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 1
+    # ...and switching back serves the branch again
+    assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    # audit on the branch, then publish
+    audit = br.sql(
+        spark, "SELECT COUNT(*) AS n FROM a WHERE v = 'staged'"
+    ).first().n
+    assert audit == 1
+    br.merge()
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    # catalog DDL is rejected on a branch
+    with pytest.raises(RuntimeError, match="main catalog"):
+        br.sql(spark, "CREATE TABLE nope (id BIGINT)")
+    # branch DML on an UNTOUCHED table forks it lazily on first use
+    br2 = lake.create_branch("wap9b")
+    br2.sql(spark, "DELETE FROM b WHERE k = 1")
+    assert br2.sql(spark, "SELECT COUNT(*) AS n FROM b").first().n == 0
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM b").first().n == 1
