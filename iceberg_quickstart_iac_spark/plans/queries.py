@@ -176,9 +176,10 @@ _GATE_PRIORITY: list[str] = [
     "incremental_rollup_maintenance",
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
-    # the remaining 24 r7-certified queries rotate to the r10 lead (3
-    # rounds old then — the steady-state maximum) and stay covered by the
-    # pytest oracle replay meanwhile: row_policy_events,
+    # the r10 lead: wap_sql_branch_lifecycle (new r9, needs its first
+    # driver row) plus the remaining 24 r7-certified queries (3 rounds
+    # old then — the steady-state maximum), all covered by the pytest
+    # oracle replay meanwhile: row_policy_events,
     # quality_checks_events, soda_yaml_checks,
     # setops_customer_cohorts, topk_orders, monthly_order_stats,
     # json_props_rollup, event_minute_windows, asof_last_click_before_
@@ -1314,6 +1315,94 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.sql(spark, "DROP TABLE orders_ddl")
     spark.catalog.dropTempView("orders_src")
     return out
+
+
+# ---------------------------------------------------------------------------
+# WAP via SQL (round 9; lakehouse.py::CatalogBranch.sql): stage a write
+# on a catalog branch with the SAME statement text production runs,
+# audit it there while main serves the pre-write state, publish with
+# merge(), and verify main now serves the staged rows — the
+# write-audit-publish pattern the reference's Nessie module exists for
+# (docs/deep-dive.md:262-303), driven entirely through SQL statements.
+# Counts pin isolation during staging AND the post-publish state.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wap_sql_branch_lifecycle",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 600)
+                AS BIGINT) AS n_main_staging,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 600)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey < 300)
+                AS BIGINT) AS n_branch_staged,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 600)
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey < 300)
+                AS BIGINT) AS n_main_published,
+           TRUE AS wap_isolated
+    """,
+)
+def wap_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="wapsql_") + "/lake")
+    t = lake.create_table(
+        {
+            "name": "orders_wap",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "required": True},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.overwrite(orders.filter(F.col("o_orderkey") < 600))
+    orders.filter(F.col("o_orderkey") < 300).select(
+        (F.col("o_orderkey") + 200000).alias("o_orderkey"), "o_totalprice"
+    ).createOrReplaceTempView("wap_incoming")
+    br = lake.create_branch("audit9")
+    # stage with the production statement text, ON THE BRANCH
+    br.sql(spark, "INSERT INTO orders_wap SELECT * FROM wap_incoming")
+    n_branch = br.sql(
+        spark, "SELECT COUNT(*) AS n FROM orders_wap"
+    ).first().n
+    # main is untouched while the audit runs
+    n_main_staging = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM orders_wap"
+    ).first().n
+    # the audit gate: staged rows all carry the shifted key range
+    n_bad = br.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM orders_wap "
+        "WHERE o_orderkey >= 200000 AND o_orderkey < 200000 + 0",
+    ).first().n
+    br.merge()
+    n_main_published = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM orders_wap"
+    ).first().n
+    t.unregister(spark, "orders_wap")
+    spark.catalog.dropTempView("wap_incoming")
+    return spark.createDataFrame(
+        [
+            (
+                n_main_staging,
+                n_branch,
+                n_main_published,
+                bool(
+                    n_main_staging < n_branch
+                    and n_main_published == n_branch
+                    and n_bad == 0
+                ),
+            )
+        ],
+        "n_main_staging LONG, n_branch_staged LONG, "
+        "n_main_published LONG, wap_isolated BOOLEAN",
+    )
 
 
 # ---------------------------------------------------------------------------
