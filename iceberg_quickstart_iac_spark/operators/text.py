@@ -421,3 +421,70 @@ def bigram_novelty(
             ),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str | None = None,
+    min_df: int = 2,
+):
+    """Line-level boilerplate removal (round 9; the CCNet/RefinedWeb
+    cleaning stage): a non-blank line appearing in >= ``min_df`` DISTINCT
+    documents (within ``scope_col`` — typically the crawl source, since
+    navigation/footer boilerplate is site-specific) is dropped from every
+    document; remaining lines reassemble in their original order. Blank
+    lines never count toward document frequency and are always kept, so
+    paragraph structure survives.
+
+    Returns ``(id, [scope], text_clean, n_lines, n_removed)`` — one row
+    per INPUT document (a document whose every line was boilerplate
+    yields an empty ``text_clean``, not a missing row).
+
+    Scale shape: one line explode (O(total lines)), one (scope, line)
+    groupBy with map-side partial countDistinct, then the removal is a
+    LEFT ANTI join against the BOILERPLATE set only — at most
+    total_lines / min_df distinct lines, broadcastable at any corpus
+    size for real thresholds — so the per-line pass is map-only and the
+    ubiquitous-line skew (exactly the lines being removed) never keys a
+    shuffled join. Reassembly is one groupBy(id) with an in-aggregate
+    ``array_sort`` by line position — no window, no global sort.
+    """
+    scope = [scope_col] if scope_col else []
+    lines = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in scope],
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    nonblank = F.trim(F.col("__line")) != ""
+    boiler = (
+        lines.filter(nonblank)
+        .groupBy(*scope, "__line")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select(*scope, "__line")
+    )
+    kept = lines.join(F.broadcast(boiler), [*scope, "__line"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws('\\n', transform(array_sort("
+            "collect_list(struct(__pos, __line))), x -> x.__line))"
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = lines.groupBy(id_col, *scope).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            *scope,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

@@ -176,8 +176,9 @@ _GATE_PRIORITY: list[str] = [
     "incremental_rollup_maintenance",
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
-    # the r10 lead: wap_sql_branch_lifecycle (new r9, needs its first
-    # driver row) plus the remaining 24 r7-certified queries (3 rounds
+    # the r10 lead: wap_sql_branch_lifecycle + doc_boilerplate_removal
+    # (new r9, need their first driver rows) plus the remaining 24
+    # r7-certified queries (3 rounds
     # old then — the steady-state maximum), all covered by the pytest
     # oracle replay meanwhile: row_policy_events,
     # quality_checks_events, soda_yaml_checks,
@@ -1402,6 +1403,98 @@ def wap_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_main_staging LONG, n_branch_staged LONG, "
         "n_main_published LONG, wap_isolated BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (round 9; SURVEY §2.13 X4 extension —
+# operators/text.py::remove_boilerplate_lines): the CCNet/RefinedWeb
+# cleaning stage. Multi-line docs are built deterministically from the
+# table (per-source NAV header + body + copyright footer), so the
+# planted boilerplate is known: header/footer lines are shared by every
+# doc in a source (df >> 2, removed), body lines recur only where the
+# corpus itself has exact-dup texts (removed on BOTH engines
+# identically). The oracle replays the frequency/anti-join/reassembly
+# arithmetic; clean-text length pins the reassembly without string
+# ordering concerns.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_boilerplate_removal",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id, source,
+             'NAV ' || source || chr(10) || text || chr(10)
+               || 'Footer (c) ' || source AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    lines AS (
+      SELECT doc_id, source,
+             unnest(string_split(t, chr(10))) AS line
+      FROM built
+    ),
+    nl AS (
+      SELECT doc_id, source, COUNT(*) AS n_lines
+      FROM lines GROUP BY doc_id, source
+    ),
+    boiler AS (
+      SELECT source, line FROM lines WHERE trim(line) <> ''
+      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT l.doc_id, l.line FROM lines l
+      ANTI JOIN boiler b USING (source, line)
+    ),
+    perdoc AS (
+      SELECT nl.doc_id, nl.source, nl.n_lines,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.kept_chars, 0) AS kept_chars
+      FROM nl LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               SUM(length(line)) AS kept_chars
+        FROM kept GROUP BY doc_id
+      ) k USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+           CAST(SUM(n_lines - n_kept) AS BIGINT) AS total_removed,
+           CAST(SUM(kept_chars + GREATEST(n_kept - 1, 0)) AS BIGINT)
+             AS sum_clean_chars
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    ).select("doc_id", "source", "text")
+    built = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV "), F.col("source"), F.lit("\n"), F.col("text"),
+            F.lit("\nFooter (c) "), F.col("source"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(
+        built, "doc_id", "text", scope_col="source", min_df=2
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("total_lines"),
+            F.sum("n_removed").alias("total_removed"),
+            F.sum(F.length("text_clean")).alias("sum_clean_chars"),
+        )
+        .orderBy("source")
     )
 
 

@@ -1243,3 +1243,63 @@ def test_expr_string_forms_match_column_api(spark):
     ).first()
     assert row.ob == row.nb
     assert row.oa == row.na == 0.5
+
+
+def test_boilerplate_removal_semantics(spark):
+    """Line-level boilerplate removal (round 9): shared non-blank lines
+    drop within their scope, blank lines and unique lines survive in
+    order, an all-boilerplate doc yields an EMPTY row (not a missing
+    one), and scopes never cross-contaminate."""
+    from iceberg_quickstart_iac_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "MENU\nreal content one\n\nfooter(c)"),
+            (2, "s1", "MENU\nreal content two\nfooter(c)"),
+            (3, "s1", "MENU\nfooter(c)"),
+            (4, "s2", "MENU\nmenu is unique within s2"),
+        ],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", scope_col="source", min_df=2
+        ).collect()
+    }
+    assert out[1].text_clean == "real content one\n"  # blank line kept
+    assert (out[1].n_lines, out[1].n_removed) == (4, 2)
+    assert out[2].text_clean == "real content two"
+    assert out[3].text_clean == "" and out[3].n_removed == 2
+    # scope isolation: MENU has df=1 within s2
+    assert out[4].text_clean.startswith("MENU\n")
+    # repeated line WITHIN one doc is df=1 (countDistinct on doc ids)
+    df2 = spark.createDataFrame(
+        [(1, "chorus\nchorus\nchorus"), (2, "verse only")],
+        "doc_id LONG, text STRING",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df2, "doc_id", "text", min_df=2)
+        .collect()
+    }
+    assert out2[1].n_removed == 0
+
+
+def test_boilerplate_removal_anti_join_is_broadcast(spark, sf_dir):
+    """The removal pass must be MAP-ONLY: the anti-join keys on exactly
+    the ubiquitous lines being removed, so a shuffled join would eat the
+    boilerplate skew — the plan must broadcast the boiler set."""
+    from iceberg_quickstart_iac_spark.plans.queries import queries
+
+    df = queries()["doc_boilerplate_removal"](spark, sf_dir)
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jm)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    import re as _re
+
+    assert not _re.search(r"SortMergeJoin \[[^\]]*\bLeftAnti", plan), plan
