@@ -176,9 +176,9 @@ _GATE_PRIORITY: list[str] = [
     "incremental_rollup_maintenance",
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
-    # the r10 lead: wap_sql_branch_lifecycle + doc_boilerplate_removal
-    # (new r9, need their first driver rows) plus the remaining 24
-    # r7-certified queries (3 rounds
+    # the r10 lead: wap_sql_branch_lifecycle + doc_boilerplate_removal +
+    # embedding_cluster_balanced_sample (new r9, need their first driver
+    # rows) plus the remaining 24 r7-certified queries (3 rounds
     # old then — the steady-state maximum), all covered by the pytest
     # oracle replay meanwhile: row_policy_events,
     # quality_checks_events, soda_yaml_checks,
@@ -3856,6 +3856,59 @@ def _ivf_oracle_sql() -> str:
     ) WHERE rank <= {_IVF_CONF["k"]}
     ORDER BY query_id, rank
     """
+
+
+def _cluster_sample_oracle_sql() -> str:
+    corpus_cte, _ = _ivf_oracle_parts()
+    return f"""
+    WITH {corpus_cte}
+    SELECT cell, vec_id, sample_rank FROM (
+      SELECT cell, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+             ) AS sample_rank
+      FROM corpus
+    ) WHERE sample_rank <= 10
+    ORDER BY cell, sample_rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (round 9; SURVEY §2.13 X3×X24 composition):
+# diversity-balanced corpus subsetting — k-means cells over the embedding
+# space act as LEARNED strata, then an exact-k deterministic draw per
+# cell. The pretraining-data shape: a uniform corpus draw over-samples
+# the dense embedding regions; sampling per cluster keeps the tails.
+# Reuses the IVF fold assignment (the generated-centroid oracle replays
+# it bit-exactly) and the Knuth-hash stratified draw.
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_cluster_balanced_sample", oracle=_cluster_sample_oracle_sql)
+def embedding_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from iceberg_quickstart_iac_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged, _centroids = ivf_index(
+        emb,
+        n_cells=_IVF_CONF["n_cells"],
+        max_iter=_IVF_CONF["max_iter"],
+        seed=_IVF_CONF["seed"],
+        fit_sample=_IVF_CONF["fit_sample"],
+        order_col="vec_id",
+        assign="fold",
+    )
+    return (
+        stratified_sample(tagged.select("vec_id", "cell"), ["cell"], 10, "vec_id")
+        .select("cell", "vec_id", "sample_rank")
+        .orderBy("cell", "sample_rank")
+    )
 
 
 @query("embedding_ann_ivf", oracle=_ivf_oracle_sql)
