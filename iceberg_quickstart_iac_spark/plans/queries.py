@@ -176,9 +176,10 @@ _GATE_PRIORITY: list[str] = [
     "incremental_rollup_maintenance",
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
-    # the r10 lead: wap_sql_branch_lifecycle + doc_boilerplate_removal +
-    # embedding_cluster_balanced_sample (new r9, need their first driver
-    # rows) plus the remaining 24 r7-certified queries (3 rounds
+    # the r10 lead: wap_sql_branch_lifecycle, doc_boilerplate_removal,
+    # embedding_cluster_balanced_sample, source_token_budgets (new r9,
+    # need their first driver rows) plus the remaining 24 r7-certified
+    # queries (3 rounds
     # old then — the steady-state maximum), all covered by the pytest
     # oracle replay meanwhile: row_policy_events,
     # quality_checks_events, soda_yaml_checks,
@@ -5394,6 +5395,77 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             (F.col("srt").cast("double") / F.col("srt_total").cast("double")).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget planning (round 9; SURVEY §2.13 X17 extension): the table
+# a pipeline owner actually reads before a run — given the
+# temperature-scaled mixture weights and a total token budget, how many
+# tokens does each source contribute and how many EPOCHS over that
+# source does the allocation imply (allocation / available)? epochs > 1
+# flags sources the schedule would repeat (the standard data-mixing
+# overfit warning); integer token math + one decimal division keeps the
+# oracle exact. Budget is a fixed planning constant (2^24 tokens here),
+# not data-derived — the oracle replays it as the same literal.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_token_budgets",
+    oracle=r"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), wt AS (
+      SELECT source, n_tokens,
+             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS srt
+      FROM src
+    )
+    SELECT source, n_tokens,
+           CAST(srt AS DOUBLE) / CAST((SELECT SUM(srt) FROM wt) AS DOUBLE)
+             AS weight,
+           CAST(FLOOR(16777216.0 * CAST(srt AS DOUBLE)
+                      / CAST((SELECT SUM(srt) FROM wt) AS DOUBLE))
+                AS BIGINT) AS alloc_tokens,
+           CAST(FLOOR(16777216.0 * CAST(srt AS DOUBLE)
+                      / CAST((SELECT SUM(srt) FROM wt) AS DOUBLE))
+                AS DOUBLE) / n_tokens AS epochs,
+           CAST(FLOOR(16777216.0 * CAST(srt AS DOUBLE)
+                      / CAST((SELECT SUM(srt) FROM wt) AS DOUBLE))
+                AS BIGINT) > n_tokens AS repeats_data
+    FROM wt
+    ORDER BY source
+    """,
+)
+def source_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.text import token_count
+
+    budget = 16_777_216  # planning constant: 2^24 tokens
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(token_count("text", "whitespace")).cast("long").alias("n_tokens"),
+    )
+    wt = src.withColumn(
+        "srt", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(DEC)
+    )
+    total = wt.agg(F.sum("srt").alias("srt_total"))
+    weight = F.col("srt").cast("double") / F.col("srt_total").cast("double")
+    alloc = F.floor(F.lit(float(budget)) * weight).cast("long")
+    return (
+        wt.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            weight.alias("weight"),
+            alloc.alias("alloc_tokens"),
+            (alloc.cast("double") / F.col("n_tokens")).alias("epochs"),
+            (alloc > F.col("n_tokens")).alias("repeats_data"),
         )
         .orderBy("source")
     )

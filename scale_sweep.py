@@ -325,6 +325,34 @@ def wl_store_admission(spark, sf_dir: str, factor: int) -> int:
     return r["matches"].count()
 
 
+def wl_boilerplate(spark, sf_dir: str, factor: int) -> int:
+    """X34 at corpus scale: line-level boilerplate removal over synthetic
+    multi-line docs (per-source NAV/footer lines planted on every doc).
+    Claim: the removal pass is a broadcast anti-join against the
+    boilerplate set (bounded by total_lines/min_df), so wall time grows
+    with the line SCAN (alpha <= ~1) — a shuffled join keyed on the
+    ubiquitous removed lines would show the skew as superlinear time."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    built = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV "), F.col("source"), F.lit("\n"), F.col("text"),
+            F.lit("\nFooter (c) "), F.col("source"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(
+        built, "doc_id", "text", scope_col="source", min_df=2
+    )
+    return out.agg(F.sum("n_removed")).first()[0]
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
@@ -334,6 +362,7 @@ WORKLOADS = {
     "training_shards": wl_training_shards,
     "incremental_admission": wl_incremental_admission,
     "store_admission": wl_store_admission,
+    "boilerplate_removal": wl_boilerplate,
 }
 
 
