@@ -177,9 +177,9 @@ _GATE_PRIORITY: list[str] = [
     "streaming_cdc_ingest_lifecycle",
     "pii_safe_events",
     # the r10 lead: wap_sql_branch_lifecycle, doc_boilerplate_removal,
-    # embedding_cluster_balanced_sample, source_token_budgets (new r9,
-    # need their first driver rows) plus the remaining 24 r7-certified
-    # queries (3 rounds
+    # embedding_cluster_balanced_sample, source_token_budgets,
+    # embedding_ann_recall_audit (new r9, need their first driver rows)
+    # plus the remaining 24 r7-certified queries (3 rounds
     # old then — the steady-state maximum), all covered by the pytest
     # oracle replay meanwhile: row_policy_events,
     # quality_checks_events, soda_yaml_checks,
@@ -3857,6 +3857,109 @@ def _ivf_oracle_sql() -> str:
     ) WHERE rank <= {_IVF_CONF["k"]}
     ORDER BY query_id, rank
     """
+
+
+def _ann_recall_oracle_sql() -> str:
+    corpus_cte, cos = _ivf_oracle_parts()
+    return f"""
+    WITH {corpus_cte}, q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), routed AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, u.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {cos("qv", "u.cv")} DESC, u.cell
+               ) AS cr
+        FROM q, cells
+      ) WHERE cr <= {_IVF_CONF["nprobe"]}
+    ), ivf_hits AS (
+      SELECT query_id, vec_id FROM (
+        SELECT r.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY r.query_id
+                 ORDER BY {cos("c.embedding", "r.qv")} DESC, c.vec_id
+               ) AS rank
+        FROM corpus c JOIN routed r ON c.cell = r.cell
+      ) WHERE rank <= {_IVF_CONF["k"]}
+    ), exact_hits AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos("c.embedding", "q.qv")} DESC, c.vec_id
+               ) AS rank
+        FROM corpus c, q
+      ) WHERE rank <= {_IVF_CONF["k"]}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_found,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {_IVF_CONF["k"]} AS recall_at_k
+    FROM exact_hits e
+    LEFT JOIN ivf_hits i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# ANN serving-quality audit (round 9): recall@k of the IVF tier against
+# the exact brute-force ground truth, per query, in ONE catalog entry —
+# the dashboard a serving owner watches when tuning nprobe/n_cells.
+# Both sides are deterministic (seeded fit, fold assignment, vec_id tie
+# breaks), so the DuckDB oracle replays approximate AND exact paths and
+# the recall numbers hash-match exactly.
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_ann_recall_audit", oracle=_ann_recall_oracle_sql)
+def embedding_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tagged, centroids = ivf_index(
+        emb,
+        n_cells=_IVF_CONF["n_cells"],
+        max_iter=_IVF_CONF["max_iter"],
+        seed=_IVF_CONF["seed"],
+        fit_sample=_IVF_CONF["fit_sample"],
+        order_col="vec_id",
+        assign="fold",
+    )
+    ivf_hits = ivf_topk(
+        tagged, centroids, queries_df,
+        k=_IVF_CONF["k"], nprobe=_IVF_CONF["nprobe"],
+    ).select("query_id", "vec_id")
+    exact_hits = cosine_topk(emb, queries_df, k=_IVF_CONF["k"]).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact_hits.alias("e")
+        .join(
+            ivf_hits.alias("i"),
+            (F.col("e.query_id") == F.col("i.query_id"))
+            & (F.col("e.vec_id") == F.col("i.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("i.vec_id")).alias("n_found"),
+            (
+                F.count(F.col("i.vec_id")).cast("double")
+                / F.lit(_IVF_CONF["k"])
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
 
 
 def _cluster_sample_oracle_sql() -> str:
