@@ -7,6 +7,7 @@ from iceberg_quickstart_iac_spark.streaming.ingest import (
     incremental_wap_ingest,
     read_file_stream,
     session_windows,
+    streaming_near_dup_admission,
     windowed_event_counts,
 )
 from iceberg_quickstart_iac_spark.streaming.stateful import (
@@ -25,5 +26,6 @@ __all__ = [
     "running_user_stats",
     "session_windows",
     "streaming_dedup",
+    "streaming_near_dup_admission",
     "windowed_event_counts",
 ]

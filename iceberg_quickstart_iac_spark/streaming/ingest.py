@@ -138,6 +138,70 @@ def incremental_wap_ingest(
     return writer.start()
 
 
+def streaming_near_dup_admission(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    store: SnapTable,
+    docs_table: SnapTable | None,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    fmt: str = "parquet",
+    available_now: bool = True,
+    txn_app_id: str = "stream_near_dup",
+    on_rejected=None,
+) -> StreamingQuery:
+    """Continuous near-dup admission control: every micro-batch of
+    incoming documents scores against the PERSISTED signature store
+    (:func:`operators.dedup.admit_batch`), admitted docs land in
+    ``docs_table`` and their signatures append to the store — so the
+    NEXT micro-batch admits against the updated corpus. The round-9
+    store lifecycle composed with the streaming tier: the reference's
+    "incremental loads" follow-up (docs/bring-your-own-data.md:226-228)
+    as a running pipeline.
+
+    Exactly-once under crash replay: both appends are txn-stamped with
+    the micro-batch id (``<txn_app_id>:signatures`` /
+    ``<txn_app_id>:docs``), and admit_batch's scoring is
+    replay-deterministic by construction (matches pin the pre-append
+    snapshot; a replayed batch's own signatures in the store are
+    self-excluded) — so a batch that crashed between the two appends
+    replays to the identical admitted set and the missing append lands
+    while the completed one skips. ``on_rejected(batch_id, matches_df)``
+    surfaces the rejected rows (bounded by the batch size) for
+    quarantine/audit sinks."""
+    from iceberg_quickstart_iac_spark.operators.dedup import admit_batch
+
+    stream = read_file_stream(spark, source_path, schema, fmt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = admit_batch(
+            store,
+            batch_df,
+            id_col,
+            text_col,
+            threshold=threshold,
+            txn=(f"{txn_app_id}:signatures", batch_id),
+        )
+        if docs_table is not None:
+            docs_table.append(
+                r["admitted"], txn=(f"{txn_app_id}:docs", batch_id)
+            )
+        if on_rejected is not None:
+            on_rejected(batch_id, r["matches"])
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_cdc_ingest(
     spark: SparkSession,
     source_path: str,

@@ -414,3 +414,81 @@ def test_streaming_ingest_keeps_follow_head_view_fresh(spark, tmp_path):
         "SELECT COUNT(*) AS n FROM stream_fh_view"
     ).first().n == 15
     table.unregister(spark, "stream_fh_view")
+
+
+def test_streaming_near_dup_admission_lifecycle(spark, tmp_path):
+    """Continuous admission (round 9): wave-1 admits against an empty
+    store and lands docs + signatures; wave-2 contains an exact copy of a
+    wave-1 ADMISSION — catchable only from the UPDATED store — plus a
+    fresh doc; re-running the drained stream is a no-op (checkpoint +
+    txn ledger)."""
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        create_signature_store,
+    )
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        streaming_near_dup_admission,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "adm_ckpt")
+    store = create_signature_store(tmp_path / "sig", "doc_id")
+    docs_table = SnapTable.create(
+        tmp_path / "docs_tbl",
+        {
+            "name": "admitted_docs", "namespace": "lakehouse",
+            "columns": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"},
+            ],
+        },
+    )
+    rejected: dict[int, list] = {}
+
+    def run():
+        q = streaming_near_dup_admission(
+            spark, src, doc_schema, store, docs_table, ckpt,
+            threshold=0.9,
+            on_rejected=lambda bid, m: rejected.setdefault(bid, []).extend(
+                tuple(r) for r in m.collect()
+            ),
+        )
+        q.awaitTermination(120)
+
+    wave1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about catalyst optimizer plans"),
+            (3, "completely different content about catalyst optimizer plans"),
+        ],
+        doc_schema,
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert sorted(r.doc_id for r in docs_table.read(spark).collect()) == [1, 2]
+    assert store.read(spark).count() == 2
+    # wave 2: a copy of admitted doc 1 (only the UPDATED store knows it)
+    # and a genuinely new doc
+    spark.createDataFrame(
+        [
+            (50, "the quick brown fox jumps over the lazy dog again and again"),
+            (51, "fresh wave two content totally new material here"),
+        ],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert sorted(r.doc_id for r in docs_table.read(spark).collect()) == [1, 2, 51]
+    assert store.read(spark).count() == 3
+    flat = [m for ms in rejected.values() for m in ms]
+    assert (50, 1, 1.0, "store") in flat and any(
+        m[0] == 3 and m[3] == "batch" for m in flat
+    )
+    # drained checkpoint: re-running admits nothing twice
+    run()
+    assert docs_table.read(spark).count() == 3
+    assert store.read(spark).count() == 3
