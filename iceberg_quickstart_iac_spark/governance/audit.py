@@ -33,6 +33,10 @@ AUDIT_EVENTS = (
     "schema_evolution",
     # SQL front door: a governed view (re-)registered into a Spark session
     "table_registered",
+    # SQL front door: a DML/DDL STATEMENT executed against the catalog
+    # (the per-statement record Athena gets from CloudTrail; the
+    # underlying table_write/schema_evolution events still log too)
+    "sql_statement",
 )
 
 _audit_logger = logging.getLogger("lakehouse.audit")

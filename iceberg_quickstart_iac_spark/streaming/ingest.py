@@ -152,6 +152,7 @@ def streaming_near_dup_admission(
     available_now: bool = True,
     txn_app_id: str = "stream_near_dup",
     on_rejected=None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous near-dup admission control: every micro-batch of
     incoming documents scores against the PERSISTED signature store
@@ -171,7 +172,14 @@ def streaming_near_dup_admission(
     replays to the identical admitted set and the missing append lands
     while the completed one skips. ``on_rejected(batch_id, matches_df)``
     surfaces the rejected rows (bounded by the batch size) for
-    quarantine/audit sinks."""
+    quarantine/audit sinks.
+
+    ``compact_every=k`` rewrites the store into one file whenever its
+    commit count reaches a multiple of k — continuous ingest appends one
+    small signature file per batch, and an uncompacted store makes every
+    later admission scan pay the small-file open cost (the standard
+    streaming-into-lakehouse maintenance cadence; compaction commits are
+    time-travel-safe like any other)."""
     from iceberg_quickstart_iac_spark.operators.dedup import admit_batch
 
     stream = read_file_stream(spark, source_path, schema, fmt)
@@ -193,6 +201,13 @@ def streaming_near_dup_admission(
             )
         if on_rejected is not None:
             on_rejected(batch_id, r["matches"])
+        # maintenance cadence: bound the store's file count so the next
+        # admissions' store scan stays one-file-per-compaction instead
+        # of one-per-batch. Keyed on the BATCH id (monotone per
+        # checkpoint), not the commit count — compaction commits must
+        # not count toward their own cadence.
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            store.compact(spark)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

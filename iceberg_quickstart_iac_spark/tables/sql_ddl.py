@@ -219,6 +219,9 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
             "changes need writer/admin"
         )
     s = statement.strip().rstrip(";").strip()
+    from iceberg_quickstart_iac_spark.tables.sql_dml import _audit_statement
+
+    _audit_statement(s.split(None, 1)[0].lower(), s, access_level)
 
     parsed = _parse_create_table(s)
     if parsed:

@@ -226,6 +226,29 @@ def _parse_merge_clauses(tail: str, alias_map: dict[str, str]) -> dict:
     }
 
 
+def _audit_statement(kind: str, statement: str, access_level: str) -> None:
+    """Per-STATEMENT audit record for the SQL front door (the warehouse
+    CloudTrail analog). Only a hash + prefix of the statement is logged —
+    literals can carry data values, which the audit stream must not
+    republish; the executors' own table_write events carry the rest."""
+    import hashlib
+
+    from iceberg_quickstart_iac_spark.governance.audit import log_audit_event
+
+    log_audit_event(
+        "sql_statement",
+        "catalog",
+        details={
+            "kind": kind,
+            "access_level": str(access_level),
+            "statement_sha256": hashlib.sha256(
+                statement.encode()
+            ).hexdigest()[:16],
+            "statement_prefix": statement[:48],
+        },
+    )
+
+
 def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
     """Parse and run a DML statement against the catalog; returns the
     commit entry dict from the SnapTable executor. Raises on a reader
@@ -241,6 +264,7 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         )
     s = _strip(statement)
     kw = s.split(None, 1)[0].lower()
+    _audit_statement(kw, s, access_level)
 
     if kw == "insert":
         m = _INSERT_RE.match(s)

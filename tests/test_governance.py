@@ -345,3 +345,32 @@ def test_audit_table_sink_lifecycle(spark, tmp_path):
     assert auto.read().count() == 0 if (auto._root / "meta.json").exists() else True
     auto({"timestamp": "2024-01-01T00:00:01+00:00", "event": "table_read", "table": "x", "details": {}})
     assert auto.read().count() == 2
+
+
+def test_sql_statements_emit_audit_records(spark, tmp_path, caplog):
+    """Every DML/DDL statement through the front door logs one
+    sql_statement audit record — hash + bounded prefix only, never the
+    full text (literals can carry data values)."""
+    import json as _json
+    import logging
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tmp_path / "audit_lake")
+    with caplog.at_level(logging.INFO, logger="lakehouse.audit"):
+        lake.sql(spark, "CREATE TABLE audit_t (id BIGINT, secret STRING)")
+        lake.sql(
+            spark,
+            "INSERT INTO audit_t VALUES (1, 'super-secret-value-beyond-the-prefix-cutoff-xyz')",
+        )
+    stmts = [
+        _json.loads(r.message)
+        for r in caplog.records
+        if '"sql_statement"' in r.message
+    ]
+    kinds = [s["details"]["kind"] for s in stmts]
+    assert kinds == ["create", "insert"]
+    ins = stmts[1]["details"]
+    assert len(ins["statement_sha256"]) == 16
+    assert len(ins["statement_prefix"]) <= 48
+    assert "super-secret-value-beyond-the-prefix-cutoff-xyz" not in str(stmts)

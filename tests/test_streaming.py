@@ -492,3 +492,58 @@ def test_streaming_near_dup_admission_lifecycle(spark, tmp_path):
     run()
     assert docs_table.read(spark).count() == 3
     assert store.read(spark).count() == 3
+
+
+def test_streaming_admission_compaction_cadence(spark, tmp_path):
+    """compact_every bounds the store's file count under continuous
+    ingest: after the cadence fires, the store reads from the compacted
+    layout and admissions still work (the compaction commit is just
+    another snapshot)."""
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        create_signature_store,
+    )
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        streaming_near_dup_admission,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "c_src")
+    ckpt = str(tmp_path / "c_ckpt")
+    store = create_signature_store(tmp_path / "c_sig", "doc_id")
+
+    def run():
+        q = streaming_near_dup_admission(
+            spark, src, doc_schema, store, None, ckpt,
+            threshold=0.9, compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    for i, text in enumerate(
+        ["alpha content first wave", "beta content second wave",
+         "gamma content third wave"]
+    ):
+        spark.createDataFrame([(100 + i, text)], doc_schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        run()
+    entries = store._entries()
+    # 3 admission appends + 1 compaction fired at the 2-commit mark
+    assert [e["operation"] for e in entries].count("compact") == 1
+    assert store.read(spark).count() == 3
+    # a later batch still admits against the compacted store
+    spark.createDataFrame(
+        [(200, "alpha content first wave")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    hits = []
+    q = streaming_near_dup_admission(
+        spark, src, doc_schema, store, None, ckpt, threshold=0.9,
+        on_rejected=lambda bid, m: hits.extend(tuple(r) for r in m.collect()),
+    )
+    q.awaitTermination(120)
+    assert (200, 100, 1.0, "store") in hits
+    assert store.read(spark).count() == 3  # the dup was not admitted
