@@ -685,3 +685,52 @@ def test_header_expressions_survive_garbage_batch(spark):
             assert r.png.width is None or r.png.width >= 0
         if r.wav_ms is not None:
             assert isinstance(r.wav_ms, int)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=126,
+                exclude_characters="',()",
+            ),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.lists(st.sampled_from(["(a, b)", "'x,y'", "f(1, '2,3')", "''"]),
+             max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_top_level_roundtrips(parts, decorations):
+    """The SQL front door's comma splitter must treat commas inside
+    parens and string literals as content: joining parts (each possibly
+    decorated with a nested-comma fragment) and splitting again yields
+    the same non-empty parts."""
+    from iceberg_quickstart_iac_spark.tables.sql_dml import _split_top_level
+
+    decorated = []
+    for i, p in enumerate(parts):
+        frag = decorations[i % len(decorations)] if decorations else ""
+        decorated.append((p + " " + frag).strip())
+    joined = ", ".join(d for d in decorated if d)
+    expect = [d for d in decorated if d]
+    assert _split_top_level(joined) == expect
+
+
+@given(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=60,
+))
+@settings(max_examples=300, deadline=None)
+def test_alias_rewrite_never_touches_string_literals(payload):
+    """Alias rewriting applies outside single-quoted literals only: a
+    literal containing 'u.' survives byte-for-byte, while a real 'u.'
+    prefix outside quotes rewrites."""
+    from iceberg_quickstart_iac_spark.tables.sql_dml import _rewrite_alias
+
+    # build a literal from the payload (''-escape any quotes)
+    lit = "'" + payload.replace("'", "''") + "'"
+    expr = f"u.col = {lit} AND u.other > 1"
+    out = _rewrite_alias(expr, {"u": "s"})
+    assert out == f"s.col = {lit} AND s.other > 1"
