@@ -271,6 +271,18 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         if not m:
             raise ValueError(f"DML: unparseable INSERT {statement!r}")
         mode, table, cols_sql, source_sql = m.groups()
+        if cols_sql is not None and not all(
+            re.fullmatch(r"\w+", c.strip()) for c in cols_sql.split(",")
+        ):
+            # not a column list — a PARENTHESIZED source query
+            # (`INSERT INTO t (SELECT …)`): re-read everything after the
+            # table name as the source
+            m2 = re.match(
+                r"^insert\s+(?:into|overwrite)\s+(?:table\s+)?\w+\s*(.+)$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            cols_sql, source_sql = None, m2.group(1)
         t = lake.table(table)
         declared = [c["name"] for c in t.meta.get("columns", [])]
         df = spark.sql(source_sql.strip())

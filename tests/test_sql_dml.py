@@ -206,3 +206,13 @@ def test_sql_script_runs_statements_in_order(spark, lake):
     """)
     rows = out.collect()
     assert [(r.status, r.balance) for r in rows] == [("batch;semi", 6.0)]
+
+
+def test_insert_parenthesized_source_is_not_a_column_list(spark, lake):
+    # ANSI allows a parenthesized query as the INSERT source — it must
+    # not parse as a column list
+    lake.sql(spark, "INSERT INTO accounts (SELECT 60, 'paren', 6.0)")
+    assert (60, "paren", 6.0) in _rows(spark, lake)
+    # and a real column list still works right next to it
+    lake.sql(spark, "INSERT INTO accounts (id, balance) (SELECT 61, 6.1)")
+    assert (61, None, 6.1) in _rows(spark, lake)
