@@ -216,3 +216,20 @@ def test_insert_parenthesized_source_is_not_a_column_list(spark, lake):
     # and a real column list still works right next to it
     lake.sql(spark, "INSERT INTO accounts (id, balance) (SELECT 61, 6.1)")
     assert (61, None, 6.1) in _rows(spark, lake)
+
+
+def test_explain_passes_through_and_merge_cardinality_surfaces(spark, lake):
+    # EXPLAIN is a read-path statement: lazy registration + spark.sql
+    plan_rows = lake.sql(spark, "EXPLAIN SELECT COUNT(*) FROM accounts").collect()
+    assert plan_rows and "Physical Plan" in plan_rows[0][0]
+    # a target row matched by two source rows is non-deterministic — the
+    # executor's MERGE_CARDINALITY_VIOLATION analog must surface through
+    # the statement path, not be swallowed
+    spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0)], "id LONG, status STRING, balance DOUBLE"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(ValueError, match="[Cc]ardinality|more than one"):
+        lake.sql(spark, """
+            MERGE INTO accounts USING dup_src AS d ON accounts.id = d.id
+            WHEN MATCHED THEN UPDATE SET *
+        """)
