@@ -429,6 +429,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     scope_col: str | None = None,
     min_df: int = 2,
+    broadcast: bool | None = None,
 ):
     """Line-level boilerplate removal (round 9; the CCNet/RefinedWeb
     cleaning stage): a non-blank line appearing in >= ``min_df`` DISTINCT
@@ -444,12 +445,27 @@ def remove_boilerplate_lines(
 
     Scale shape: one line explode (O(total lines)), one (scope, line)
     groupBy with map-side partial countDistinct, then the removal is a
-    LEFT ANTI join against the BOILERPLATE set only — at most
-    total_lines / min_df distinct lines, broadcastable at any corpus
-    size for real thresholds — so the per-line pass is map-only and the
-    ubiquitous-line skew (exactly the lines being removed) never keys a
-    shuffled join. Reassembly is one groupBy(id) with an in-aggregate
-    ``array_sort`` by line position — no window, no global sort.
+    LEFT ANTI join against the BOILERPLATE set only. The boilerplate
+    set's size is bounded by total_lines / min_df, which at the DEFAULT
+    ``min_df=2`` over a 100 TB crawl is billions of rows — NOT
+    broadcastable — so by default (``broadcast=None``) the join carries
+    no hint: Catalyst's size stats broadcast the set while it is small
+    and AQE re-plans at runtime (its localShuffleReader broadcast
+    conversion when the aggregated set lands under the threshold; its
+    skew-join split when the shuffled anti-join keys on ubiquitous
+    lines). ``broadcast=True`` forces the hint for callers that BOUND
+    the set themselves (a high ``min_df`` percentage threshold, or a
+    per-scope top-K cap); ``broadcast=False`` pins the shuffle path.
+
+    min_df guidance for large corpora: an absolute ``min_df=2`` is a
+    small-corpus setting. At crawl scale use a per-scope fraction
+    (CCNet-style: a line in >60% of a site's pages) or at least
+    ``min_df`` in the hundreds, which both shrinks the boilerplate set
+    toward true nav/footer lines and keeps false positives (two
+    documents legitimately sharing a sentence) out.
+
+    Reassembly is one groupBy(id) with an in-aggregate ``array_sort``
+    by line position — no window, no global sort.
     """
     scope = [scope_col] if scope_col else []
     lines = df.select(
@@ -465,7 +481,11 @@ def remove_boilerplate_lines(
         .filter(F.col("__df") >= min_df)
         .select(*scope, "__line")
     )
-    kept = lines.join(F.broadcast(boiler), [*scope, "__line"], "left_anti")
+    if broadcast is True:
+        boiler = F.broadcast(boiler)
+    elif broadcast is False:
+        boiler = boiler.hint("shuffle_hash")
+    kept = lines.join(boiler, [*scope, "__line"], "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.expr(
             "concat_ws('\\n', transform(array_sort("

@@ -115,82 +115,85 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-9 gate (VERDICT r8 next #1): the 20 queries whose newest driver
-    # row dates from r6 lead — after this round no catalog query's driver
-    # certification is older than r7. Steady state: a 120-query catalog
-    # over a 50-slot gate makes 3 rounds the maximum certification age.
-    "near_dup_minhash_pairs",
-    "packed_context_windows",
-    "partitioned_table_pruning",
-    "pseudonymized_user_activity",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_flat_revenue",
-    "q9_product_profit",
-    "q11_top_nation_share",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_avg_yearly",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_late_shippers",
-    "q22_dormant_rich_customers",
-    # round-9 additions: need their FIRST driver row (persisted
-    # signature-store admission lifecycle — VERDICT r8 next #2 — the
-    # follow-head changelog view — next #7 — and the SQL DML front door)
-    "near_dup_store_lifecycle",
-    "changelog_follow_head_view",
+    # round-10 gate (VERDICT r9 next #1): lead with the five round-9
+    # queries that have never had a driver row, then the 24 queries whose
+    # newest driver row dates from r7 (3 rounds old at r10 — the
+    # steady-state maximum for a 129-query catalog over a 50-slot gate).
+    "wap_sql_branch_lifecycle",
+    "doc_boilerplate_removal",
+    "embedding_ann_recall_audit",
+    "embedding_cluster_balanced_sample",
+    "source_token_budgets",
+    # the 24 r7-stale queries (verdict-recomputed list, name-for-name)
+    "above_customer_avg_orders",
+    "asof_last_click_before_purchase",
+    "brand_size_stats",
+    "bucketed_join_orders_lineitem",
+    "cube_status_year",
+    "distinct_customers_per_priority",
+    "doc_fingerprint_dedup",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_token_rarity",
+    "doc_token_stats",
+    "event_minute_windows",
+    "event_value_by_nation",
+    "json_props_rollup",
+    "monthly_order_stats",
+    "order_price_stats",
+    "quality_checks_events",
+    "row_policy_events",
+    "setops_customer_cohorts",
+    "soda_yaml_checks",
+    "source_mixture_weights",
+    "stratified_doc_sample",
+    "token_vocabulary",
+    "topk_orders",
+    # then the r9-certified queries whose code paths round 10 touches:
+    # the SQL DML/DDL parser fixes (single-pass alias rewrite, qualified
+    # table names, WHEN word-boundary), the lakehouse drop_table as-of
+    # purge + multi-scope CatalogBranch.sql, the trimmed store lifecycle,
+    # and the boilerplate-removal broadcast fix (in the lead block above).
     "sql_dml_lifecycle",
     "sql_ddl_lifecycle",
-    # then 26 of the 50 r7-certified queries (2 rounds old), picked to
-    # re-certify the code THIS round changes: the fold cosine partial
-    # top-k, the dedup/signature paths around the persisted store, the
-    # snapstore metadata/merge/seed fixes, and the fuzzed media parsers.
-    "embedding_cosine_topk",
-    "dedup_docs_by_key",
-    "incremental_dedup_new_docs",
-    "simhash_near_pairs_block2k",
-    "ngram_jaccard_dups_block1k",
-    "embedding_near_dup_pairs",
-    "semantic_dedup_cells",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "media_header_roundtrip",
-    "snapshot_metadata_lifecycle",
-    "partition_stats_table",
-    "catalog_branch_lifecycle",
-    "tag_retention_lifecycle",
-    "flagship_sql_front_door",
     "dml_lifecycle",
     "merge_upsert_lifecycle",
-    "cdc_changelog_apply",
-    "cdc_changelog_apply_mor",
-    "mor_delete_lifecycle",
-    "zorder_compact_lifecycle",
-    "partition_evolution_lifecycle",
-    "partition_compaction_lifecycle",
-    "incremental_rollup_maintenance",
-    "streaming_cdc_ingest_lifecycle",
-    "pii_safe_events",
-    # the r10 lead: wap_sql_branch_lifecycle, doc_boilerplate_removal,
-    # embedding_cluster_balanced_sample, source_token_budgets,
-    # embedding_ann_recall_audit (new r9, need their first driver rows)
-    # plus the remaining 24 r7-certified queries (3 rounds
-    # old then — the steady-state maximum), all covered by the pytest
-    # oracle replay meanwhile: row_policy_events,
-    # quality_checks_events, soda_yaml_checks,
-    # setops_customer_cohorts, topk_orders, monthly_order_stats,
-    # json_props_rollup, event_minute_windows, asof_last_click_before_
-    # purchase, bucketed_join_orders_lineitem, above_customer_avg_orders,
-    # brand_size_stats, cube_status_year, distinct_customers_per_priority,
-    # doc_fingerprint_dedup, doc_language_id, doc_quality_scores,
-    # doc_token_rarity, doc_token_stats, event_value_by_nation,
-    # order_price_stats, source_mixture_weights, stratified_doc_sample,
-    # token_vocabulary.
+    "near_dup_store_lifecycle",
+    "catalog_branch_lifecycle",
+    "flagship_sql_front_door",
+    "changelog_follow_head_view",
+    # then 13 of the 50 r8-certified queries (2 rounds old): the six on
+    # this round's lakehouse/SQL/dedup code paths first, then seven more
+    # to spread the r11 re-certification burden.
+    "changelog_sql_view",
+    "sql_view_follows_head",
+    "time_travel_sql_named_query",
+    "branch_lifecycle",
+    "incremental_near_dup_admission",
+    "near_dup_doc_clusters",
+    "flagship_event_type_counts",
+    "user_sessions",
+    "scd2_chain_from_orders",
+    "drift_sensor_cycle",
+    "latest_event_per_user",
+    "embedding_ann_ivf",
+    "ann_index_lifecycle",
+    # the r11 lead: the remaining 37 r8-certified queries (3 rounds old
+    # then), all covered by the pytest oracle replay meanwhile:
+    # cohort_retention, corpus_filter_funnel, customer_running_totals,
+    # customer_spend_quartiles, customers_without_big_orders,
+    # doc_benchmark_contamination, doc_bigram_novelty, doc_bpe_token_stats,
+    # doc_chunks, doc_hash_split, doc_pii_redaction, doc_repetition_signals,
+    # embedding_int8_audit, embedding_label_centroids, embedding_lsh_topk,
+    # enrich_orders_by_segment, event_followup_pairs,
+    # event_time_hierarchy_rollup, funnel_click_to_purchase,
+    # inter_source_overlap, latest_order_per_customer, media_pcm_stats,
+    # mor_maintenance_lifecycle, multimodal_media_stats, orc_table_lifecycle,
+    # pivot_segment_status, q10_returned_item_customers,
+    # q13_customer_order_histogram, q14_promo_revenue_pct, q18_large_orders,
+    # q7_nation_volume, q8_market_share, rollup_order_status,
+    # semantic_dedup_cells_gemm, temperature_mixture_sample,
+    # training_shard_stats, weighted_doc_sample.
 ]
 
 
@@ -1036,12 +1039,15 @@ def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFram
 # #2 — operators/dedup.py::admit_batch): the production loop around
 # incremental_near_dup made first-class. Wave 1 admits a batch against an
 # EMPTY store and appends the admitted docs' signatures (txn-stamped);
-# wave 2 plants exact copies of wave-1 admissions — including one whose
-# text exists NOWHERE in the corpus, so it can only be caught if the
-# wave-1 append actually landed — and must reject them FROM THE UPDATED
-# STORE. store_rows_after pins the append accounting per wave. Identical
-# text ⇒ identical signatures ⇒ est 1.0 deterministically; natural
-# cross-doc similarity at this sf can't reach the 0.9 threshold.
+# wave 2 (trimmed to a SCORE-ONLY probe, VERDICT r9 next #3 — the
+# store-only-catch property needs one append, not two full turns) plants
+# exact copies of wave-1 admissions — including one whose text exists
+# NOWHERE in the corpus, so it can only be caught if the wave-1 append
+# actually landed — and must reject them FROM THE UPDATED STORE.
+# store_rows_after pins the append accounting: wave 1 reports the commit
+# row_count, wave 2 the READ-BACK count of the persisted store (both 5).
+# Identical text ⇒ identical signatures ⇒ est 1.0 deterministically;
+# natural cross-doc similarity at this sf can't reach the 0.9 threshold.
 # ---------------------------------------------------------------------------
 
 
@@ -1057,11 +1063,11 @@ def incremental_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFram
     UNION ALL
     SELECT CAST(2 AS INT), CAST(50000 + doc_id AS BIGINT),
            CAST(doc_id AS BIGINT), CAST(1.0 AS DOUBLE), 'store',
-           CAST(6 AS BIGINT)
+           CAST(5 AS BIGINT)
     FROM documents WHERE doc_id IN (1, 7, 42)
     UNION ALL
     SELECT CAST(2 AS INT), CAST(60001 AS BIGINT), CAST(20001 AS BIGINT),
-           CAST(1.0 AS DOUBLE), 'store', CAST(6 AS BIGINT)
+           CAST(1.0 AS DOUBLE), 'store', CAST(5 AS BIGINT)
     ORDER BY wave, new_id
     """,
 )
@@ -1072,6 +1078,7 @@ def near_dup_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_quickstart_iac_spark.operators.dedup import (
         admit_batch,
         create_signature_store,
+        incremental_near_dup,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1108,23 +1115,30 @@ def near_dup_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id LONG, text STRING",
         )
     )
-    r2 = admit_batch(
-        store, wave2, "doc_id", "text", threshold=0.9, txn=("lifecycle", 2)
+    # wave 2 is a SCORE-ONLY probe: one append certifies the store-only
+    # catch (60001 matches 20001 only if wave 1 landed); the read-back
+    # count is the persisted-append assertion, no second commit needed
+    store_after = store.read(spark)
+    n_store = store_after.count()
+    m2 = incremental_near_dup(
+        wave2, store_after, "doc_id", "text", threshold=0.9
     )
 
-    def waved(r: dict, wave: int) -> DataFrame:
-        return r["matches"].select(
+    def waved(matches: DataFrame, wave: int, rows_after: int) -> DataFrame:
+        return matches.select(
             F.lit(wave).cast("int").alias("wave"),
             "new_id",
             "dup_of",
             "est_jaccard",
             "source",
-            F.lit(r["commit"]["row_count"]).cast("long").alias(
-                "store_rows_after"
-            ),
+            F.lit(rows_after).cast("long").alias("store_rows_after"),
         )
 
-    return waved(r1, 1).unionByName(waved(r2, 2)).orderBy("wave", "new_id")
+    return (
+        waved(r1["matches"], 1, r1["commit"]["row_count"])
+        .unionByName(waved(m2, 2, n_store))
+        .orderBy("wave", "new_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1377,11 +1391,18 @@ def wap_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_main_staging = lake.sql(
         spark, "SELECT COUNT(*) AS n FROM orders_wap"
     ).first().n
-    # the audit gate: staged rows all carry the shifted key range
+    # the audit gate, two-sided: every staged row lands in the expected
+    # shifted key range [200000, 200300) — n_bad counts escapees above it
+    # — and the staged-row count equals the incoming count (a dropped or
+    # duplicated row fails the audit, not just a corrupted key)
+    n_incoming = spark.table("wap_incoming").count()
+    n_staged_new = br.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM orders_wap WHERE o_orderkey >= 200000",
+    ).first().n
     n_bad = br.sql(
         spark,
-        "SELECT COUNT(*) AS n FROM orders_wap "
-        "WHERE o_orderkey >= 200000 AND o_orderkey < 200000 + 0",
+        "SELECT COUNT(*) AS n FROM orders_wap WHERE o_orderkey >= 200300",
     ).first().n
     br.merge()
     n_main_published = lake.sql(
@@ -1399,6 +1420,7 @@ def wap_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_main_staging < n_branch
                     and n_main_published == n_branch
                     and n_bad == 0
+                    and n_staged_new == n_incoming
                 ),
             )
         ],

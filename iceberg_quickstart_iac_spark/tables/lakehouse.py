@@ -45,10 +45,20 @@ _REFS = "_catalog_refs"
 
 class _DmlScope:
     """Adapter handing the DML executor scope-resolved table handles (a
-    catalog branch's ``table()`` forks lazily and returns branch views)."""
+    catalog branch's ``table()`` forks lazily and returns branch views).
+    ``strip_suffix`` undoes the scope-view rewrite: a branch statement's
+    table references arrive suffixed (``orders__scope_ab12cd34``) so the
+    READ side resolves per-scope views, but the executor needs the real
+    catalog name to fork/load the per-table branch."""
 
-    def __init__(self, accessor):
-        self.table = accessor
+    def __init__(self, accessor, strip_suffix: str = ""):
+        self._accessor = accessor
+        self._strip = strip_suffix
+
+    def table(self, name: str):
+        if self._strip and name.endswith(self._strip):
+            name = name[: -len(self._strip)]
+        return self._accessor(name)
 
 
 class Lakehouse:
@@ -92,7 +102,20 @@ class Lakehouse:
                 return False
             raise TableNotFoundError(f"No table {name!r} in {self.root}")
         shutil.rmtree(root)
-        self._sql_registry.pop(name, None)
+        # purge EVERY registry entry derived from this table, not just the
+        # base view: memoized pinned `name__asof_*` views would otherwise
+        # survive a DROP + CREATE of the same name and silently serve the
+        # dropped table's data on a repeated FOR … AS OF with the same
+        # literal (the re-registration only happens on a registry miss)
+        stale = [
+            k
+            for k in self._sql_registry
+            if k == name
+            or k.startswith(f"{name}__asof_")
+            or k.startswith(f"{name}__scope_")
+        ]
+        for k in stale:
+            self._sql_registry.pop(k, None)
         return True
 
     def list_tables(self) -> list[str]:
@@ -217,6 +240,49 @@ class Lakehouse:
 
         return Lakehouse._ASOF_RE.sub(sub, statement)
 
+    @staticmethod
+    def _scope_suffix(scope: str) -> str:
+        """Per-scope view-name suffix: '' on main, a stable hash of the
+        scope name on a catalog branch. Branch statements rewrite their
+        table references to suffixed views, so one Spark session serves
+        main AND any number of branches concurrently — no per-statement
+        re-registration when consecutive statements switch scopes."""
+        if scope == "main":
+            return ""
+        import hashlib
+
+        return "__scope_" + hashlib.md5(scope.encode()).hexdigest()[:8]
+
+    def _rewrite_scope_refs(self, statement: str, suffix: str) -> str:
+        """Rewrite catalog-table identifier tokens (and their metadata-view
+        tokens ``name__snapshots``/…) to their scope-suffixed view names,
+        outside single-quoted string literals — the same string-safe
+        whole-token pattern the time-travel rewriter uses. Non-catalog
+        identifiers (session temp views, columns, aliases) never match;
+        a COLUMN that shares its name with a catalog table would — same
+        word-shaped-identifier caveat as the main-scope lazy
+        registration, which already binds such a token to the table."""
+        import re
+
+        names = self.list_tables()
+        if not names:
+            return statement
+        mapping: dict[str, str] = {}
+        for n in names:
+            mapping[n] = n + suffix
+            for s in self._MD_SUFFIXES:
+                mapping[n + s] = n + suffix + s
+        alts = "|".join(
+            re.escape(k) for k in sorted(mapping, key=len, reverse=True)
+        )
+        pat = re.compile(rf"\b({alts})\b")
+        out = []
+        for i, chunk in enumerate(re.split(r"('(?:[^']|'')*')", statement)):
+            if i % 2 == 0:
+                chunk = pat.sub(lambda m: mapping[m.group(1)], chunk)
+            out.append(chunk)
+        return "".join(out)
+
     def sql(
         self,
         spark,
@@ -299,12 +365,18 @@ class Lakehouse:
                 spark, statement, access_level, accessor=accessor,
                 scope=_scope,
             )
+        # branch statements read per-scope views: rewrite table tokens to
+        # suffixed names so main and branches coexist in one session
+        suffix = self._scope_suffix(_scope)
+        if suffix:
+            statement = self._rewrite_scope_refs(statement, suffix)
         tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", statement))
 
         def ensure_registered() -> None:
             for name in self.list_tables():
-                wants_md = any(name + s in tokens for s in self._MD_SUFFIXES)
-                if name not in tokens and not wants_md:
+                view = name + suffix
+                wants_md = any(view + s in tokens for s in self._MD_SUFFIXES)
+                if view not in tokens and not wants_md:
                     continue
                 t = accessor(name)
                 # filename-only head probe: follow_head refreshes commits
@@ -312,11 +384,12 @@ class Lakehouse:
                 # never fires our registry — the probe (one directory
                 # listing, no reads) catches it per statement
                 head = t.head_sequence()
-                prev = self._sql_registry.get(name)
+                prev = self._sql_registry.get(view)
                 with_md = wants_md or (prev[2] if prev else False)
-                # scope is part of the memo key: a main statement after a
-                # branch one (or vice versa) must re-register the view
-                # against its own handle, never serve the other scope's rows
+                # the scope lives in the VIEW NAME (suffix), so main and
+                # branch statements register disjoint views and never
+                # thrash each other; scope stays in the memo tuple purely
+                # as a debugging breadcrumb
                 want = (_scope, str(access_level), with_md, head)
                 if prev == want:
                     continue
@@ -344,23 +417,23 @@ class Lakehouse:
                         access_level,
                         table=t.fq_name,
                     )
-                    df.createOrReplaceTempView(name)
+                    df.createOrReplaceTempView(view)
                 else:
                     t.register(
                         spark,
-                        name=name,
+                        name=view,
                         access_level=access_level,
                         metadata_tables=with_md,
                         follow_head=True,
                     )
-                self._sql_registry[name] = want
+                self._sql_registry[view] = want
 
         from pyspark.errors import AnalysisException
 
         ensure_registered()
         if is_dml(statement):
             return execute_dml(
-                _DmlScope(accessor) if _accessor else self,
+                _DmlScope(accessor, suffix) if _accessor else self,
                 spark, statement, access_level,
             )
         try:
@@ -501,11 +574,13 @@ class CatalogBranch:
         table state — reads register branch views lazily, DML commits to
         the per-table branches — which is WAP via SQL: stage writes with
         the production statements, audit on the branch, ``merge()`` to
-        publish. Views keep their main-statement names; the registry's
-        scope key re-registers a name whenever consecutive statements
-        switch between main and branch (one Spark session serves one
-        scope per view name at a time — interleave scopes freely across
-        STATEMENTS, not within one). Catalog DDL is rejected on a branch
+        publish. Statement texts keep their main names; under the hood
+        each table reference rewrites to a scope-suffixed view
+        (``name__scope_<hash>``, the same pattern the time-travel
+        rewriter uses for pinned as-of views), so main and any number of
+        branches serve CONCURRENTLY in one Spark session — interleaving
+        scopes re-registers nothing, and two live cursors on different
+        scopes never thrash. Catalog DDL is rejected on a branch
         (branch refs carry only per-table data/schema overrides)."""
         return self.lakehouse.sql(
             spark,

@@ -78,17 +78,89 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _find_keyword_top_level(
+    s: str, word: str, start: int = 0, all_hits: bool = False
+):
+    """Index of the first (or, with ``all_hits``, every) occurrence of
+    ``word`` at TOP LEVEL: outside parentheses, outside single-quoted
+    string literals, outside a ``CASE … END`` expression, and
+    word-bounded on both sides. Case-insensitive. Returns -1 / [] when
+    absent. This is what splits MERGE/UPDATE statements at their
+    ON/WHEN/WHERE keywords — a regex split would be fooled by the same
+    words inside literals (``note = 'x where y'``) or by ``CASE WHEN``
+    in a condition."""
+
+    def bounded(i: int, n: int) -> bool:
+        if i > 0 and (s[i - 1].isalnum() or s[i - 1] == "_"):
+            return False
+        j = i + n
+        return j >= len(s) or not (s[j].isalnum() or s[j] == "_")
+
+    upper, w, n = s.upper(), word.upper(), len(word)
+    hits: list[int] = []
+    depth, case_depth, in_str = 0, 0, False
+    i = start
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if upper.startswith("CASE", i) and bounded(i, 4):
+                case_depth += 1
+                i += 4
+                continue
+            if case_depth and upper.startswith("END", i) and bounded(i, 3):
+                case_depth -= 1
+                i += 3
+                continue
+            if (
+                case_depth == 0
+                and upper.startswith(w, i)
+                and bounded(i, n)
+            ):
+                if not all_hits:
+                    return i
+                hits.append(i)
+                i += n
+                continue
+        i += 1
+    return hits if all_hits else -1
+
+
 def _rewrite_alias(expr: str, mapping: dict[str, str]) -> str:
     """Rewrite ``alias.`` column prefixes to the executor's fixed prefixes,
-    outside single-quoted string literals."""
+    outside single-quoted string literals.
+
+    All aliases rewrite in ONE pass (a single regex alternation with a
+    lookup callback): sequential per-alias substitution would let a later
+    rule re-capture an earlier rule's OUTPUT — ``MERGE INTO a AS x USING
+    b AS t`` maps ``x→t, t→s``, and rewriting ``x.k`` to ``t.k`` first and
+    then applying the ``t→s`` rule would silently turn every target
+    reference into a source reference (``s.k = s.k``)."""
+    if not mapping:
+        return expr
+    lookup = {a.lower(): tgt for a, tgt in mapping.items()}
+    # longest-first so an alias that prefixes another can't shadow it
+    alts = "|".join(
+        re.escape(a) for a in sorted(mapping, key=len, reverse=True)
+    )
+    pat = re.compile(rf"\b({alts})\s*\.", re.IGNORECASE)
     out = []
     for i, chunk in enumerate(re.split(r"('(?:[^']|'')*')", expr)):
         if i % 2 == 0:  # outside a string literal
-            for alias, target in mapping.items():
-                chunk = re.sub(
-                    rf"\b{re.escape(alias)}\s*\.", target + ".", chunk,
-                    flags=re.IGNORECASE,
-                )
+            chunk = pat.sub(
+                lambda m: lookup[m.group(1).lower()] + ".", chunk
+            )
         out.append(chunk)
     return "".join(out)
 
@@ -113,67 +185,130 @@ def _parse_set_list(set_sql: str, alias_map: dict[str, str]) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+# table-name groups accept the qualified `[cat.][ns.]table` form the DDL
+# side (and the reference's namespace.table named queries) use —
+# `_resolve_table` strips the qualifier and validates the namespace
 _INSERT_RE = re.compile(
-    r"^insert\s+(into|overwrite)\s+(?:table\s+)?(\w+)\s*(?:\(([^)]*)\)\s*)?(.+)$",
+    r"^insert\s+(into|overwrite)\s+(?:table\s+)?([\w.]+)\s*(?:\(([^)]*)\)\s*)?(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^delete\s+from\s+(\w+)(?:\s+where\s+(.+))?$",
+    r"^delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
-_UPDATE_RE = re.compile(
-    r"^update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+))?$",
+_UPDATE_HEAD_RE = re.compile(
+    r"^update\s+([\w.]+)\s+set\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_RE = re.compile(
-    r"^merge\s+into\s+(\w+)(?:\s+(?:as\s+)?(\w+))?"
-    r"\s+using\s+(.+?)\s+on\s+(.+?)\s+(when\s+.+)$",
+_MERGE_HEAD_RE = re.compile(
+    r"^merge\s+into\s+([\w.]+)(?:\s+(?:as\s+)?(\w+))?\s+using\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_update(s: str):
+    """(table, set_sql, cond|None) — the SET/WHERE boundary is found with
+    the top-level scanner, so a literal containing ' where ' (or a CASE
+    WHEN with a where-ish payload) in a SET expression never splits the
+    statement early."""
+    m = _UPDATE_HEAD_RE.match(s)
+    if not m:
+        return None
+    table, tail = m.group(1), m.group(2)
+    wi = _find_keyword_top_level(tail, "where")
+    if wi < 0:
+        return table, tail.strip(), None
+    return table, tail[:wi].strip(), tail[wi + 5 :].strip()
+
+
+def _parse_merge_head(s: str):
+    """(table, t_alias|None, src_sql, on_sql, when_tail) — the USING/ON
+    and ON/WHEN boundaries are found with the top-level scanner: a
+    subquery source can contain its own ON (inside parens), an ON
+    condition can contain a string literal with ' when ' or a full
+    CASE WHEN expression, and neither may split the statement early."""
+    m = _MERGE_HEAD_RE.match(s)
+    if not m:
+        return None
+    table, t_alias, rest = m.groups()
+    oi = _find_keyword_top_level(rest, "on")
+    if oi < 0:
+        return None
+    src_sql = rest[:oi].strip()
+    after = rest[oi + 2 :]
+    wi = _find_keyword_top_level(after, "when")
+    if wi <= 0:
+        return None
+    return table, t_alias, src_sql, after[:wi].strip(), after[wi:].strip()
 _MERGE_SRC_RE = re.compile(
     r"^(\(.*\)|\w+)(?:\s+(?:as\s+)?(\w+))?$", re.IGNORECASE | re.DOTALL
 )
 
 
+def _resolve_table(lake, dotted: str):
+    """Resolve a possibly `cat.ns.table`-qualified DML name to the
+    SnapTable, rejecting a namespace that contradicts the template —
+    the reference's named queries address `namespace.table`
+    (dagster/lakehouse/resources/iceberg.py:54-57), so the DML surface
+    must accept the same qualified form the DDL side already does."""
+    from iceberg_quickstart_iac_spark.tables.sql_ddl import _table_name
+
+    name, namespace = _table_name(dotted)
+    t = lake.table(name)
+    if namespace is not None:
+        declared = str(t.meta.get("namespace", "default"))
+        if namespace != declared:
+            raise ValueError(
+                f"DML: table {name!r} belongs to namespace {declared!r}, "
+                f"not {namespace!r} (statement addressed {dotted!r})"
+            )
+    return t
+
+
 def _parse_merge_clauses(tail: str, alias_map: dict[str, str]) -> dict:
-    """Split the ``WHEN …`` tail into merge_into's clause dicts."""
-    # split at top-level WHEN boundaries (never inside parens/strings)
-    pieces, depth, in_str, starts = [], 0, False, [0]
-    i = 0
-    upper = tail.upper()
-    while i < len(tail):
-        c = tail[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < len(tail) and tail[i + 1] == "'":
-                    i += 1
-                else:
-                    in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif depth == 0 and i > 0 and upper.startswith("WHEN", i) and tail[i - 1].isspace():
-            starts.append(i)
-        i += 1
-    for a, b in zip(starts, starts[1:] + [len(tail)]):
-        pieces.append(tail[a:b].strip())
+    """Split the ``WHEN …`` tail into merge_into's clause dicts. Clause
+    boundaries are TOP-LEVEL ``WHEN`` keywords (never inside parens,
+    string literals, or a CASE … END — so a CASE WHEN in a clause
+    condition or SET expression, or an identifier like ``when_created``,
+    never splits a clause)."""
+    starts = _find_keyword_top_level(tail, "when", all_hits=True)
+    if starts[:1] != [0]:
+        starts = [0] + starts
+    pieces = [
+        tail[a:b].strip() for a, b in zip(starts, starts[1:] + [len(tail)])
+    ]
 
     matched: list[dict] = []
     not_matched: list[dict] = []
     by_source: list[dict] = []
-    clause_re = re.compile(
-        r"^when\s+(matched|not\s+matched(?:\s+by\s+(target|source))?)"
-        r"(?:\s+and\s+(.+?))?\s+then\s+(.+)$",
-        re.IGNORECASE | re.DOTALL,
+    head_re = re.compile(
+        r"^when\s+(matched|not\s+matched(?:\s+by\s+(target|source))?)\b",
+        re.IGNORECASE,
     )
     for piece in pieces:
-        m = clause_re.match(piece)
-        if not m:
+        hm = head_re.match(piece)
+        if not hm:
             raise ValueError(f"MERGE: unparseable clause {piece!r}")
-        kind_raw, by, cond, action_sql = m.groups()
+        kind_raw, by = hm.group(1), hm.group(2)
+        # the condition/action boundary is the top-level THEN — found
+        # with the scanner, so a CASE … THEN … END (or a literal
+        # containing ' then ') inside the AND condition never splits it
+        remainder = piece[hm.end():]
+        ti = _find_keyword_top_level(remainder, "then")
+        if ti < 0:
+            raise ValueError(f"MERGE: clause missing THEN {piece!r}")
+        cond_part = remainder[:ti].strip()
+        action_sql = remainder[ti + 4:]
+        cond = None
+        if cond_part:
+            am = re.match(
+                r"^and\s+(.+)$", cond_part, re.IGNORECASE | re.DOTALL
+            )
+            if not am:
+                raise ValueError(
+                    f"MERGE: unparseable clause condition {piece!r}"
+                )
+            cond = am.group(1)
         kind = "matched" if kind_raw.lower() == "matched" else (
             "by_source" if (by or "").lower() == "source" else "not_matched"
         )
@@ -278,12 +413,12 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
             # (`INSERT INTO t (SELECT …)`): re-read everything after the
             # table name as the source
             m2 = re.match(
-                r"^insert\s+(?:into|overwrite)\s+(?:table\s+)?\w+\s*(.+)$",
+                r"^insert\s+(?:into|overwrite)\s+(?:table\s+)?[\w.]+\s*(.+)$",
                 s,
                 re.IGNORECASE | re.DOTALL,
             )
             cols_sql, source_sql = None, m2.group(1)
-        t = lake.table(table)
+        t = _resolve_table(lake, table)
         declared = [c["name"] for c in t.meta.get("columns", [])]
         df = spark.sql(source_sql.strip())
         if cols_sql:
@@ -320,7 +455,7 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         if not m:
             raise ValueError(f"DML: unparseable DELETE {statement!r}")
         table, cond = m.groups()
-        t = lake.table(table)
+        t = _resolve_table(lake, table)
         # Iceberg's write.delete.mode table property picks the physical
         # strategy for SQL deletes (copy-on-write default, merge-on-read
         # for low-latency deletes on identifier-keyed tables) — the same
@@ -337,19 +472,19 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         )
 
     if kw == "update":
-        m = _UPDATE_RE.match(s)
-        if not m:
+        parsed = _parse_update(s)
+        if not parsed:
             raise ValueError(f"DML: unparseable UPDATE {statement!r}")
-        table, set_sql, cond = m.groups()
-        return lake.table(table).update_where(
+        table, set_sql, cond = parsed
+        return _resolve_table(lake, table).update_where(
             spark, cond or "true", _parse_set_list(set_sql, {})
         )
 
     if kw == "merge":
-        m = _MERGE_RE.match(s)
-        if not m:
+        parsed = _parse_merge_head(s)
+        if not parsed:
             raise ValueError(f"DML: unparseable MERGE {statement!r}")
-        table, t_alias, src_sql, on_sql, when_tail = m.groups()
+        table, t_alias, src_sql, on_sql, when_tail = parsed
         src_m = _MERGE_SRC_RE.match(src_sql.strip())
         if not src_m:
             raise ValueError(f"MERGE: unparseable USING source {src_sql!r}")
@@ -363,13 +498,14 @@ def execute_dml(lake, spark, statement: str, access_level: str = "admin"):
         if not s_alias and re.fullmatch(r"\w+", src_body):
             alias_map[src_body] = "s"
         if not t_alias:
-            alias_map.setdefault(table, "t")
+            # a qualified un-aliased target is addressable by its bare name
+            alias_map.setdefault(table.split(".")[-1], "t")
         source = spark.sql(
             src_body[1:-1] if src_body.startswith("(") else
             f"SELECT * FROM {src_body}"
         )
         clauses = _parse_merge_clauses(when_tail, alias_map)
-        return lake.table(table).merge_into(
+        return _resolve_table(lake, table).merge_into(
             spark,
             source,
             on=_rewrite_alias(on_sql.strip(), alias_map),

@@ -353,6 +353,38 @@ def wl_boilerplate(spark, sf_dir: str, factor: int) -> int:
     return out.agg(F.sum("n_removed")).first()[0]
 
 
+def wl_boilerplate_adversarial(spark, sf_dir: str, factor: int) -> int:
+    """X34 adversarial (VERDICT r9 next #2): the boilerplate SET ITSELF
+    is O(corpus) — every line is shared by exactly two documents at the
+    default min_df=2, so total_lines/2 distinct lines survive the
+    frequency filter. The r9 forced `F.broadcast` on that set was a
+    driver-OOM shape at 100 TB; the r10 default (no hint — Catalyst
+    stats + AQE broadcast-or-skew-split at runtime) must keep the pass
+    scan-bound (alpha ~ 1) with no driver blowup as the set grows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    # 12 lines per doc; docs 2i and 2i+1 share ALL their lines (and no
+    # others) -> every non-blank line has df=2 and the whole corpus is
+    # boilerplate: the anti-join's build side is half the exploded rows
+    built = docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws('\\n', transform(sequence(0, 11), j -> "
+            "concat('p', CAST(CAST(doc_id / 2 AS LONG) AS STRING), "
+            "'_', CAST(j AS STRING))))"
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(built, "doc_id", "text", min_df=2)
+    return out.agg(F.sum("n_removed")).first()[0]
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
@@ -363,6 +395,7 @@ WORKLOADS = {
     "incremental_admission": wl_incremental_admission,
     "store_admission": wl_store_admission,
     "boilerplate_removal": wl_boilerplate,
+    "boilerplate_adversarial": wl_boilerplate_adversarial,
 }
 
 

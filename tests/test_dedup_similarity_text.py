@@ -1288,18 +1288,72 @@ def test_boilerplate_removal_semantics(spark):
     assert out2[1].n_removed == 0
 
 
-def test_boilerplate_removal_anti_join_is_broadcast(spark, sf_dir):
-    """The removal pass must be MAP-ONLY: the anti-join keys on exactly
-    the ubiquitous lines being removed, so a shuffled join would eat the
-    boilerplate skew — the plan must broadcast the boiler set."""
+def test_boilerplate_removal_broadcast_is_conditional(spark, sf_dir):
+    """The boilerplate set grows as total_lines/min_df — billions of
+    rows at crawl scale with the default min_df — so the anti-join must
+    NOT carry an unconditional broadcast hint (a forced hint passes at
+    sf0.1 and OOMs the driver at 100 TB). Contract, pinned three ways:
+
+    - default (broadcast=None): no hint in the plan; at THIS data size
+      AQE's runtime stats still elect a BroadcastHashJoin for the small
+      aggregated set (executed adaptive plan checked) — small sets keep
+      the map-only removal pass without the scale hazard;
+    - broadcast=True: static BroadcastHashJoin (caller bounded the set);
+    - broadcast=False: shuffled anti-join even though the set is tiny.
+    """
+    import re as _re
+
+    from iceberg_quickstart_iac_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
     from iceberg_quickstart_iac_spark.plans.queries import queries
 
-    df = queries()["doc_boilerplate_removal"](spark, sf_dir)
     jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    plan = df._jdf.queryExecution().explainString(jm)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    import re as _re
 
-    assert not _re.search(r"SortMergeJoin \[[^\]]*\bLeftAnti", plan), plan
+    # default path: the catalog query — no forced hint anywhere
+    df = queries()["doc_boilerplate_removal"](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert "ResolvedHint" not in qe.analyzed().toString()
+    df.collect()  # AQE finalizes the adaptive plan
+    final = qe.explainString(jm)
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 120")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "concat('NAV ', source, '\\n', text) AS text",
+        )
+    )
+
+    # broadcast=True: hint present before any stats kick in
+    forced = remove_boilerplate_lines(
+        docs, "doc_id", "text", scope_col="source", broadcast=True
+    )
+    plan = forced._jdf.queryExecution().explainString(jm)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    # broadcast=False: the shuffle path is honored even for a tiny set
+    shuffled = remove_boilerplate_lines(
+        docs, "doc_id", "text", scope_col="source", broadcast=False
+    )
+    plan = shuffled._jdf.queryExecution().explainString(jm)
+    # the reassembly LEFT OUTER may still broadcast; only the ANTI join
+    # (the one keyed on the boilerplate set) must stay shuffled
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin) LeftAnti", plan), plan
+    assert "BroadcastHashJoin LeftAnti" not in plan, plan
+
+    # all three variants agree on the answer
+    base = {
+        (r.doc_id): (r.n_lines, r.n_removed)
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", scope_col="source"
+        ).collect()
+    }
+    for variant in (forced, shuffled):
+        got = {r.doc_id: (r.n_lines, r.n_removed) for r in variant.collect()}
+        assert got == base

@@ -377,10 +377,58 @@ def test_sql_time_travel_clause_rewrites_to_pinned_views(spark, lake):
         lake.sql(spark, "SELECT * FROM not_ours FOR VERSION AS OF 1")
 
 
+def test_drop_table_purges_pinned_asof_memos(spark, lake):
+    """DROP + CREATE of the same name must not let a repeated
+    FOR TIMESTAMP AS OF '<same literal>' hit the registry memo and
+    silently serve the DROPPED table's pinned data."""
+    literal = "2099-01-01"  # resolves to the table head at rewrite time
+    assert lake.sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM a FOR TIMESTAMP AS OF '{literal}'",
+    ).first().n == 1
+    lake.drop_table("a")
+    assert not any(k.startswith("a__asof_") for k in lake._sql_registry)
+    t = lake.create_table(_tpl("a"))
+    t.append(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k LONG, v STRING")
+    )
+    # same literal, same session: must re-resolve against the NEW table
+    assert lake.sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM a FOR TIMESTAMP AS OF '{literal}'",
+    ).first().n == 2
+
+
+def test_branch_and_main_scopes_serve_concurrently_without_thrash(
+    spark, lake
+):
+    """Branch statements rewrite to scope-suffixed views, so interleaving
+    main and branch statements re-registers NOTHING after the first
+    statement per scope, and both scopes are readable concurrently —
+    even inside one statement."""
+    br = lake.create_branch("live")
+    br.sql(spark, "INSERT INTO a VALUES (9, 'branchrow')")
+    assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 1
+    snapshot = dict(lake._sql_registry)
+    for _ in range(3):
+        assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 1
+        assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    assert dict(lake._sql_registry) == snapshot
+    # both scopes in ONE statement: the suffixed view is a real session
+    # view, so a cross-scope audit query (pre-publish diff) just works
+    suffix = lake._scope_suffix("branch:live")
+    row = spark.sql(
+        f"SELECT (SELECT COUNT(*) FROM a) AS n_main, "
+        f"(SELECT COUNT(*) FROM a{suffix}) AS n_branch"
+    ).first()
+    assert (row.n_main, row.n_branch) == (1, 2)
+
+
 def test_catalog_branch_sql_is_wap_via_sql(spark, lake):
     """The WAP-via-SQL shape: the SAME statement texts run on a catalog
     branch against branch state; main's views are untouched until merge;
-    the scope key re-registers views when statements switch scopes."""
+    branch references resolve to scope-suffixed views under the hood."""
     br = lake.create_branch("wap9")
     # stage a write on the branch with the production statement
     br.sql(spark, "INSERT INTO a VALUES (77, 'staged')")

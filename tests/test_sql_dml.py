@@ -151,6 +151,87 @@ def test_string_literals_survive_alias_rewrite_and_splitting(spark, lake):
     assert (1, "a,b tgt. c'd", 10.0) in _rows(spark, lake)
 
 
+def test_merge_alias_collision_target_alias_names_source(spark, lake):
+    # the legal alias choice `t` for the SOURCE must not re-capture the
+    # target alias's rewrite output: with sequential substitution,
+    # `x.` -> `t.` would then fall to the `t` -> `s` rule and every
+    # target reference would silently become a source reference
+    spark.createDataFrame(
+        [(1, 5.0)], "id LONG, delta DOUBLE"
+    ).createOrReplaceTempView("merge_src_t")
+    lake.sql(
+        spark,
+        "MERGE INTO accounts AS x USING merge_src_t AS t ON x.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET balance = x.balance + t.delta",
+    )
+    assert (1, "open", 15.0) in _rows(spark, lake)
+    spark.catalog.dropTempView("merge_src_t")
+
+
+def test_merge_alias_collision_source_alias_names_target(spark, lake):
+    # symmetric collision: the SOURCE aliased `s`, the target aliased `t`
+    # — identity-ish mappings must not cascade either
+    spark.createDataFrame(
+        [(2, 7.0)], "id LONG, delta DOUBLE"
+    ).createOrReplaceTempView("merge_src_u")
+    lake.sql(
+        spark,
+        "MERGE INTO accounts AS s USING merge_src_u AS t ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET balance = s.balance - t.delta",
+    )
+    assert (2, "open", 13.0) in _rows(spark, lake)
+    spark.catalog.dropTempView("merge_src_u")
+
+
+def test_merge_when_prefix_identifier_does_not_split_clause():
+    # an identifier beginning with 'when' in a top-level clause condition
+    # must not split the WHEN list mid-condition
+    from iceberg_quickstart_iac_spark.tables.sql_dml import (
+        _parse_merge_clauses,
+    )
+
+    clauses = _parse_merge_clauses(
+        "WHEN MATCHED AND when_created > 5 THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+        {},
+    )
+    assert clauses["when_matched"] == [
+        {"condition": "when_created > 5", "action": "delete"}
+    ]
+    assert clauses["when_not_matched"][0]["action"] == "insert"
+
+
+def test_qualified_table_names_through_dml(spark, lake):
+    # the DDL side accepts [cat.][ns.]table; the DML side must match —
+    # the reference's named queries address namespace.table
+    lake.sql(spark, "INSERT INTO lakehouse.accounts VALUES (9, 'new', 90.0)")
+    assert (9, "new", 90.0) in _rows(spark, lake)
+    lake.sql(
+        spark,
+        "UPDATE cat.lakehouse.accounts SET balance = 91.0 WHERE id = 9",
+    )
+    assert (9, "new", 91.0) in _rows(spark, lake)
+    spark.createDataFrame(
+        [(9, 92.0)], "id LONG, b DOUBLE"
+    ).createOrReplaceTempView("qual_src")
+    lake.sql(
+        spark,
+        "MERGE INTO lakehouse.accounts AS a USING qual_src AS q "
+        "ON a.id = q.id WHEN MATCHED THEN UPDATE SET balance = q.b",
+    )
+    assert (9, "new", 92.0) in _rows(spark, lake)
+    lake.sql(spark, "DELETE FROM lakehouse.accounts WHERE id = 9")
+    assert all(r[0] != 9 for r in _rows(spark, lake))
+    spark.catalog.dropTempView("qual_src")
+
+
+def test_wrong_namespace_rejected_loudly(spark, lake):
+    with pytest.raises(ValueError, match="namespace"):
+        lake.sql(spark, "DELETE FROM wrongns.accounts WHERE id = 1")
+    with pytest.raises(ValueError, match="namespace"):
+        lake.sql(spark, "INSERT INTO wrongns.accounts VALUES (8, 'x', 1.0)")
+
+
 def test_non_dml_statements_unaffected(spark, lake):
     out = lake.sql(
         spark,
