@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from iceberg_quickstart_iac_spark.operators.text import normalize_text
+from iceberg_quickstart_iac_spark.operators.text import (
+    normalize_text,
+    word_tokens,
+)
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -1059,4 +1062,85 @@ def contamination_rates(
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
             (F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles")).alias("rate"),
         )
+    )
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans (round 10; X38 — the
+    window-hash formulation of Lee et al. 2022's exact substring
+    deduplication, which a suffix array implements on one machine and
+    fixed-length token windows implement on a cluster): every length-
+    ``w`` token window that occurs at least ``min_count`` times ANYWHERE
+    in the corpus (across documents or repeated inside one) marks a
+    duplicated region; overlapping/adjacent marked windows merge into
+    maximal spans per document.
+
+    Returns one row per document that contains at least one duplicated
+    window: ``(id, n_spans, n_dup_windows, dup_tokens)`` where
+    ``dup_tokens`` is the token count covered by the UNION of marked
+    windows — the volume an exact-substring cut would remove.
+
+    Scale shape: windows build from the token array per row (map-only,
+    O(total tokens)); the window frequency count is one partial-
+    aggregated shuffle on the window text (at 100 TB hash the window to
+    a 64-bit key first — xxhash64(win) — and verify the rare collisions
+    on the marked rows; the string key keeps this oracle-replayable);
+    the mark-back join carries NO broadcast hint — the duplicated-window
+    set grows with the corpus (Catalyst/AQE broadcast it while small,
+    skew-split it when a viral window dominates); span merging is one
+    per-document window function (single shuffle on id), integer-exact
+    gaps-and-islands — no collect, no UDF.
+    """
+    arrs = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= w)
+    wins = arrs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {w}), "
+                f"i -> concat_ws(' ', slice(__toks, i + 1, {w})))"
+            )
+        ).alias("__pos", "__win"),
+    )
+    dup = (
+        wins.groupBy("__win")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__win")
+    )
+    marked = wins.join(dup, "__win", "left_semi")
+    lagged = marked.select(
+        id_col,
+        "__pos",
+        F.expr(
+            f"CASE WHEN lag(__pos) OVER (PARTITION BY {id_col} "
+            f"ORDER BY __pos) IS NULL THEN 1 "
+            f"WHEN __pos - lag(__pos) OVER (PARTITION BY {id_col} "
+            f"ORDER BY __pos) > {w} THEN 1 ELSE 0 END"
+        ).alias("__new_island"),
+    )
+    islands = lagged.select(
+        id_col,
+        "__pos",
+        F.expr(
+            f"SUM(__new_island) OVER (PARTITION BY {id_col} "
+            f"ORDER BY __pos ROWS UNBOUNDED PRECEDING)"
+        ).alias("__island"),
+    )
+    spans = islands.groupBy(id_col, "__island").agg(
+        F.min("__pos").alias("__s"),
+        F.max("__pos").alias("__e"),
+        F.count(F.lit(1)).alias("__nw"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__nw").alias("n_dup_windows"),
+        F.sum(F.col("__e") - F.col("__s") + F.lit(w)).alias("dup_tokens"),
     )

@@ -1,0 +1,144 @@
+"""Lexical + hybrid retrieval over the document corpus (round 10;
+SURVEY §2.13 extension X39): BM25 term-weighted search and
+reciprocal-rank fusion with the embedding ANN stack — the retrieval
+front end a training-data pipeline uses for targeted corpus slicing
+(benchmark-adjacent document hunts, topic mining) and the classic
+hybrid-search serving shape (Cormack et al.'s RRF over a lexical and a
+vector ranker).
+
+Scale design:
+
+- The token explode is O(total tokens) and map-only; per-doc length and
+  per-(doc, term) term frequencies are single partial-aggregated
+  shuffles keyed on doc id / (doc id, term).
+- The document-frequency side is bounded by the QUERY's term count
+  (``len(terms)`` rows), so broadcasting it is a fixed-cardinality
+  hint, never a scale hazard — same rule as the region/nation
+  dimension hints in the catalog.
+- Corpus constants (N, total tokens) join as a broadcast one-row
+  scalar (the established bounded-crossJoin shape).
+- Scoring stays in whole-stage codegen: one arithmetic expression per
+  (doc, term) row, no UDFs.
+
+Cross-engine determinism (the oracle contract): every BM25 input is an
+exact integer (tf, df, dl, N, total) far below 2^53, so int→double
+conversion and each double * and / are correctly-rounded IEEE ops that
+produce bit-identical values in Spark and DuckDB when the expression
+text is the same. The idf uses the RATIO form
+``(N - df + 0.5) / (df + 0.5)`` — the exponential of the classic
+log-idf — precisely so the expression needs no transcendental function
+(``ln`` is *not* guaranteed correctly rounded and may differ by 1 ulp
+between JVM and libm). Per-document sums over the (few) query terms go
+through the repo's exact-decimal sum policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_quickstart_iac_spark.operators.text import word_tokens
+
+#: exact intermediate type for order-insensitive float sums (same policy
+#: as plans/queries.py)
+_DEC = "decimal(18,6)"
+
+#: the per-(doc, term) BM25 score with k1=1.2, b=0.75 — kept as ONE
+#: expression string so the Spark plan and the DuckDB oracle evaluate
+#: byte-identical arithmetic (see module docstring). Placeholders:
+#: tf/df/dl/n_docs/total_tokens column names.
+BM25_TERM_EXPR = (
+    "(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (2.2 * CAST(tf AS DOUBLE)))"
+    " / (CAST(tf AS DOUBLE) + 0.3"
+    " + (0.9 * ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    " / CAST(total_tokens AS DOUBLE))))"
+)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, ratio-idf — module docstring) of every
+    document that matches at least one query term.
+
+    Returns ``(id, score DOUBLE, matched_terms BIGINT)`` — unordered;
+    compose with :func:`top_k_ranks` for the ranked head.
+    """
+    if not terms:
+        raise ValueError("bm25_scores: empty query term list")
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df is bounded by len(terms) rows — a FIXED-cardinality broadcast
+    df_ = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("term_score", F.expr(BM25_TERM_EXPR))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum(F.col("term_score").cast(_DEC)).cast("double").alias("score"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
+
+
+def top_k_ranks(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Dense top-k of a scored frame: ``(id, score, rank)``, rank 1-based
+    by (score DESC, id ASC) — the deterministic tie-break every ranked
+    catalog query uses. Spark's rank-limit rewrite plans a PARTIAL
+    WindowGroupLimit before the exchange (pinned by the cosine_topk plan
+    test), so the full sort never materializes."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc(score_col), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    lex_ranks: DataFrame,
+    vec_ranks: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking:
+    ``rrf = Σ_lists 1/(k + rank)``, a document absent from a list
+    contributes 0 from it. Returns
+    ``(id, rank_lex, rank_vec, rrf DOUBLE)`` — unordered.
+
+    Each reciprocal is one IEEE double division of exact integers and
+    the sum is two terms in fixed textual order, so the fused score is
+    bit-identical across engines. The join is |list|-bounded (two top-k
+    heads), never corpus-sized."""
+    lex = lex_ranks.select(F.col(id_col), F.col("rank").alias("rank_lex"))
+    vec = vec_ranks.select(F.col(id_col), F.col("rank").alias("rank_vec"))
+    fused = lex.join(vec, id_col, "full_outer")
+    contrib = (
+        f"(CASE WHEN rank_lex IS NULL THEN 0.0"
+        f" ELSE 1.0 / ({k}.0 + CAST(rank_lex AS DOUBLE)) END)"
+        f" + (CASE WHEN rank_vec IS NULL THEN 0.0"
+        f" ELSE 1.0 / ({k}.0 + CAST(rank_vec AS DOUBLE)) END)"
+    )
+    return fused.withColumn("rrf", F.expr(contrib))

@@ -173,13 +173,16 @@ _GATE_PRIORITY: list[str] = [
     "near_dup_doc_clusters",
     "flagship_event_type_counts",
     "user_sessions",
-    "scd2_chain_from_orders",
-    "drift_sensor_cycle",
-    "latest_event_per_user",
     "embedding_ann_ivf",
     "ann_index_lifecycle",
-    # the r11 lead: the remaining 37 r8-certified queries (3 rounds old
+    # the three round-10 additions: first driver rows for the new
+    # retrieval + exact-substring surface
+    "doc_repeated_substrings",
+    "bm25_doc_search",
+    "hybrid_rrf_search",
+    # the r11 lead: the remaining 40 r8-certified queries (3 rounds old
     # then), all covered by the pytest oracle replay meanwhile:
+    # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
     # cohort_retention, corpus_filter_funnel, customer_running_totals,
     # customer_spend_quartiles, customers_without_big_orders,
     # doc_benchmark_contamination, doc_bigram_novelty, doc_bpe_token_stats,
@@ -7598,3 +7601,204 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_indexed LONG, n_added LONG, model_stable BOOLEAN, "
         "added_by_append BOOLEAN, clone_found BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (round 10; SURVEY §2.13 extension X38 —
+# operators/dedup.py::repeated_window_spans): the window-hash cluster
+# formulation of suffix-array exact-substring dedup (Lee et al. 2022).
+# Every 5-token window occurring >= 2 times anywhere in the corpus marks
+# a duplicated region; marked windows merge into maximal per-doc spans.
+# Integer-exact throughout (positions, counts, coverage) — the oracle
+# replays the identical window/frequency/gaps-and-islands arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repeated_substrings",
+    oracle=r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    docs2 AS (SELECT doc_id, toks, len(toks) AS n FROM arrs WHERE len(toks) >= 5),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + 4], ' ') AS win
+      FROM docs2, LATERAL unnest(generate_series(1, n - 4)) g(i)
+    ),
+    dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+    marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS nw
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(e - s + 5) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        repeated_window_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_window_spans(
+        docs, "doc_id", "text", w=5, min_count=2
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical search (round 10; SURVEY §2.13 extension X39 —
+# operators/retrieval.py): term-weighted corpus search with the ratio-idf
+# BM25 variant chosen for cross-engine bit-exactness (all inputs exact
+# integers; only correctly-rounded IEEE double * and / — no ln). The
+# oracle evaluates the byte-identical scoring expression.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "merge", "window")
+_BM25_TERM_SQL = """
+         (((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          * (2.2 * CAST(tf AS DOUBLE)))
+         / (CAST(tf AS DOUBLE) + 0.3
+            + (0.9 * ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                      / CAST(total_tokens AS DOUBLE))))
+"""
+_BM25_CTES = rf"""
+    toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           LATERAL unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) t(tok)
+      WHERE t.tok <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, {_BM25_TERM_SQL} AS term_score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS score,
+             COUNT(*) AS matched_terms
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "bm25_doc_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score, matched_terms, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 15
+    ORDER BY rank
+    """,
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.retrieval import (
+        bm25_scores,
+        top_k_ranks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(docs, list(_BM25_TERMS))
+    return top_k_ranks(scored, 15).select(
+        "doc_id", "score", "matched_terms", "rank"
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (round 10; X39 —
+# operators/retrieval.py::rrf_fuse): the BM25 top-100 fused with the
+# exact-cosine top-100 for one query (terms + the embedding of vec 3),
+# rrf = sum of 1/(60+rank) over the lists — the standard hybrid-search
+# serving shape. Reciprocals are exact-integer IEEE divisions, so the
+# fused score hashes identically across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+      FROM agg QUALIFY rank_lex <= 100
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank_vec
+      FROM (
+        SELECT c.vec_id,
+               list_sum(list_transform(list_zip(c.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        FROM embeddings c, q
+      ) QUALIFY rank_vec <= 100
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, cos.doc_id) AS doc_id, rank_lex, rank_vec,
+             (CASE WHEN rank_lex IS NULL THEN 0.0
+                   ELSE 1.0 / (60.0 + CAST(rank_lex AS DOUBLE)) END)
+             + (CASE WHEN rank_vec IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + CAST(rank_vec AS DOUBLE)) END) AS rrf
+      FROM lex FULL OUTER JOIN cos ON lex.doc_id = cos.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused QUALIFY rank <= 10
+    ORDER BY rank
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        top_k_ranks,
+    )
+    from iceberg_quickstart_iac_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = top_k_ranks(bm25_scores(docs, list(_BM25_TERMS)), 100)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = cosine_topk(emb, queries_df, k=100).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(lex, vec, "doc_id", k=60)
+    from pyspark.sql import Window as _W
+
+    ranked = fused.withColumn(
+        "rank", F.row_number().over(_W.orderBy(F.desc("rrf"), F.col("doc_id")))
+    )
+    return ranked.filter(F.col("rank") <= 10).select(
+        "doc_id", "rank_lex", "rank_vec", "rrf", "rank"
+    ).orderBy("rank")

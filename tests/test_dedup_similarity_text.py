@@ -1357,3 +1357,168 @@ def test_boilerplate_removal_broadcast_is_conditional(spark, sf_dir):
     for variant in (forced, shuffled):
         got = {r.doc_id: (r.n_lines, r.n_removed) for r in variant.collect()}
         assert got == base
+
+
+# -- exact-substring window spans (round 10; X38) ----------------------------
+
+
+def test_repeated_window_spans_semantics(spark):
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        repeated_window_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-token window
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 5-token phrase at different offsets
+            (1, f"intro words here then {shared} tail one"),
+            (2, f"{shared} something else entirely follows now"),
+            # doc 3 repeats a phrase INSIDE itself (counts toward min_count)
+            (3, "zz yy xx ww vv uu zz yy xx ww vv uu"),
+            # doc 4 has no repeated windows anywhere
+            (4, "q w e r t y u i o p"),
+            # doc 5 too short for a window
+            (5, "one two"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in repeated_window_spans(docs, "doc_id", "text", w=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # the shared phrase is exactly one window -> one span of 5 tokens
+    assert (out[1].n_spans, out[1].n_dup_windows, out[1].dup_tokens) == (
+        1, 1, 5,
+    )
+    assert (out[2].n_spans, out[2].n_dup_windows, out[2].dup_tokens) == (
+        1, 1, 5,
+    )
+    # doc 3: windows at pos 0..7 all duplicated (each 5-gram of the
+    # repeated half recurs 6 tokens later... exact count: tokens
+    # 'zz yy xx ww vv uu' * 2 -> 12 tokens, 8 windows; window at pos i
+    # equals window at pos i+6 for i in 0..1 -> dup windows {0,1,6,7};
+    # they merge into ONE span covering pos 0..7+4 = 12 tokens
+    assert out[3].n_spans == 1
+    assert out[3].n_dup_windows == 4
+    assert out[3].dup_tokens == 12
+
+
+def test_repeated_window_spans_island_split(spark):
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        repeated_window_spans,
+    )
+
+    # two disjoint shared phrases far apart in one doc -> two spans
+    p1 = "a1 a2 a3 a4 a5"
+    p2 = "b1 b2 b3 b4 b5"
+    filler = " ".join(f"f{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {filler} {p2}"),
+            (2, f"{p1} unrelated trailing words here"),
+            (3, f"leading words then {p2} end"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in repeated_window_spans(docs, "doc_id", "text", w=5).collect()
+    }
+    assert out[1].n_spans == 2 and out[1].dup_tokens == 10
+    assert out[2].n_spans == 1 and out[3].n_spans == 1
+
+
+# -- BM25 + RRF retrieval (round 10; X39) ------------------------------------
+
+
+def _bm25_reference(texts: dict, terms: list[str]) -> dict:
+    """Pure-python replica of the ratio-idf BM25 (k1=1.2, b=0.75)."""
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n, total = len(dl), sum(dl.values())
+    import decimal
+
+    scores = {}
+    for i, ts in toks.items():
+        s = decimal.Decimal(0)
+        for term in terms:
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for u in toks.values() if term in u)
+            idf = (float(n - df) + 0.5) / (float(df) + 0.5)
+            num = 2.2 * float(tf)
+            den = float(tf) + 0.3 + (
+                0.9 * ((float(dl[i]) * float(n)) / float(total))
+            )
+            s += decimal.Decimal((idf * num) / den).quantize(
+                decimal.Decimal("0.000001")
+            )
+        if s:
+            scores[i] = float(s)
+    return scores
+
+
+def test_bm25_scores_match_reference(spark):
+    from iceberg_quickstart_iac_spark.operators.retrieval import bm25_scores
+
+    texts = {
+        1: "vector merge window vector vector",
+        2: "merge merge merge filler words padding out the doc",
+        3: "window",
+        4: "nothing relevant here at all",
+        5: "vector window vector window vector window extra",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: (r.score, r.matched_terms)
+        for r in bm25_scores(
+            docs, ["vector", "merge", "window"]
+        ).collect()
+    }
+    ref = _bm25_reference(texts, ["vector", "merge", "window"])
+    assert set(got) == set(ref)
+    for i, s in ref.items():
+        assert got[i][0] == pytest.approx(s, abs=2e-6), (i, got[i], s)
+    # more query-term mass -> higher score (same doc length ballpark)
+    assert got[1][0] > got[3][0]
+    assert got[1][1] == 3 and got[2][1] == 1
+
+
+def test_rrf_fuse_handles_missing_lists(spark):
+    from iceberg_quickstart_iac_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2)], "doc_id LONG, rank INT"
+    )
+    vec = spark.createDataFrame(
+        [(2, 1), (3, 2)], "doc_id LONG, rank INT"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(lex, vec, "doc_id").collect()}
+    assert out[1].rrf == pytest.approx(1 / 61)
+    assert out[2].rrf == pytest.approx(1 / 62 + 1 / 61)
+    assert out[3].rrf == pytest.approx(1 / 62)
+    assert out[1].rank_vec is None and out[3].rank_lex is None
+    # doc in both lists outranks single-list docs of similar rank
+    assert out[2].rrf > out[1].rrf > out[3].rrf
+
+
+def test_retrieval_plan_shapes(spark, sf_dir):
+    """BM25's corpus/df sides are FIXED-cardinality broadcasts; the
+    window-span mark-back join carries NO forced hint (the dup-window
+    set grows with the corpus); neither plans a CartesianProduct."""
+    from iceberg_quickstart_iac_spark.plans.queries import queries
+
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    bm = queries()["bm25_doc_search"](spark, sf_dir)
+    plan = bm._jdf.queryExecution().explainString(jm)
+    assert "CartesianProduct" not in plan
+    sub = queries()["doc_repeated_substrings"](spark, sf_dir)
+    qe = sub._jdf.queryExecution()
+    assert "ResolvedHint" not in qe.analyzed().toString()
+    assert "CartesianProduct" not in qe.explainString(jm)
