@@ -8,17 +8,16 @@ vector ranker).
 
 Scale design:
 
-- The token explode is O(total tokens) and map-only; per-doc length and
-  per-(doc, term) term frequencies are single partial-aggregated
-  shuffles keyed on doc id / (doc id, term).
-- The document-frequency side is bounded by the QUERY's term count
-  (``len(terms)`` rows), so broadcasting it is a fixed-cardinality
-  hint, never a scale hazard — same rule as the region/nation
-  dimension hints in the catalog.
-- Corpus constants (N, total tokens) join as a broadcast one-row
-  scalar (the established bounded-crossJoin shape).
-- Scoring stays in whole-stage codegen: one arithmetic expression per
-  (doc, term) row, no UDFs.
+- The token explode is O(total tokens) and map-only, and it runs ONCE:
+  document length and every per-term tf come out of a single
+  pivot-style aggregation (the term list is the QUERY's — fixed and
+  small), so the only corpus-sized shuffle keys on the doc id with
+  map-side partials.
+- Corpus constants (N, total tokens) and per-term document frequencies
+  reduce the compact per-doc frame to ONE row, joined back as a
+  broadcast scalar (the established bounded-crossJoin shape).
+- Scoring stays in whole-stage codegen: a ``stack`` unpivot plus one
+  arithmetic expression per (doc, matched term) row, no UDFs.
 
 Cross-engine determinism (the oracle contract): every BM25 input is an
 exact integer (tf, df, dl, N, total) far below 2^53, so int→double
@@ -70,28 +69,53 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("bm25_scores: empty query term list")
+    terms = list(terms)
     toks = docs.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
+    # ONE pass over the exploded tokens: dl and every per-term tf come
+    # out of a single pivot-style aggregation (the term list is the
+    # QUERY's, fixed and small), so the scan + explode run once and the
+    # only corpus-sized shuffle keys on the doc id with map-side
+    # partials. Everything after operates on the compact per-doc frame.
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i in range(len(terms))
+            for t in [terms[i]]
+        ],
+    )
+    # corpus constants + per-term document frequencies: one tiny agg of
+    # the per-doc frame -> a single broadcast row
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(
+                f"df_{i}"
+            )
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("tok").isin(list(terms)))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_args = ", ".join(
+        f"{i}, tf_{i}, df_{i}" for i in range(len(terms))
     )
-    # df is bounded by len(terms) rows — a FIXED-cardinality broadcast
-    df_ = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
+    per_term = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "dl",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                f"stack({len(terms)}, {stack_args}) AS (term_idx, tf, df)"
+            ),
+        )
+        .filter(F.col("tf") > 0)
         .withColumn("term_score", F.expr(BM25_TERM_EXPR))
     )
-    return scored.groupBy(id_col).agg(
+    return per_term.groupBy(id_col).agg(
         F.sum(F.col("term_score").cast(_DEC)).cast("double").alias("score"),
         F.count(F.lit(1)).alias("matched_terms"),
     )

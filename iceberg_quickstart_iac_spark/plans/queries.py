@@ -172,17 +172,18 @@ _GATE_PRIORITY: list[str] = [
     "incremental_near_dup_admission",
     "near_dup_doc_clusters",
     "flagship_event_type_counts",
-    "user_sessions",
     "embedding_ann_ivf",
     "ann_index_lifecycle",
-    # the three round-10 additions: first driver rows for the new
-    # retrieval + exact-substring surface
+    # the four round-10 additions: first driver rows for the new
+    # retrieval + exact-substring + CTAS surface
     "doc_repeated_substrings",
     "bm25_doc_search",
     "hybrid_rrf_search",
-    # the r11 lead: the remaining 40 r8-certified queries (3 rounds old
+    "sql_ctas_lifecycle",
+    # the r11 lead: the remaining 41 r8-certified queries (3 rounds old
     # then), all covered by the pytest oracle replay meanwhile:
     # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
+    # user_sessions,
     # cohort_retention, corpus_filter_funnel, customer_running_totals,
     # customer_spend_quartiles, customers_without_big_orders,
     # doc_benchmark_contamination, doc_bigram_novelty, doc_bpe_token_stats,
@@ -7802,3 +7803,87 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= 10).select(
         "doc_id", "rank_lex", "rank_vec", "rrf", "rank"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# CTAS / TRUNCATE lifecycle (round 10; tables/sql_ddl.py): CREATE TABLE
+# AS SELECT infers the schema from the query and populates the table in
+# one statement (Athena/Spark CTAS — the reference's named-query users
+# create derived tables exactly this way), TRUNCATE is a zero-file
+# overwrite commit that PRESERVES history, and the re-INSERT + aggregate
+# certify the statement sequence end-to-end. The oracle replays the four
+# statements relationally. Float sums follow the decimal policy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_ctas_lifecycle",
+    oracle="""
+    WITH ctas AS (
+      SELECT o_orderstatus AS status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price
+      FROM orders WHERE o_orderkey < 700
+      GROUP BY o_orderstatus
+    ),
+    reinsert AS (
+      SELECT status, n, total_price FROM ctas WHERE status = 'O'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ctas) AS BIGINT) AS n_after_ctas,
+           CAST((SELECT SUM(n) FROM ctas) AS BIGINT) AS rows_summed,
+           CAST(0 AS BIGINT) AS n_after_truncate,
+           CAST((SELECT COUNT(*) FROM reinsert) AS BIGINT)
+             AS n_after_reinsert,
+           CAST((SELECT SUM(CAST(total_price AS DECIMAL(18,6)))
+                 FROM reinsert) AS DOUBLE) AS reinserted_price
+    """,
+)
+def sql_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="ctas_") + "/lake")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("orders_ctas_src")
+    r = lake.sql(spark, """
+        CREATE TABLE status_rollup AS
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders_ctas_src WHERE o_orderkey < 700
+        GROUP BY o_orderstatus
+    """)
+    n_after_ctas = r["row_count"]
+    rows_summed = lake.sql(
+        spark, "SELECT CAST(SUM(n) AS BIGINT) AS s FROM status_rollup"
+    ).first().s
+    lake.sql(spark, "TRUNCATE TABLE status_rollup")
+    n_after_truncate = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM status_rollup"
+    ).first().n
+    # re-populate THROUGH the DML front door from the pre-truncate
+    # snapshot via time travel (version 0 = the CTAS commit)
+    lake.sql(spark, """
+        INSERT INTO status_rollup
+        SELECT status, n, total_price
+        FROM status_rollup FOR VERSION AS OF 0
+        WHERE status = 'O'
+    """)
+    row = lake.sql(spark, """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(total_price AS DECIMAL(18,6))) AS DOUBLE) AS p
+        FROM status_rollup
+    """).first()
+    out = spark.createDataFrame(
+        [(n_after_ctas, rows_summed, n_after_truncate, row.n, row.p)],
+        "n_after_ctas LONG, rows_summed LONG, n_after_truncate LONG, "
+        "n_after_reinsert LONG, reinserted_price DOUBLE",
+    ).localCheckpoint()
+    lake.table("status_rollup").unregister(spark, "status_rollup")
+    lake.sql(spark, "DROP TABLE status_rollup")
+    spark.catalog.dropTempView("orders_ctas_src")
+    return out

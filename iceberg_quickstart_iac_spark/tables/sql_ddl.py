@@ -20,6 +20,15 @@ a user can stand up and evolve tables with statements alone:
 - ``ALTER TABLE t ALTER COLUMN c TYPE T``              → evolve_widen_column
 - ``ALTER TABLE t WRITE ORDERED BY c [ASC|DESC] [NULLS FIRST|LAST], …``
                                                        → evolve_sort_order
+- ``CREATE TABLE [IF NOT EXISTS] t [USING iceberg] AS <query>`` (round
+  10) → schema inferred from the query result, created + populated in
+  one statement (Athena/Spark CTAS semantics; the source query reads
+  through the governed front door)
+- ``TRUNCATE TABLE t``   → one zero-file overwrite commit (history and
+  time-travel to the pre-truncate state preserved — Iceberg semantics,
+  not a destructive rm)
+- ``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` → catalog/template metadata
+  as DataFrames (the Athena console surface)
 
 Types parse from the Spark DDL names the generator emits (BIGINT, INT,
 DOUBLE, FLOAT, STRING, BOOLEAN, DATE, TIMESTAMP/_NTZ, BINARY,
@@ -35,7 +44,8 @@ import re
 #: only the statement shapes this module handles — CREATE TEMP VIEW,
 #: CREATE FUNCTION, etc. fall through to spark.sql untouched
 _DDL_KW = re.compile(
-    r"^\s*(?:create\s+(?:table|namespace)|drop\s+table|alter\s+table)\b",
+    r"^\s*(?:create\s+(?:table|namespace)|drop\s+table|alter\s+table"
+    r"|truncate\s+table|show\s+tables|describe\b|desc\s+table)\b",
     re.IGNORECASE,
 )
 
@@ -204,6 +214,46 @@ _DROP_TABLE_RE = re.compile(
 _ALTER_RE = re.compile(
     r"^alter\s+table\s+([\w.]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+_CTAS_RE = re.compile(
+    r"^create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s*"
+    r"(?:using\s+\w+\s+)?as\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^truncate\s+table\s+([\w.]+)\s*$", re.IGNORECASE
+)
+_DESCRIBE_RE = re.compile(
+    r"^(?:describe|desc)\s+(?:table\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+
+
+def _template_type_of(dtype) -> str:
+    """Spark DataType → template (Iceberg) type name, for CTAS schema
+    inference."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DecimalType):
+        return f"decimal({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.ArrayType):
+        return f"list<{_template_type_of(dtype.elementType)}>"
+    mapping = {
+        T.LongType: "long",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.StringType: "string",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.BooleanType: "boolean",
+        T.DateType: "date",
+        T.TimestampNTZType: "timestamp",
+        T.TimestampType: "timestamptz",
+        T.BinaryType: "binary",
+    }
+    for cls, name in mapping.items():
+        if isinstance(dtype, cls):
+            return name
+    raise ValueError(f"CTAS: unsupported inferred column type {dtype}")
 
 
 def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
@@ -255,10 +305,85 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
         lake.create_table(template)
         return {"operation": "create_table", "table": name, "created": True}
 
+    m = _CTAS_RE.match(s)
+    if m:
+        # CREATE TABLE … AS <query>: the schema is INFERRED from the
+        # query result (Spark dtypes → template types) and the result
+        # populates the new table in the same statement — Athena/Spark
+        # CTAS semantics. The source query goes back through the front
+        # door (lake.sql), so it reads catalog tables with the same lazy
+        # governed registration any SELECT gets.
+        if_not_exists, dotted, query = m.groups()
+        name, namespace = _table_name(dotted)
+        if (lake.root / name / "table.json").exists():
+            if if_not_exists:
+                return {"operation": "create_table_as", "table": name,
+                        "created": False}
+            raise ValueError(f"Table {name!r} already exists")
+        df = lake.sql(spark, query.strip(), access_level=access_level)
+        template = {
+            "name": name,
+            "namespace": namespace or "default",
+            "columns": [
+                {"name": f.name, "type": _template_type_of(f.dataType)}
+                for f in df.schema.fields
+            ],
+        }
+        t = lake.create_table(template)
+        commit = t.append(df)
+        return {
+            "operation": "create_table_as",
+            "table": name,
+            "created": True,
+            "row_count": commit["row_count"],
+        }
+
     if re.match(r"^create\s+namespace\b", s, re.IGNORECASE):
         # namespaces are template metadata on snapstore tables — the
         # statement is accepted for script compatibility
         return {"operation": "create_namespace", "created": True}
+
+    m = _TRUNCATE_RE.match(s)
+    if m:
+        name, _ = _table_name(m.group(1))
+        t = lake.table(name)
+        # one metadata commit with zero data files — history (and
+        # time-travel to the pre-truncate state) is preserved, matching
+        # Iceberg TRUNCATE semantics rather than a destructive rm
+        commit = t.overwrite(t._empty_declared(spark))
+        return {
+            "operation": "truncate_table",
+            "table": name,
+            "row_count": commit["row_count"],
+        }
+
+    if re.match(r"^show\s+tables\s*$", s, re.IGNORECASE):
+        rows = []
+        for name in lake.list_tables():
+            meta = lake.table(name).meta
+            rows.append((str(meta.get("namespace", "default")), name))
+        return spark.createDataFrame(
+            rows or [("", "")], "namespace STRING, table_name STRING"
+        ).filter("table_name <> ''").orderBy("namespace", "table_name")
+
+    m = _DESCRIBE_RE.match(s)
+    if m:
+        name, _ = _table_name(m.group(1))
+        meta = lake.table(name).meta
+        rows = [
+            (
+                c["name"],
+                str(c["type"]),
+                bool(c.get("required", False)),
+                c.get("description", ""),
+            )
+            for c in meta.get("columns", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "col_name STRING, data_type STRING, required BOOLEAN, "
+            "comment STRING",
+        )
 
     m = _DROP_TABLE_RE.match(s)
     if m:

@@ -385,6 +385,24 @@ def wl_boilerplate_adversarial(spark, sf_dir: str, factor: int) -> int:
     return out.agg(F.sum("n_removed")).first()[0]
 
 
+def wl_repeated_substrings(spark, sf_dir: str, factor: int) -> int:
+    """X38 at corpus scale: exact-substring window spans. The window
+    build is map-only, the frequency count one partial-agg shuffle, the
+    mark-back join unhinted (AQE), span merge one per-doc window — so
+    wall time should track the window SCAN (alpha ~ 1). The replicated
+    corpus keeps dup DENSITY constant: exact-dup replicas contribute
+    duplicated windows linearly, distinct filler contributes none."""
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        repeated_window_spans,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = repeated_window_spans(docs, "doc_id", "text", w=5, min_count=2)
+    return out.agg(F.sum("n_dup_windows")).first()[0]
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
@@ -396,6 +414,7 @@ WORKLOADS = {
     "store_admission": wl_store_admission,
     "boilerplate_removal": wl_boilerplate,
     "boilerplate_adversarial": wl_boilerplate_adversarial,
+    "repeated_substrings": wl_repeated_substrings,
 }
 
 

@@ -171,3 +171,82 @@ def test_non_snapstore_ddl_passes_through_to_spark(spark, lake):
     lake.sql(spark, "CREATE OR REPLACE TEMP VIEW ddl_passthrough AS SELECT 1 AS x")
     assert spark.sql("SELECT x FROM ddl_passthrough").first().x == 1
     spark.catalog.dropTempView("ddl_passthrough")
+
+
+def test_ctas_creates_and_populates(spark, lake):
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id LONG, grp STRING, v DOUBLE",
+    ).createOrReplaceTempView("ctas_src")
+    r = lake.sql(spark, """
+        CREATE TABLE ctas_out AS
+        SELECT grp, COUNT(*) AS n, SUM(v) AS total
+        FROM ctas_src GROUP BY grp
+    """)
+    assert r["operation"] == "create_table_as"
+    assert r["created"] is True and r["row_count"] == 2
+    t = lake.table("ctas_out")
+    cols = {c["name"]: c["type"] for c in t.meta["columns"]}
+    assert cols == {"grp": "string", "n": "long", "total": "double"}
+    got = {
+        (row.grp, row.n, row.total)
+        for row in lake.sql(spark, "SELECT * FROM ctas_out").collect()
+    }
+    assert got == {("a", 2, 5.0), ("b", 1, 2.5)}
+    # IF NOT EXISTS on an existing table: no-op, no write
+    r2 = lake.sql(
+        spark,
+        "CREATE TABLE IF NOT EXISTS ctas_out AS SELECT 1 AS x",
+    )
+    assert r2["created"] is False
+    spark.catalog.dropTempView("ctas_src")
+
+
+def test_ctas_reads_catalog_tables_through_front_door(spark, lake):
+    lake.sql(spark, "CREATE TABLE base_t (k BIGINT, v STRING)")
+    lake.sql(spark, "INSERT INTO base_t VALUES (1, 'x'), (2, 'y')")
+    spark.catalog.dropTempView("base_t")  # force lazy re-registration
+    r = lake.sql(
+        spark,
+        "CREATE TABLE derived_t AS SELECT k * 10 AS k10 FROM base_t",
+    )
+    assert r["row_count"] == 2
+    got = {
+        row.k10
+        for row in lake.sql(spark, "SELECT * FROM derived_t").collect()
+    }
+    assert got == {10, 20}
+
+
+def test_truncate_preserves_history(spark, lake):
+    lake.sql(spark, "CREATE TABLE trunc_t (k BIGINT)")
+    lake.sql(spark, "INSERT INTO trunc_t VALUES (1), (2), (3)")
+    t = lake.table("trunc_t")
+    pre = t.current_snapshot()["snapshot_id"]
+    r = lake.sql(spark, "TRUNCATE TABLE trunc_t")
+    assert r["operation"] == "truncate_table" and r["row_count"] == 0
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM trunc_t"
+    ).first().n == 0
+    # Iceberg semantics: the pre-truncate snapshot is still readable
+    assert t.read(spark, snapshot_id=pre).count() == 3
+
+
+def test_show_tables_and_describe(spark, lake):
+    lake.sql(spark, "CREATE TABLE lakehouse.aa_t (k BIGINT NOT NULL, v STRING COMMENT 'payload')")
+    lake.sql(spark, "CREATE TABLE bb_t (x DOUBLE)")
+    shown = [
+        (r.namespace, r.table_name)
+        for r in lake.sql(spark, "SHOW TABLES").collect()
+    ]
+    assert ("lakehouse", "aa_t") in shown and ("default", "bb_t") in shown
+    desc = {
+        r.col_name: (r.data_type, r.required, r.comment)
+        for r in lake.sql(spark, "DESCRIBE TABLE lakehouse.aa_t").collect()
+    }
+    assert desc["k"] == ("long", True, "")
+    assert desc["v"] == ("string", False, "payload")
+    # bare DESCRIBE works too
+    assert {
+        r.col_name for r in lake.sql(spark, "DESCRIBE bb_t").collect()
+    } == {"x"}
