@@ -1144,3 +1144,42 @@ def repeated_window_spans(
         F.sum("__nw").alias("n_dup_windows"),
         F.sum(F.col("__e") - F.col("__s") + F.lit(w)).alias("dup_tokens"),
     )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-representative selection after near-dup clustering
+    (round 10; X40 — the 'keep the best copy' step every dedup pipeline
+    ends with): per cluster, keep the member with the highest quality
+    score, ties broken to the LOWEST id.
+
+    Returns ``(cluster_id, canonical_id, canonical_quality, n_members,
+    n_removed)`` — one row per cluster.
+
+    Scale shape: one equi-join of the cluster mapping against the score
+    frame (cluster members only — the join prunes to the near-dup graph,
+    a tiny fraction of the corpus), then ONE aggregation using the
+    sort-free ``max(struct(score, -id))`` trick: no window, no per-
+    cluster sort, map-side partial max."""
+    joined = clusters.join(scores, id_col).select(
+        cluster_col,
+        F.struct(
+            F.col(score_col).alias("q"), (-F.col(id_col)).alias("neg_id")
+        ).alias("__best"),
+    )
+    agg = joined.groupBy(cluster_col).agg(
+        F.max("__best").alias("__top"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        cluster_col,
+        (-F.col("__top.neg_id")).alias("canonical_id"),
+        F.col("__top.q").alias("canonical_quality"),
+        "n_members",
+        (F.col("n_members") - F.lit(1)).alias("n_removed"),
+    )

@@ -172,18 +172,18 @@ _GATE_PRIORITY: list[str] = [
     "incremental_near_dup_admission",
     "near_dup_doc_clusters",
     "flagship_event_type_counts",
-    "embedding_ann_ivf",
     "ann_index_lifecycle",
-    # the four round-10 additions: first driver rows for the new
-    # retrieval + exact-substring + CTAS surface
+    # the five round-10 additions: first driver rows for the new
+    # retrieval + exact-substring + CTAS + canonical-selection surface
     "doc_repeated_substrings",
     "bm25_doc_search",
     "hybrid_rrf_search",
     "sql_ctas_lifecycle",
-    # the r11 lead: the remaining 41 r8-certified queries (3 rounds old
+    "near_dup_canonical_docs",
+    # the r11 lead: the remaining 42 r8-certified queries (3 rounds old
     # then), all covered by the pytest oracle replay meanwhile:
     # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
-    # user_sessions,
+    # user_sessions, embedding_ann_ivf,
     # cohort_retention, corpus_filter_funnel, customer_running_totals,
     # customer_spend_quartiles, customers_without_big_orders,
     # doc_benchmark_contamination, doc_bigram_novelty, doc_bpe_token_stats,
@@ -7887,3 +7887,108 @@ def sql_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.sql(spark, "DROP TABLE status_rollup")
     spark.catalog.dropTempView("orders_ctas_src")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Canonical-representative selection (round 10; SURVEY §2.13 X40 —
+# operators/dedup.py::canonical_per_cluster): the 'keep the best copy'
+# step a dedup pipeline ends with — per near-dup cluster keep the
+# highest-quality member (ties → lowest id), report what got removed.
+# Spark side is the sort-free max(struct) aggregate; the oracle replays
+# clusters (recursive CTE over the verified pair graph) + the quality
+# heuristic + a per-cluster window. Both building blocks' cross-engine
+# parity is already pinned by near_dup_doc_clusters/doc_quality_scores.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "near_dup_canonical_docs",
+    oracle=r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 2000
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INTEGER), 5) AS s
+      FROM norm, LATERAL unnest(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE c / (na.n + nb.n - c) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    quality AS (
+      SELECT doc_id,
+             0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0
+                          ELSE least(n_chars / 50.0, 1.0) END)
+           + 0.25 * (n_alpha / greatest(n_chars, 1))
+           + 0.15 * (CASE WHEN (n_punct / greatest(n_chars, 1)) <= 0.1
+                          THEN 1.0 ELSE 0.2 END)
+           + 0.15 * (CASE WHEN n_chars / greatest(len(toks), 1) >= 3
+                           AND n_chars / greatest(len(toks), 1) <= 12
+                          THEN 1.0 ELSE 0.3 END)
+           + 0.20 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+             AS quality
+      FROM (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+        FROM documents WHERE doc_id < 2000
+      )
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN quality q USING (doc_id)
+    )
+    SELECT cluster_id,
+           doc_id AS canonical_id,
+           quality AS canonical_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_removed
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        canonical_per_cluster,
+        near_dup_clusters,
+    )
+    from iceberg_quickstart_iac_spark.operators.text import quality_score
+
+    pairs = _verified_near_dup_pairs(spark, sf_dir, block=2000).localCheckpoint()
+    clusters = near_dup_clusters(pairs, None, "doc_id")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2000
+    )
+    scores = docs.select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    return canonical_per_cluster(
+        clusters.select("doc_id", "cluster_id"), scores
+    ).orderBy("cluster_id")

@@ -1522,3 +1522,26 @@ def test_retrieval_plan_shapes(spark, sf_dir):
     qe = sub._jdf.queryExecution()
     assert "ResolvedHint" not in qe.analyzed().toString()
     assert "CartesianProduct" not in qe.explainString(jm)
+
+
+def test_canonical_per_cluster_semantics(spark):
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        canonical_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 20), (8, 20)],
+        "doc_id LONG, cluster_id LONG",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.4), (8, 0.4)],
+        "doc_id LONG, quality DOUBLE",
+    )
+    out = {
+        r.cluster_id: r
+        for r in canonical_per_cluster(clusters, scores).collect()
+    }
+    # highest quality wins; quality tie -> LOWEST id
+    assert out[10].canonical_id == 2 and out[10].canonical_quality == 0.9
+    assert (out[10].n_members, out[10].n_removed) == (3, 2)
+    assert out[20].canonical_id == 7 and out[20].n_removed == 1
