@@ -369,6 +369,10 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
     m = _DESCRIBE_RE.match(s)
     if m:
         name, _ = _table_name(m.group(1))
+        if not (lake.root / name / "table.json").exists():
+            # not a catalog table — let Spark describe its own temp
+            # views/functions rather than raising TableNotFound here
+            return spark.sql(s)
         meta = lake.table(name).meta
         rows = [
             (

@@ -250,3 +250,12 @@ def test_show_tables_and_describe(spark, lake):
     assert {
         r.col_name for r in lake.sql(spark, "DESCRIBE bb_t").collect()
     } == {"x"}
+
+
+def test_describe_non_catalog_view_falls_through_to_spark(spark, lake):
+    spark.createDataFrame([(1,)], "z LONG").createOrReplaceTempView(
+        "plain_view"
+    )
+    out = lake.sql(spark, "DESCRIBE plain_view")
+    assert {r.col_name for r in out.collect()} == {"z"}
+    spark.catalog.dropTempView("plain_view")
