@@ -1014,3 +1014,65 @@ def ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def fit_pca(mat, k: int):
+    """Deterministic PCA fit on a driver-side sample matrix (round 10;
+    X41 — the dimensionality-reduction step embedding pipelines run
+    before clustering/visualization, same fit-bounded/apply-distributed
+    shape as the IVF/PQ quantizers).
+
+    Returns ``(mean, components, explained_variance)`` as plain python
+    lists. Pure numpy (covariance + ``eigh``), so an oracle harness
+    feeding the same sample rows in the same order reproduces the exact
+    literals. ``eigh``'s eigenvector SIGN is arbitrary — each component
+    is sign-fixed so its largest-|magnitude| element is positive, making
+    the fit output deterministic, not merely consistent-per-call.
+    """
+    import numpy as np
+
+    if len(mat) < 2:
+        raise ValueError("fit_pca: need at least 2 sample vectors")
+    mean = mat.mean(axis=0)
+    centered = mat - mean
+    cov = (centered.T @ centered) / (len(mat) - 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for i in order:
+        c = v[:, i]
+        j = int(np.abs(c).argmax())
+        if c[j] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return (
+        [float(x) for x in mean],
+        comps,
+        [float(w[i]) for i in order],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    mean: list,
+    components: list,
+    prefix: str = "pc",
+) -> DataFrame:
+    """Map-only PCA projection: ``pc_i = dot(x, comp_i) - dot(mean,
+    comp_i)``. Components and the mean-dot constants are broadcast
+    literals inside the expression (the LSH plane-dot shape, whose
+    cross-engine fold parity is already pinned), so the projection is
+    pure whole-stage codegen — no shuffle, no UDF, O(rows × k × dim).
+    """
+    cols = list(df.columns)
+    out = df
+    for i, comp in enumerate(components, start=1):
+        const = float(sum(m * c for m, c in zip(mean, comp)))
+        arr = F.array(*[F.lit(float(x)) for x in comp])
+        out = out.withColumn(
+            f"{prefix}{i}", _dot(F.col(vec_col), arr) - F.lit(const)
+        )
+    return out.select(
+        *cols, *[f"{prefix}{i}" for i in range(1, len(components) + 1)]
+    )

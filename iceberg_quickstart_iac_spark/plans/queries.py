@@ -172,18 +172,19 @@ _GATE_PRIORITY: list[str] = [
     "incremental_near_dup_admission",
     "near_dup_doc_clusters",
     "flagship_event_type_counts",
-    "ann_index_lifecycle",
-    # the five round-10 additions: first driver rows for the new
-    # retrieval + exact-substring + CTAS + canonical-selection surface
+    # the six round-10 additions: first driver rows for the new
+    # retrieval + exact-substring + CTAS + canonical-selection + PCA
+    # surface
     "doc_repeated_substrings",
     "bm25_doc_search",
     "hybrid_rrf_search",
     "sql_ctas_lifecycle",
     "near_dup_canonical_docs",
-    # the r11 lead: the remaining 42 r8-certified queries (3 rounds old
+    "embedding_pca_projection",
+    # the r11 lead: the remaining 43 r8-certified queries (3 rounds old
     # then), all covered by the pytest oracle replay meanwhile:
     # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
-    # user_sessions, embedding_ann_ivf,
+    # user_sessions, embedding_ann_ivf, ann_index_lifecycle,
     # cohort_retention, corpus_filter_funnel, customer_running_totals,
     # customer_spend_quartiles, customers_without_big_orders,
     # doc_benchmark_contamination, doc_bigram_novelty, doc_bpe_token_stats,
@@ -7992,3 +7993,88 @@ def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_per_cluster(
         clusters.select("doc_id", "cluster_id"), scores
     ).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (round 10; SURVEY §2.13 X41 —
+# operators/similarity.py::fit_pca/pca_project): dimensionality
+# reduction over the embedding corpus — fit on a driver-bounded sample
+# (ORDER BY vec_id LIMIT 200, the same fit-once shape as the IVF/PQ
+# quantizers), project every vector map-only (codegen fold per
+# component, no shuffle). The oracle refits the SAME sample with the
+# SAME pure-numpy eigh (sign-fixed) and renders the component/mean-dot
+# literals, so pc values hash bit-identically (the fold parity is the
+# LSH plane-dot pattern, already pinned).
+# ---------------------------------------------------------------------------
+
+_PCA_FIT_N = 200
+_PCA_K = 2
+
+
+def _pca_fit_for_gate() -> tuple[list, list, list]:
+    import duckdb
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.similarity import fit_pca
+
+    sf_dir = _gate_sf_dir()
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT {_PCA_FIT_N}"
+        ).fetchall()
+    finally:
+        con.close()
+    mat = np.array([r[0] for r in rows], dtype="float64")
+    return fit_pca(mat, _PCA_K)
+
+
+def _pca_oracle_sql() -> str:
+    mean, comps, _ = _pca_fit_for_gate()
+
+    def dot(plane: list) -> str:
+        lits = (
+            "CAST(["
+            + ", ".join("'" + repr(float(x)) + "'" for x in plane)
+            + "] AS DOUBLE[])"
+        )
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    pcs = []
+    for i, comp in enumerate(comps, start=1):
+        const = float(sum(m * c for m, c in zip(mean, comp)))
+        pcs.append(
+            f"({dot(comp)} - CAST('{repr(const)}' AS DOUBLE)) AS pc{i}"
+        )
+    return f"""
+    SELECT vec_id, label, {', '.join(pcs)}
+    FROM embeddings
+    ORDER BY vec_id
+    """
+
+
+@query("embedding_pca_projection", oracle=_pca_oracle_sql)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        fit_pca,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.orderBy("vec_id").limit(_PCA_FIT_N).collect()
+    mat = np.array(
+        [[float(x) for x in r["embedding"]] for r in sample], dtype="float64"
+    )
+    mean, comps, _ = fit_pca(mat, _PCA_K)
+    return (
+        pca_project(emb.select("vec_id", "label", "embedding"), "embedding",
+                    mean, comps)
+        .select("vec_id", "label", "pc1", "pc2")
+        .orderBy("vec_id")
+    )

@@ -1545,3 +1545,40 @@ def test_canonical_per_cluster_semantics(spark):
     assert out[10].canonical_id == 2 and out[10].canonical_quality == 0.9
     assert (out[10].n_members, out[10].n_removed) == (3, 2)
     assert out[20].canonical_id == 7 and out[20].n_removed == 1
+
+
+def test_pca_fit_and_project_semantics(spark):
+    import numpy as np
+
+    from iceberg_quickstart_iac_spark.operators.similarity import (
+        fit_pca,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance 100 along axis0-ish, 1 elsewhere
+    mat = rng.standard_normal((300, 6))
+    mat[:, 0] *= 10.0
+    mean, comps, explained = fit_pca(mat, 2)
+    # top component aligns with the high-variance axis
+    assert abs(comps[0][0]) > 0.99
+    # sign fix: largest-|x| element positive
+    for c in comps:
+        assert c[int(np.abs(np.array(c)).argmax())] > 0
+    # explained variances descend and roughly match the construction
+    assert explained[0] > explained[1]
+    assert explained[0] == pytest.approx(100.0, rel=0.25)
+    # distributed projection == numpy projection
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat[:20])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in pca_project(df, "embedding", mean, comps).collect()
+    }
+    m, c = np.array(mean), np.array(comps)
+    for i in range(20):
+        want = (mat[i] - m) @ c.T
+        assert got[i][0] == pytest.approx(want[0], abs=1e-9)
+        assert got[i][1] == pytest.approx(want[1], abs=1e-9)
