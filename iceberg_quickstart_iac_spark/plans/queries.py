@@ -171,18 +171,19 @@ _GATE_PRIORITY: list[str] = [
     "branch_lifecycle",
     "incremental_near_dup_admission",
     "near_dup_doc_clusters",
-    "flagship_event_type_counts",
-    # the six round-10 additions: first driver rows for the new
-    # retrieval + exact-substring + CTAS + canonical-selection + PCA
-    # surface
+    # the seven round-10 additions: first driver rows for the new
+    # retrieval + exact-substring + CTAS + canonical-selection + PCA +
+    # curation-capstone surface
     "doc_repeated_substrings",
     "bm25_doc_search",
     "hybrid_rrf_search",
     "sql_ctas_lifecycle",
     "near_dup_canonical_docs",
     "embedding_pca_projection",
-    # the r11 lead: the remaining 43 r8-certified queries (3 rounds old
+    "corpus_curation_pipeline",
+    # the r11 lead: the remaining 44 r8-certified queries (3 rounds old
     # then), all covered by the pytest oracle replay meanwhile:
+    # flagship_event_type_counts,
     # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
     # user_sessions, embedding_ann_ivf, ann_index_lifecycle,
     # cohort_retention, corpus_filter_funnel, customer_running_totals,
@@ -8078,3 +8079,208 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "pc1", "pc2")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation pipeline (round 10; X42 — the capstone
+# composition of the certified dedup/quality stages, in production
+# order): planted exact copies → exact dedup (min-id per content
+# fingerprint) → near-dup clustering over the survivors (the same
+# LSH-then-verify funnel + connected components) → canonical keep
+# (highest quality per cluster) → quality threshold → per-source
+# survival accounting + surviving token volume. Exact copies are
+# PLANTED (doc_id+10000 for doc_id % 5 = 0) because the base corpus has
+# none — without them the exact stage would be a vacuous pass-through,
+# certifying nothing. All counts integer; quality is bit-identical
+# across engines (pinned by doc_quality_scores), so the threshold
+# filter agrees row-for-row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=r"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id < 2000
+      UNION ALL
+      SELECT doc_id + 10000, source, text FROM documents
+      WHERE doc_id < 2000 AND doc_id % 5 = 0
+    ),
+    base AS (
+      SELECT doc_id, source, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM raw
+    ),
+    reps AS (
+      SELECT doc_id, source, text, t,
+             MIN(doc_id) OVER (PARTITION BY md5(t)) AS rep
+      FROM base
+    ),
+    s1 AS (SELECT doc_id, source, text, t FROM reps WHERE doc_id = rep),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INTEGER), 5) AS s
+      FROM s1, LATERAL unnest(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE c / (na.n + nb.n - c) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    quality AS (
+      SELECT doc_id,
+             0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0
+                          ELSE least(n_chars / 50.0, 1.0) END)
+           + 0.25 * (n_alpha / greatest(n_chars, 1))
+           + 0.15 * (CASE WHEN (n_punct / greatest(n_chars, 1)) <= 0.1
+                          THEN 1.0 ELSE 0.2 END)
+           + 0.15 * (CASE WHEN n_chars / greatest(len(toks), 1) >= 3
+                           AND n_chars / greatest(len(toks), 1) <= 12
+                          THEN 1.0 ELSE 0.3 END)
+           + 0.20 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+             AS quality
+      FROM (
+        SELECT doc_id, length(text) AS n_chars,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+        FROM s1
+      )
+    ),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM clusters c JOIN quality q USING (doc_id)
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1
+      LEFT JOIN clusters cl USING (doc_id)
+      LEFT JOIN canon ON canon.canonical_id = s1.doc_id
+      WHERE cl.doc_id IS NULL OR canon.canonical_id IS NOT NULL
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 JOIN quality q USING (doc_id)
+      WHERE q.quality >= 0.85
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (WHERE EXISTS
+             (SELECT 1 FROM s1 WHERE s1.doc_id = b.doc_id)) AS BIGINT)
+             AS n_after_exact,
+           CAST(COUNT(*) FILTER (WHERE EXISTS
+             (SELECT 1 FROM s2 WHERE s2.doc_id = b.doc_id)) AS BIGINT)
+             AS n_after_near_dup,
+           CAST(COUNT(*) FILTER (WHERE EXISTS
+             (SELECT 1 FROM s3 WHERE s3.doc_id = b.doc_id)) AS BIGINT)
+             AS n_after_quality,
+           CAST(SUM(CASE WHEN EXISTS
+             (SELECT 1 FROM s3 WHERE s3.doc_id = b.doc_id)
+             THEN len(string_split(b.t, ' ')) ELSE 0 END) AS BIGINT)
+             AS surviving_tokens
+    FROM base b GROUP BY b.source ORDER BY b.source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.dedup import (
+        canonical_per_cluster,
+        lsh_screened_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+        verify_pairs_exact_jaccard,
+    )
+    from iceberg_quickstart_iac_spark.operators.text import (
+        content_md5,
+        quality_score,
+        word_tokens,
+    )
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2000
+    ).select("doc_id", "source", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
+    )
+    raw = docs.unionByName(planted)
+
+    # stage 1: exact dedup — min-id representative per content fingerprint
+    reps = raw.withColumn(
+        "__rep",
+        F.min("doc_id").over(_W.partitionBy(content_md5(F.col("text")))),
+    )
+    s1 = reps.filter(F.col("doc_id") == F.col("__rep")).drop("__rep")
+    s1 = s1.localCheckpoint()  # feeds 4 downstream consumers
+
+    # stage 2: near-dup canonical keep over the survivors (the funnel)
+    sigs = minhash_signatures(s1, "doc_id", "text", num_perm=63)
+    screened = lsh_screened_pairs(
+        sigs, "doc_id", bands=21, num_perm=63, min_est=0.4
+    ).localCheckpoint()
+    pairs = verify_pairs_exact_jaccard(
+        screened, s1, "doc_id", "text", threshold=0.7
+    )
+    clusters = near_dup_clusters(pairs, None, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    quality = s1.select("doc_id", quality_score("text").alias("quality"))
+    canon = canonical_per_cluster(clusters, quality)
+    s2 = s1.join(clusters, "doc_id", "left_anti").unionByName(
+        s1.join(
+            canon.select(F.col("canonical_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+    )
+
+    # stage 3: quality gate
+    s3 = s2.join(quality, "doc_id").filter(F.col("quality") >= 0.85)
+
+    def per_source(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(alias))
+
+    tokens = s3.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_quality"),
+        F.sum(F.size(word_tokens(F.col("text")))).alias("surviving_tokens"),
+    )
+    out = (
+        per_source(raw, "n_raw")
+        .join(per_source(s1, "n_after_exact"), "source", "left")
+        .join(per_source(s2, "n_after_near_dup"), "source", "left")
+        .join(tokens, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_after_near_dup", F.lit(0)).alias(
+                "n_after_near_dup"
+            ),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("surviving_tokens", F.lit(0)).alias(
+                "surviving_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+    return out
