@@ -836,3 +836,30 @@ def test_sql_script_split_keeps_semicolons_in_literals(payload):
         "delete from t",
     ]
     assert _split_top_level(" ; ".join(stmts), sep=";") == stmts
+
+
+@given(payload=_SQL_PAYLOAD)
+@settings(max_examples=150, deadline=None)
+def test_scope_rewrite_spares_literals_and_prefixed_names(payload):
+    """The branch-scope view rewriter: catalog-table tokens rewrite to
+    suffixed views EVERYWHERE outside string literals; a literal carrying
+    a table name survives byte-for-byte; a table name that prefixes
+    another (a / ab) never mangles the longer one."""
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="scoperw_") + "/lake")
+    for n in ("a", "ab"):
+        lake.create_table({
+            "name": n, "namespace": "lakehouse",
+            "columns": [{"name": "k", "type": "long"}],
+        })
+    lit = _sql_lit(payload + " a ab a.x ")
+    stmt = f"SELECT a.k, ab.k FROM a JOIN ab ON a.k = ab.k WHERE v = {lit}"
+    out = lake._rewrite_scope_refs(stmt, "__scope_zz")
+    assert out == (
+        f"SELECT a__scope_zz.k, ab__scope_zz.k FROM a__scope_zz "
+        f"JOIN ab__scope_zz ON a__scope_zz.k = ab__scope_zz.k "
+        f"WHERE v = {lit}"
+    )
