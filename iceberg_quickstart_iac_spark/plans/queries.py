@@ -170,10 +170,9 @@ _GATE_PRIORITY: list[str] = [
     "time_travel_sql_named_query",
     "branch_lifecycle",
     "incremental_near_dup_admission",
-    "near_dup_doc_clusters",
-    # the seven round-10 additions: first driver rows for the new
+    # the eight round-10 additions: first driver rows for the new
     # retrieval + exact-substring + CTAS + canonical-selection + PCA +
-    # curation-capstone surface
+    # curation-capstone + GDPR-erasure surface
     "doc_repeated_substrings",
     "bm25_doc_search",
     "hybrid_rrf_search",
@@ -181,9 +180,10 @@ _GATE_PRIORITY: list[str] = [
     "near_dup_canonical_docs",
     "embedding_pca_projection",
     "corpus_curation_pipeline",
-    # the r11 lead: the remaining 44 r8-certified queries (3 rounds old
+    "gdpr_erasure_lifecycle",
+    # the r11 lead: the remaining 45 r8-certified queries (3 rounds old
     # then), all covered by the pytest oracle replay meanwhile:
-    # flagship_event_type_counts,
+    # flagship_event_type_counts, near_dup_doc_clusters,
     # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
     # user_sessions, embedding_ann_ivf, ann_index_lifecycle,
     # cohort_retention, corpus_filter_funnel, customer_running_totals,
@@ -8284,3 +8284,93 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten lifecycle (round 10; G6 — the governance
+# flow the reference's column-policy + retention knobs exist to serve):
+# row-level DELETE of a data subject's rows (CoW rewrite), then the
+# COMPLIANCE GAP made explicit — the pre-delete snapshot still serves
+# the erased rows through time travel — then retention-expire closes it
+# (expire_snapshots(max_age_ms=0) keeps only the head, deletes the
+# orphaned pre-delete files) and the old snapshot becomes unreachable.
+# Counts + reachability booleans pin every step; the oracle replays the
+# counts relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gdpr_erasure_lifecycle",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 800) AS BIGINT)
+        AS n_before,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_orderkey < 800 AND o_custkey % 50 = 7) AS BIGINT)
+        AS n_subject_rows,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_orderkey < 800 AND o_custkey % 50 <> 7) AS BIGINT)
+        AS n_after,
+      TRUE AS pre_delete_still_visible,
+      CAST(1 AS BIGINT) AS snapshots_after_expire,
+      TRUE AS erased_everywhere
+    """,
+)
+def gdpr_erasure_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="gdpr_") + "/lake")
+    t = lake.create_table(
+        {
+            "name": "orders_gdpr",
+            "namespace": "lakehouse",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "required": True},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 800)
+    t.overwrite(orders)
+    pre = t.current_snapshot()["snapshot_id"]
+    n_before = t.read(spark).count()
+    subject = "o_custkey % 50 = 7"
+    n_subject = t.read(spark).filter(subject).count()
+    t.delete_where(spark, subject, mode="cow")
+    n_after = t.read(spark).count()
+    # the compliance gap: time travel still serves the erased rows
+    pre_visible = (
+        t.read(spark, snapshot_id=pre).filter(subject).count() == n_subject
+    )
+    # close it: retention-expire everything but the head
+    t.expire_snapshots(max_age_ms=0)
+    n_snapshots = t.snapshots(spark).count()
+    try:
+        t.read(spark, snapshot_id=pre)
+        old_reachable = True
+    except Exception:
+        old_reachable = False
+    erased_everywhere = (
+        not old_reachable
+        and t.read(spark).filter(subject).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_subject,
+                n_after,
+                bool(pre_visible),
+                n_snapshots,
+                bool(erased_everywhere),
+            )
+        ],
+        "n_before LONG, n_subject_rows LONG, n_after LONG, "
+        "pre_delete_still_visible BOOLEAN, snapshots_after_expire LONG, "
+        "erased_everywhere BOOLEAN",
+    )
