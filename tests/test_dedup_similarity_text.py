@@ -1518,6 +1518,10 @@ def test_retrieval_plan_shapes(spark, sf_dir):
     bm = queries()["bm25_doc_search"](spark, sf_dir)
     plan = bm._jdf.queryExecution().explainString(jm)
     assert "CartesianProduct" not in plan
+    # the top-15 head must be a bounded top-k, never a global sort:
+    # either the rank-limit rewrite's partial WindowGroupLimit or the
+    # TakeOrderedAndProject heap (what Catalyst actually plans here)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     sub = queries()["doc_repeated_substrings"](spark, sf_dir)
     qe = sub._jdf.queryExecution()
     assert "ResolvedHint" not in qe.analyzed().toString()
