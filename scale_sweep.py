@@ -328,10 +328,12 @@ def wl_store_admission(spark, sf_dir: str, factor: int) -> int:
 def wl_boilerplate(spark, sf_dir: str, factor: int) -> int:
     """X34 at corpus scale: line-level boilerplate removal over synthetic
     multi-line docs (per-source NAV/footer lines planted on every doc).
-    Claim: the removal pass is a broadcast anti-join against the
-    boilerplate set (bounded by total_lines/min_df), so wall time grows
-    with the line SCAN (alpha <= ~1) — a shuffled join keyed on the
-    ubiquitous removed lines would show the skew as superlinear time."""
+    Claim: with the DEFAULT unhinted anti-join (round 10 — Catalyst
+    stats + AQE broadcast the small planted set at runtime), wall time
+    grows with the line SCAN (alpha <= ~1); a skew-eating shuffled join
+    keyed on the ubiquitous removed lines would read superlinear. The
+    adversarial O(corpus)-boiler-set variant below covers the case AQE
+    must NOT broadcast."""
     from pyspark.sql import functions as F
 
     from iceberg_quickstart_iac_spark.operators.text import (
