@@ -166,3 +166,59 @@ def rrf_fuse(
         f" ELSE 1.0 / ({k}.0 + CAST(rank_vec AS DOUBLE)) END)"
     )
     return fused.withColumn("rrf", F.expr(contrib))
+
+
+def bm25_batch_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 for a BATCH of queries — the production serving shape: the
+    queries arrive as a ``(query_id, term)`` TABLE, not literals, so one
+    pass scores every query.
+
+    Returns ``(query_id, id, score, matched_terms)`` — unordered; window
+    per query for the ranked heads.
+
+    Scale shape vs :func:`bm25_scores`: the fixed-term pivot is replaced
+    by a broadcast equi-join of the exploded tokens against the term
+    table (bounded by the BATCH's total term count — a serving batch,
+    not the corpus), then per-(query, doc, term) tf is one
+    partial-aggregated shuffle. Document length still comes from the
+    single per-doc aggregation; df per term is ``countDistinct`` over
+    the matched (doc, term) pairs — |terms|-bounded output, broadcast
+    back. Same bit-exact arithmetic as :data:`BM25_TERM_EXPR`.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    terms = query_terms.select(
+        F.col(query_col), F.col(term_col).alias("tok")
+    ).distinct()
+    # doc-term tf over the batch's term vocabulary (query-independent)
+    vocab = terms.select("tok").distinct()
+    tf = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(terms), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("term_score", F.expr(BM25_TERM_EXPR))
+    )
+    return scored.groupBy(query_col, id_col).agg(
+        F.sum(F.col("term_score").cast(_DEC)).cast("double").alias("score"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )

@@ -181,8 +181,10 @@ _GATE_PRIORITY: list[str] = [
     "embedding_pca_projection",
     "corpus_curation_pipeline",
     "gdpr_erasure_lifecycle",
-    # the r11 lead: the remaining 45 r8-certified queries (3 rounds old
-    # then), all covered by the pytest oracle replay meanwhile:
+    # the r11 lead: bm25_batch_search (added past the r10 gate — needs
+    # its FIRST driver row) plus the remaining 45 r8-certified queries
+    # (3 rounds old then), all covered by the pytest oracle replay
+    # meanwhile:
     # flagship_event_type_counts, near_dup_doc_clusters,
     # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
     # user_sessions, embedding_ann_ivf, ann_index_lifecycle,
@@ -8373,4 +8375,83 @@ def gdpr_erasure_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before LONG, n_subject_rows LONG, n_after LONG, "
         "pre_delete_still_visible BOOLEAN, snapshots_after_expire LONG, "
         "erased_everywhere BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 serving (round 10; X39b —
+# operators/retrieval.py::bm25_batch_scores): the queries arrive as a
+# (query_id, term) TABLE and one pass scores all of them — the
+# production serving shape (per-query literal pivots don't scale to a
+# query LOG). Top-5 per query through a per-query window (partial
+# WindowGroupLimit). Same bit-exact arithmetic as bm25_doc_search.
+# Oracle-replayed by pytest each round; queued for its first driver row
+# in the round-11 gate lead.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bm25_batch_search",
+    oracle=rf"""
+    WITH qt AS (
+      SELECT * FROM (VALUES
+        (1, 'vector'), (1, 'merge'),
+        (2, 'window'), (2, 'stream'), (2, 'hash'),
+        (3, 'spark')
+      ) AS v(query_id, tok)
+    ),
+    toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           LATERAL unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) t(tok)
+      WHERE t.tok <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN (SELECT DISTINCT tok FROM qt)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id, {_BM25_TERM_SQL} AS term_score
+      FROM tf JOIN df USING (tok) JOIN qt USING (tok)
+           JOIN dl USING (doc_id), corpus
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS score,
+             COUNT(*) AS matched_terms
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, matched_terms, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_quickstart_iac_spark.operators.retrieval import (
+        bm25_batch_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = spark.createDataFrame(
+        [
+            (1, "vector"), (1, "merge"),
+            (2, "window"), (2, "stream"), (2, "hash"),
+            (3, "spark"),
+        ],
+        "query_id INT, term STRING",
+    )
+    scored = bm25_batch_scores(docs, qt)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "matched_terms", "rank")
+        .orderBy("query_id", "rank")
     )

@@ -1586,3 +1586,33 @@ def test_pca_fit_and_project_semantics(spark):
         want = (mat[i] - m) @ c.T
         assert got[i][0] == pytest.approx(want[0], abs=1e-9)
         assert got[i][1] == pytest.approx(want[1], abs=1e-9)
+
+
+def test_bm25_batch_agrees_with_single_query(spark):
+    from iceberg_quickstart_iac_spark.operators.retrieval import (
+        bm25_batch_scores,
+        bm25_scores,
+    )
+
+    texts = {
+        1: "vector merge window vector vector",
+        2: "merge merge merge filler words padding out the doc",
+        3: "window",
+        5: "vector window vector window vector window extra",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    single = {
+        r.doc_id: (r.score, r.matched_terms)
+        for r in bm25_scores(docs, ["vector", "merge", "window"]).collect()
+    }
+    qt = spark.createDataFrame(
+        [(9, "vector"), (9, "merge"), (9, "window")],
+        "query_id INT, term STRING",
+    )
+    batch = {
+        r.doc_id: (r.score, r.matched_terms)
+        for r in bm25_batch_scores(docs, qt).collect()
+    }
+    assert batch == single
