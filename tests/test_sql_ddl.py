@@ -259,3 +259,10 @@ def test_describe_non_catalog_view_falls_through_to_spark(spark, lake):
     out = lake.sql(spark, "DESCRIBE plain_view")
     assert {r.col_name for r in out.collect()} == {"z"}
     spark.catalog.dropTempView("plain_view")
+
+
+def test_show_tables_on_empty_catalog(spark, tmp_path):
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    empty = Lakehouse(tmp_path / "empty_lake")
+    assert empty.sql(spark, "SHOW TABLES").count() == 0
