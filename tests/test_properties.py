@@ -863,3 +863,24 @@ def test_scope_rewrite_spares_literals_and_prefixed_names(payload):
         f"JOIN ab__scope_zz ON a__scope_zz.k = ab__scope_zz.k "
         f"WHERE v = {lit}"
     )
+
+
+@given(payload=_SQL_PAYLOAD)
+@settings(max_examples=150, deadline=None)
+def test_ctas_regex_extracts_query_with_hostile_literals(payload):
+    """The CTAS head split: the AS <query> boundary is the FIRST 'as'
+    after the table name, so literals inside the query (carrying ' as ',
+    parens, quotes) arrive in the query group byte-intact."""
+    from iceberg_quickstart_iac_spark.tables.sql_ddl import _CTAS_RE
+
+    lit = _sql_lit(payload + " as x ")
+    for stmt, want_name in [
+        (f"create table t9 as select {lit} as c from src", "t9"),
+        (f"create table if not exists ns.t9 using iceberg as "
+         f"select {lit} as c", "ns.t9"),
+    ]:
+        m = _CTAS_RE.match(stmt)
+        assert m, stmt
+        assert m.group(2) == want_name
+        assert m.group(3).startswith("select ")
+        assert lit in m.group(3)
