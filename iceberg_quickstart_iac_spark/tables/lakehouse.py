@@ -267,15 +267,28 @@ class Lakehouse:
         names = self.list_tables()
         if not names:
             return statement
-        mapping: dict[str, str] = {}
-        for n in names:
-            mapping[n] = n + suffix
-            for s in self._MD_SUFFIXES:
-                mapping[n + s] = n + suffix + s
-        alts = "|".join(
-            re.escape(k) for k in sorted(mapping, key=len, reverse=True)
-        )
-        pat = re.compile(rf"\b({alts})\b")
+        # the alternation spans every table name × metadata suffix —
+        # O(catalog) to BUILD, so the compiled pattern memoizes on the
+        # (names, suffix) pair and a 1000-table catalog pays the compile
+        # once per catalog change, not once per branch statement
+        cache_key = (tuple(names), suffix)
+        cached = getattr(self, "_scope_pat_cache", None)
+        if cached is None:
+            cached = self._scope_pat_cache = {}
+        if cache_key in cached:
+            pat, mapping = cached[cache_key]
+        else:
+            mapping = {}
+            for n in names:
+                mapping[n] = n + suffix
+                for s in self._MD_SUFFIXES:
+                    mapping[n + s] = n + suffix + s
+            alts = "|".join(
+                re.escape(k) for k in sorted(mapping, key=len, reverse=True)
+            )
+            pat = re.compile(rf"\b({alts})\b")
+            cached.clear()  # one live catalog shape per lakehouse handle
+            cached[cache_key] = (pat, mapping)
         out = []
         for i, chunk in enumerate(re.split(r"('(?:[^']|'')*')", statement)):
             if i % 2 == 0:
@@ -384,6 +397,16 @@ class Lakehouse:
                 # never fires our registry — the probe (one directory
                 # listing, no reads) catches it per statement
                 head = t.head_sequence()
+                if head is None and t.current_snapshot() is not None:
+                    # a branch fork with no branch commits yet: there is
+                    # no branch head SEQUENCE, but the readable head is
+                    # the fork point — register it (sentinel -2 keys the
+                    # memo until the first branch commit moves
+                    # head_sequence to a real int). Without this, a
+                    # branch statement on an untouched table would fall
+                    # into the declared-empty path below and silently
+                    # serve 0 rows where read() serves the fork data.
+                    head = -2
                 prev = self._sql_registry.get(view)
                 with_md = wants_md or (prev[2] if prev else False)
                 # the scope lives in the VIEW NAME (suffix), so main and

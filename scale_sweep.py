@@ -1110,10 +1110,35 @@ def wl_sql_one_table(spark, sf_dir: str, factor: int) -> int:
     ).first().n
 
 
+def wl_branch_sql_one_table(spark, sf_dir: str, factor: int) -> int:
+    """Round-10 scope-suffix path at catalog scale: a BRANCH statement
+    rewrites its table tokens through an alternation spanning every
+    catalog table × metadata suffix. Claim: the compiled pattern
+    memoizes per catalog shape, so per-statement branch cost stays flat
+    in catalog size (alpha ~ 0) — an uncached rewrite would grow with
+    the table count."""
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lh = Lakehouse(sf_dir)
+    br_name = "sweepbr"
+    br = (
+        lh.branch(br_name)
+        if br_name in lh.list_branches()
+        else lh.create_branch(br_name)
+    )
+    total = 0
+    for _ in range(5):  # amortize the first-statement registration
+        total += br.sql(
+            spark, "SELECT COUNT(*) AS n FROM t0000 WHERE v >= 0"
+        ).first().n
+    return total
+
+
 CATALOG_WORKLOADS = {
     "register_all_admin": wl_register_all_admin,
     "register_all_reader": wl_register_all_reader,
     "sql_one_table": wl_sql_one_table,
+    "branch_sql_one_table": wl_branch_sql_one_table,
 }
 
 

@@ -452,3 +452,26 @@ def test_catalog_branch_sql_is_wap_via_sql(spark, lake):
     br2.sql(spark, "DELETE FROM b WHERE k = 1")
     assert br2.sql(spark, "SELECT COUNT(*) AS n FROM b").first().n == 0
     assert lake.sql(spark, "SELECT COUNT(*) AS n FROM b").first().n == 1
+
+
+def test_branch_sql_reads_fork_state_before_first_branch_write(spark, lake):
+    """A branch statement on a table the branch never WROTE must serve
+    the fork-point data — not the declared-empty view (the branch fork
+    has no branch head SEQUENCE, but its readable head is the fork;
+    found by the round-10 catalog sweep, where branch reads returned 0
+    rows on untouched tables)."""
+    br = lake.create_branch("fork_read")
+    # never written on the branch: serves the fork point (1 row from
+    # the fixture), matching the branch handle's direct read()
+    assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 1
+    assert br.table("a").read(spark).count() == 1
+    # a write moves the branch head and the view follows
+    br.sql(spark, "INSERT INTO a VALUES (99, 'later')")
+    assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 2
+    # main is untouched; a truly never-committed table still serves the
+    # governed declared-empty view on the branch
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 1
+    lake.create_table(_tpl("fresh_branchread"))
+    assert br.sql(
+        spark, "SELECT COUNT(*) AS n FROM fresh_branchread"
+    ).first().n == 0
