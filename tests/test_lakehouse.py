@@ -475,3 +475,30 @@ def test_branch_sql_reads_fork_state_before_first_branch_write(spark, lake):
     assert br.sql(
         spark, "SELECT COUNT(*) AS n FROM fresh_branchread"
     ).first().n == 0
+
+
+def test_branch_scope_composes_with_time_travel(spark, lake):
+    """Cross-feature composition: FOR VERSION AS OF inside a BRANCH
+    statement pins the as-of view through the branch accessor, and a
+    branch DML whose SOURCE is a time-traveled read of its own target
+    routes both rewrites correctly (as-of first, scope suffix second)."""
+    t = lake.table("a")
+    v1 = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([(2, "x")], "k LONG, v STRING"))
+    br = lake.create_branch("tt_combo")
+    br.sql(spark, "INSERT INTO a VALUES (3, 'br')")
+    assert br.sql(
+        spark, f"SELECT COUNT(*) AS n FROM a FOR VERSION AS OF '{v1}'"
+    ).first().n == 1
+    assert br.sql(spark, "SELECT COUNT(*) AS n FROM a").first().n == 3
+    br.sql(
+        spark,
+        f"INSERT INTO a SELECT k + 100, v FROM a FOR VERSION AS OF '{v1}'",
+    )
+    assert sorted(
+        r.k for r in br.sql(spark, "SELECT k FROM a").collect()
+    ) == [1, 2, 3, 101]
+    # main untouched by any of it
+    assert sorted(
+        r.k for r in lake.sql(spark, "SELECT k FROM a").collect()
+    ) == [1, 2]
