@@ -181,8 +181,11 @@ _GATE_PRIORITY: list[str] = [
     "embedding_pca_projection",
     "corpus_curation_pipeline",
     "gdpr_erasure_lifecycle",
-    # the r11 lead: bm25_batch_search (added past the r10 gate — needs
-    # its FIRST driver row) plus the remaining 45 r8-certified queries
+    # the r11 lead: bm25_batch_search, sql_call_maintenance_lifecycle,
+    # and sql_view_registry_lifecycle (added past the r10 gate — need
+    # their FIRST driver rows; all oracle-replayed by
+    # tests/test_oracle_parity.py meanwhile) plus the remaining 45
+    # r8-certified queries
     # (3 rounds old then), all covered by the pytest oracle replay
     # meanwhile:
     # flagship_event_type_counts, near_dup_doc_clusters,
@@ -1338,6 +1341,231 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.table("orders_ddl").unregister(spark, "orders_ddl")
     lake.sql(spark, "DROP TABLE orders_ddl")
     spark.catalog.dropTempView("orders_src")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SQL CALL maintenance lifecycle (round 10; tables/sql_call.py): the
+# Iceberg stored-procedure surface the reference's operations runbook
+# drives from a warehouse session (docs/operations-runbook.md — snapshot
+# expiry, compaction, rollback after a bad write), here as one statement
+# sequence: build a table with 3 inserts, ALTER TABLE CREATE TAG the
+# good state, DELETE (the "bad write"), CALL rewrite_data_files, CALL
+# ancestors_of, CALL rollback_to_snapshot back to the tagged snapshot,
+# CALL expire_snapshots — proving the tag pins its snapshot through the
+# expiry while everything else is erased. Emitted values are either
+# relational (row counts DuckDB replays) or commit-count integers fixed
+# by the statement sequence itself.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_call_maintenance_lifecycle",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 600
+                 AND o_orderkey % 10 <> 0) AS BIGINT) AS n_after_delete,
+           TRUE AS compact_preserved_rows,
+           TRUE AS compaction_bounded,
+           CAST(5 AS BIGINT) AS n_commits_after_compact,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 600)
+                AS BIGINT) AS n_after_rollback,
+           CAST(4 AS BIGINT) AS deleted_snapshots,
+           CAST(2 AS BIGINT) AS n_commits_after_expire,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 600)
+                AS BIGINT) AS n_tag_rows_after_expire
+    """,
+)
+def sql_call_maintenance_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="sqlcall_") + "/lake")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_src_call")
+    lake.sql_script(spark, """
+        CREATE TABLE orders_maint (
+          o_orderkey BIGINT NOT NULL,
+          o_totalprice DOUBLE
+        );
+        INSERT INTO orders_maint
+          SELECT * FROM orders_src_call WHERE o_orderkey < 200;
+        INSERT INTO orders_maint
+          SELECT * FROM orders_src_call
+          WHERE o_orderkey >= 200 AND o_orderkey < 400;
+        INSERT INTO orders_maint
+          SELECT * FROM orders_src_call
+          WHERE o_orderkey >= 400 AND o_orderkey < 600;
+        ALTER TABLE orders_maint CREATE TAG pre_delete
+    """)
+    lake.sql(
+        spark, "DELETE FROM orders_maint WHERE o_orderkey % 10 = 0"
+    )
+    n_after_delete = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM orders_maint"
+    ).first().n
+    rw = lake.sql(
+        spark, "CALL system.rewrite_data_files(table => 'orders_maint')"
+    ).first()
+    n_after_compact = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM orders_maint"
+    ).first().n
+    anc = lake.sql(
+        spark, "CALL system.ancestors_of('orders_maint')"
+    ).collect()
+    # roll back to the tagged pre-delete snapshot (metadata-only)
+    t = lake.table("orders_maint")
+    tag_sid = t.tag("pre_delete")["snapshot_id"]
+    lake.sql(
+        spark,
+        f"CALL system.rollback_to_snapshot(table => 'orders_maint', "
+        f"snapshot_id => '{tag_sid}')",
+    )
+    n_after_rollback = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM orders_maint"
+    ).first().n
+    # head-only retention: the live tag pins its snapshot through it
+    n_deleted = lake.sql(
+        spark,
+        "CALL system.expire_snapshots(table => 'orders_maint', "
+        "max_age_ms => 0)",
+    ).first().deleted_snapshots_count
+    n_commits_after = len(
+        lake.sql(spark, "CALL system.ancestors_of('orders_maint')")
+        .collect()
+    )
+    n_tag_rows = lake.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM orders_maint "
+        "FOR VERSION AS OF 'pre_delete'",
+    ).first().n
+    out = spark.createDataFrame(
+        [(
+            int(n_after_delete),
+            bool(n_after_compact == n_after_delete),
+            bool(
+                rw.added_data_files_count <= rw.rewritten_data_files_count
+            ),
+            len(anc),
+            int(n_after_rollback),
+            int(n_deleted),
+            int(n_commits_after),
+            int(n_tag_rows),
+        )],
+        "n_after_delete BIGINT, compact_preserved_rows BOOLEAN, "
+        "compaction_bounded BOOLEAN, n_commits_after_compact BIGINT, "
+        "n_after_rollback BIGINT, deleted_snapshots BIGINT, "
+        "n_commits_after_expire BIGINT, n_tag_rows_after_expire BIGINT",
+    )
+    t.unregister(spark, "orders_maint")
+    spark.catalog.dropTempView("orders_src_call")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Catalog views (round 10; lakehouse.py::create_view + sql_ddl.py): the
+# Iceberg view-spec analog — versioned SQL text resolved at read time
+# under the invoker's governance. The lifecycle pins the four properties
+# that make a view a view: it FOLLOWS the head (new commits appear with
+# no re-create), CREATE OR REPLACE appends a definition version, old
+# versions stay readable via FOR VERSION AS OF (definition pinned, data
+# live), and views compose (a view over a view re-expands through both).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_view_registry_lifecycle",
+    oracle="""
+    WITH cur AS (SELECT * FROM orders WHERE o_orderkey < 1000)
+    SELECT CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey < 500 AND o_totalprice > 100000)
+                AS BIGINT) AS n_v0_initial,
+           CAST((SELECT COUNT(*) FROM cur WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_v0_after_append,
+           CAST((SELECT COUNT(*) FROM cur WHERE o_totalprice > 150000)
+                AS BIGINT) AS n_v1,
+           CAST((SELECT COUNT(*) FROM cur WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_v0_pinned,
+           CAST((SELECT COUNT(*) FROM cur WHERE o_totalprice > 150000
+                 AND o_orderkey % 2 = 0)
+                AS BIGINT) AS n_nested
+    """,
+)
+def sql_view_registry_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="sqlview_") + "/lake")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_src_view")
+    lake.sql_script(spark, """
+        CREATE TABLE orders_vsrc (
+          o_orderkey BIGINT NOT NULL,
+          o_totalprice DOUBLE
+        );
+        INSERT INTO orders_vsrc
+          SELECT * FROM orders_src_view WHERE o_orderkey < 500;
+        CREATE VIEW big_orders COMMENT 'orders above 100k'
+          AS SELECT o_orderkey, o_totalprice FROM orders_vsrc
+             WHERE o_totalprice > 100000
+    """)
+    n_v0_initial = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM big_orders"
+    ).first().n
+    # the view follows the head: a new commit appears without re-create
+    lake.sql(spark, """
+        INSERT INTO orders_vsrc
+          SELECT * FROM orders_src_view
+          WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """)
+    n_v0_after = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM big_orders"
+    ).first().n
+    # REPLACE appends version 1; version 0 stays readable (definition
+    # pinned, data LIVE — both versions see the full current table)
+    lake.sql(spark, """
+        CREATE OR REPLACE VIEW big_orders
+          AS SELECT o_orderkey, o_totalprice FROM orders_vsrc
+             WHERE o_totalprice > 150000
+    """)
+    n_v1 = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM big_orders"
+    ).first().n
+    n_v0_pinned = lake.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM big_orders FOR VERSION AS OF 0",
+    ).first().n
+    # views compose: a view over the (current) view
+    lake.sql(spark, """
+        CREATE VIEW big_even
+          AS SELECT * FROM big_orders WHERE o_orderkey % 2 = 0
+    """)
+    n_nested = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM big_even"
+    ).first().n
+    out = spark.createDataFrame(
+        [(
+            int(n_v0_initial),
+            int(n_v0_after),
+            int(n_v1),
+            int(n_v0_pinned),
+            int(n_nested),
+        )],
+        "n_v0_initial BIGINT, n_v0_after_append BIGINT, n_v1 BIGINT, "
+        "n_v0_pinned BIGINT, n_nested BIGINT",
+    )
+    lake.sql_script(
+        spark, "DROP VIEW big_even; DROP VIEW big_orders"
+    )
+    lake.table("orders_vsrc").unregister(spark, "orders_vsrc")
+    spark.catalog.dropTempView("orders_src_view")
     return out
 
 

@@ -83,10 +83,23 @@ class Lakehouse:
         name = template["name"]
         if (self.root / name / "table.json").exists():
             raise ValueError(f"Table {name!r} already exists in {self.root}")
+        if (self.root / name / "view.json").exists():
+            raise ValueError(
+                f"{name!r} is a view in {self.root} — view and table "
+                "names share the catalog namespace"
+            )
         return SnapTable.create(self.root / name, template)
 
     def table(self, name: str) -> SnapTable:
-        return SnapTable.load(self.root / name)
+        try:
+            return SnapTable.load(self.root / name)
+        except TableNotFoundError:
+            if (self.root / name / "view.json").exists():
+                raise TableNotFoundError(
+                    f"{name!r} is a VIEW — read it with SELECT; views "
+                    "are read-only (no DML, no table handle)"
+                )
+            raise
 
     def drop_table(self, name: str, if_exists: bool = False) -> bool:
         """Remove a table — its metadata, commit log, and data files.
@@ -107,6 +120,107 @@ class Lakehouse:
         # survive a DROP + CREATE of the same name and silently serve the
         # dropped table's data on a repeated FOR … AS OF with the same
         # literal (the re-registration only happens on a registry miss)
+        self._purge_registry(name)
+        return True
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            p.parent.name for p in self.root.glob("*/table.json")
+        )
+
+    # -- views (round 10: the Iceberg view-spec analog) ----------------------
+    #
+    # A catalog view is VERSIONED SQL TEXT (the Iceberg view spec's model:
+    # view metadata holds a version list, each version a representation of
+    # the query; engines re-resolve the text at read time). Serving is
+    # invoker-rights macro expansion through the same governed front door
+    # every SELECT uses: the stored SQL re-plans whenever a referenced
+    # table's head moves (heads are part of the expansion memo key), so a
+    # view always serves current data under the READER'S access level —
+    # never a definer's snapshot.
+
+    def create_view(
+        self,
+        name: str,
+        sql: str,
+        replace: bool = False,
+        comment: str | None = None,
+        namespace: str = "default",
+    ) -> dict:
+        """Store (or, with ``replace``, version-bump) a catalog view.
+        Each replace APPENDS a version — the full definition history
+        stays readable (``FOR VERSION AS OF <n>`` serves version n's
+        text), like Iceberg view versions."""
+        import os
+        import uuid
+
+        if (self.root / name / "table.json").exists():
+            raise ValueError(
+                f"{name!r} is a table in {self.root} — view and table "
+                "names share the catalog namespace"
+            )
+        path = self.root / name / "view.json"
+        doc: dict | None = None
+        if path.exists():
+            if not replace:
+                raise ValueError(
+                    f"View {name!r} already exists (CREATE OR REPLACE "
+                    "VIEW appends a new version)"
+                )
+            doc = json.loads(path.read_text())
+        if doc is None:
+            doc = {
+                "name": name,
+                "namespace": namespace,
+                "versions": [],
+                "current_version": -1,
+            }
+        version = doc["current_version"] + 1
+        doc["versions"].append(
+            {
+                "version": version,
+                "sql": sql.strip(),
+                "comment": comment,
+                "created_at_ms": int(time.time() * 1000),
+            }
+        )
+        doc["current_version"] = version
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.parent / f".tmp-view-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(doc, indent=2))
+        os.replace(tmp, path)
+        self._purge_registry(name)
+        return {
+            "operation": "create_view",
+            "view": name,
+            "version": version,
+        }
+
+    def view(self, name: str) -> dict:
+        path = self.root / name / "view.json"
+        if not path.exists():
+            raise TableNotFoundError(f"No view {name!r} in {self.root}")
+        return json.loads(path.read_text())
+
+    def list_views(self) -> list[str]:
+        return sorted(p.parent.name for p in self.root.glob("*/view.json"))
+
+    def drop_view(self, name: str, if_exists: bool = False) -> bool:
+        import shutil
+
+        path = self.root / name / "view.json"
+        if not path.exists():
+            if if_exists:
+                return False
+            raise TableNotFoundError(f"No view {name!r} in {self.root}")
+        shutil.rmtree(self.root / name)
+        self._purge_registry(name)
+        return True
+
+    def _purge_registry(self, name: str) -> None:
+        """Forget every memoized registration derived from ``name`` (base,
+        pinned as-of, and branch-scope entries) so the next statement
+        re-resolves against the new definition/state."""
         stale = [
             k
             for k in self._sql_registry
@@ -116,12 +230,6 @@ class Lakehouse:
         ]
         for k in stale:
             self._sql_registry.pop(k, None)
-        return True
-
-    def list_tables(self) -> list[str]:
-        return sorted(
-            p.parent.name for p in self.root.glob("*/table.json")
-        )
 
     def register_all(
         self,
@@ -186,6 +294,11 @@ class Lakehouse:
             if tables is None:
                 tables = set(self.list_tables())
             if name not in tables:
+                if (self.root / name / "view.json").exists():
+                    return self._pin_view_version(
+                        spark, name, kind, raw, access_level,
+                        accessor or self.table, scope,
+                    )
                 return m.group(0)  # not ours — let Spark error naturally
             value = (
                 raw[1:-1].replace("''", "'") if raw.startswith("'") else raw
@@ -240,6 +353,107 @@ class Lakehouse:
 
         return Lakehouse._ASOF_RE.sub(sub, statement)
 
+    def _pin_view_version(
+        self,
+        spark,
+        name: str,
+        kind: str,
+        raw: str,
+        access_level: str,
+        accessor,
+        scope: str,
+    ) -> str:
+        """``v FOR VERSION AS OF <n>`` on a catalog VIEW pins the
+        DEFINITION, not the data (Iceberg view versions are definition
+        history): version n's SQL text expands against the CURRENT table
+        heads under the invoker's access level. TIMESTAMP resolves the
+        newest version created at or before the instant. The registered
+        pin re-expands when underlying heads move (heads are in the memo
+        key) — a pinned definition still serves live data."""
+        import hashlib
+
+        doc = self.view(name)
+        if kind == "VERSION":
+            if raw.startswith("'"):
+                raise ValueError(
+                    f"FOR VERSION AS OF on view {name!r} takes an integer "
+                    "view version (views have no snapshot ids or tags)"
+                )
+            version = int(raw)
+            entry = next(
+                (v for v in doc["versions"] if v["version"] == version),
+                None,
+            )
+            if entry is None:
+                raise ValueError(
+                    f"FOR VERSION AS OF {version}: view {name!r} has "
+                    f"versions 0..{doc['current_version']}"
+                )
+        else:
+            if raw.startswith("'"):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(raw[1:-1].replace("''", "'"))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts = int(dt.timestamp() * 1000)
+            else:
+                ts = int(raw)
+            candidates = [
+                v for v in doc["versions"] if v["created_at_ms"] <= ts
+            ]
+            if not candidates:
+                raise ValueError(
+                    f"FOR TIMESTAMP AS OF {ts}: view {name!r} did not "
+                    "exist yet"
+                )
+            entry = candidates[-1]
+        view = (
+            f"{name}__asof_"
+            + hashlib.md5(
+                f"{scope}|VIEWV|{entry['version']}".encode()
+            ).hexdigest()[:8]
+        )
+        heads = self._view_head_key(entry["sql"], accessor, {name})
+        want = ("view", scope, str(access_level), entry["version"], heads)
+        if self._sql_registry.get(view) != want:
+            df = self.sql(
+                spark, entry["sql"], access_level, _scope=scope,
+                _accessor=None if accessor == self.table else accessor,
+            )
+            df.createOrReplaceTempView(view)
+            self._sql_registry[view] = want
+        return view
+
+    def _view_head_key(
+        self, view_sql: str, accessor, seen: set
+    ) -> tuple:
+        """The freshness key of a view definition: a sorted tuple of
+        (table, head_sequence) for every catalog table the SQL text
+        (transitively, through nested views) references. One cheap
+        filename-only head probe per referenced table — the same probe
+        the lazy table registration pays per statement."""
+        import re
+
+        tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", view_sql))
+        heads: list[tuple] = []
+        for tname in self.list_tables():
+            if tname in tokens or any(
+                tname + s in tokens for s in self._MD_SUFFIXES
+            ):
+                heads.append((tname, accessor(tname).head_sequence()))
+        for vname in self.list_views():
+            if vname in tokens and vname not in seen:
+                doc = self.view(vname)
+                cur = doc["versions"][doc["current_version"]]
+                heads.append((vname, f"v{doc['current_version']}"))
+                heads.extend(
+                    self._view_head_key(
+                        cur["sql"], accessor, seen | {vname}
+                    )
+                )
+        return tuple(sorted(heads))
+
     @staticmethod
     def _scope_suffix(scope: str) -> str:
         """Per-scope view-name suffix: '' on main, a stable hash of the
@@ -265,13 +479,14 @@ class Lakehouse:
         import re
 
         names = self.list_tables()
-        if not names:
+        views = self.list_views()
+        if not names and not views:
             return statement
         # the alternation spans every table name × metadata suffix —
         # O(catalog) to BUILD, so the compiled pattern memoizes on the
         # (names, suffix) pair and a 1000-table catalog pays the compile
         # once per catalog change, not once per branch statement
-        cache_key = (tuple(names), suffix)
+        cache_key = (tuple(names), tuple(views), suffix)
         cached = getattr(self, "_scope_pat_cache", None)
         if cached is None:
             cached = self._scope_pat_cache = {}
@@ -283,6 +498,8 @@ class Lakehouse:
                 mapping[n] = n + suffix
                 for s in self._MD_SUFFIXES:
                     mapping[n + s] = n + suffix + s
+            for v in views:
+                mapping[v] = v + suffix
             alts = "|".join(
                 re.escape(k) for k in sorted(mapping, key=len, reverse=True)
             )
@@ -373,6 +590,22 @@ class Lakehouse:
                 )
             return execute_ddl(self, spark, statement, access_level)
 
+        from iceberg_quickstart_iac_spark.tables.sql_call import (
+            execute_call,
+            is_call,
+        )
+
+        if is_call(statement):
+            # Iceberg-style stored procedures (CALL system.expire_snapshots
+            # etc. — tables/sql_call.py). Maintenance rewrites main-catalog
+            # state; a branch runs reads and DML only.
+            if _scope != "main":
+                raise RuntimeError(
+                    "CALL procedures maintain main-catalog state — run "
+                    "them on the main catalog, not a catalog branch"
+                )
+            return execute_call(self, spark, statement, access_level)
+
         if re.search(r"\bas\s+of\b", statement, re.IGNORECASE):
             statement = self._rewrite_time_travel(
                 spark, statement, access_level, accessor=accessor,
@@ -451,8 +684,51 @@ class Lakehouse:
                     )
                 self._sql_registry[view] = want
 
+        def ensure_views() -> None:
+            # catalog views are versioned SQL text: expand the CURRENT
+            # version through this same front door (invoker's access
+            # level, same scope) and register the result. The memo key
+            # carries the view version AND the head sequence of every
+            # table the definition (transitively) references, so a
+            # commit to an underlying table — or a CREATE OR REPLACE of
+            # the view — re-expands on the next statement; otherwise the
+            # expansion is free. Cycles raise instead of recursing.
+            for vname in self.list_views():
+                view = vname + suffix
+                if view not in tokens:
+                    continue
+                doc = self.view(vname)
+                cur = doc["versions"][doc["current_version"]]
+                heads = self._view_head_key(
+                    cur["sql"], accessor, {vname}
+                )
+                want = (
+                    "view", _scope, str(access_level),
+                    doc["current_version"], heads,
+                )
+                if self._sql_registry.get(view) == want:
+                    continue
+                stack = getattr(self, "_view_stack", None)
+                if stack is None:
+                    stack = self._view_stack = set()
+                if vname in stack:
+                    raise ValueError(
+                        f"View cycle detected through {vname!r}"
+                    )
+                stack.add(vname)
+                try:
+                    df = self.sql(
+                        spark, cur["sql"], access_level,
+                        _scope=_scope, _accessor=_accessor,
+                    )
+                finally:
+                    stack.discard(vname)
+                df.createOrReplaceTempView(view)
+                self._sql_registry[view] = want
+
         from pyspark.errors import AnalysisException
 
+        ensure_views()
         ensure_registered()
         if is_dml(statement):
             return execute_dml(
@@ -470,6 +746,7 @@ class Lakehouse:
                     name + s in tokens for s in self._MD_SUFFIXES
                 ):
                     self._sql_registry.pop(name, None)
+            ensure_views()
             ensure_registered()
             return spark.sql(statement)
 

@@ -29,6 +29,12 @@ a user can stand up and evolve tables with statements alone:
   not a destructive rm)
 - ``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` → catalog/template metadata
   as DataFrames (the Athena console surface)
+- ``ALTER TABLE t CREATE TAG|BRANCH [IF NOT EXISTS] r [AS OF VERSION
+  n] [RETAIN n DAYS]`` / ``REPLACE TAG r AS OF VERSION n`` /
+  ``DROP TAG|BRANCH [IF EXISTS] r`` (round 10) → the Iceberg ref SQL
+  surface over create_tag/create_branch/delete_tag/delete_branch;
+  RETAIN maps to the tag's ``max_ref_age_ms``, AS OF VERSION resolves
+  a commit SEQUENCE (the number ``FOR VERSION AS OF`` reads use)
 
 Types parse from the Spark DDL names the generator emits (BIGINT, INT,
 DOUBLE, FLOAT, STRING, BOOLEAN, DATE, TIMESTAMP/_NTZ, BINARY,
@@ -45,7 +51,8 @@ import re
 #: CREATE FUNCTION, etc. fall through to spark.sql untouched
 _DDL_KW = re.compile(
     r"^\s*(?:create\s+(?:table|namespace)|drop\s+table|alter\s+table"
-    r"|truncate\s+table|show\s+tables|describe\b|desc\s+table)\b",
+    r"|truncate\s+table|show\s+tables|describe\b|desc\s+table"
+    r"|create\s+(?:or\s+replace\s+)?view|drop\s+view|show\s+views)\b",
     re.IGNORECASE,
 )
 
@@ -357,6 +364,67 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
             "row_count": commit["row_count"],
         }
 
+    # -- catalog views (round 10: versioned SQL text, Iceberg view spec) --
+    m = re.match(
+        r"^create\s+(or\s+replace\s+)?view\s+([\w.]+)\s+(.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        replace, dotted, rest = m.groups()
+        name, namespace = _table_name(dotted)
+        rest = rest.strip()
+        comment = None
+        cm = re.match(
+            r"^comment\s+('(?:[^']|'')*')\s+(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            comment = _unquote(cm.group(1))
+            rest = cm.group(2).strip()
+        am = re.match(r"^as\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if not am:
+            raise ValueError(
+                f"DDL: CREATE VIEW {name} needs AS <query> (temp views "
+                "go straight to spark.sql)"
+            )
+        return lake.create_view(
+            name,
+            am.group(1).strip(),
+            replace=bool(replace),
+            comment=comment,
+            namespace=namespace or "default",
+        )
+
+    m = re.match(
+        r"^drop\s+view\s+(if\s+exists\s+)?([\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        if_exists, dotted = m.groups()
+        name, _ = _table_name(dotted)
+        dropped = lake.drop_view(name, if_exists=bool(if_exists))
+        return {"operation": "drop_view", "view": name, "dropped": dropped}
+
+    if re.match(r"^show\s+views\s*$", s, re.IGNORECASE):
+        rows = []
+        for name in lake.list_views():
+            doc = lake.view(name)
+            cur = doc["versions"][doc["current_version"]]
+            rows.append(
+                (
+                    str(doc.get("namespace", "default")),
+                    name,
+                    int(doc["current_version"]),
+                    cur.get("comment") or "",
+                )
+            )
+        return spark.createDataFrame(
+            rows or [("", "", 0, "")],
+            "namespace STRING, view_name STRING, current_version BIGINT, "
+            "comment STRING",
+        ).filter("view_name <> ''").orderBy("namespace", "view_name")
+
     if re.match(r"^show\s+tables\s*$", s, re.IGNORECASE):
         rows = []
         for name in lake.list_tables():
@@ -445,6 +513,91 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
                     entry["null_order"] = "nulls_" + nulls.lower()
                 order.append(entry)
             return t.evolve_sort_order(order)
+        # Iceberg ref DDL (the public branching-and-tagging SQL surface):
+        # ALTER TABLE t CREATE TAG|BRANCH [IF NOT EXISTS] r
+        #   [AS OF VERSION <sequence>] [RETAIN <n> DAYS]
+        # ALTER TABLE t REPLACE TAG r AS OF VERSION <sequence>
+        # ALTER TABLE t DROP TAG|BRANCH [IF EXISTS] r
+        am = re.match(
+            r"^(create|replace)\s+(tag|branch)\s+(if\s+not\s+exists\s+)?"
+            r"(\w+)(?:\s+as\s+of\s+version\s+(\d+))?"
+            r"(?:\s+retain\s+(\d+)\s+days)?$",
+            a,
+            re.IGNORECASE,
+        )
+        if am:
+            verb, kind, if_not_exists, ref, seq, days = am.groups()
+            verb, kind = verb.lower(), kind.lower()
+            snapshot_id = None
+            if seq is not None:
+                entry = next(
+                    (e for e in t._entries() if e["sequence"] == int(seq)),
+                    None,
+                )
+                if entry is None:
+                    raise ValueError(
+                        f"DDL: AS OF VERSION {seq}: no commit with that "
+                        f"sequence on {name!r}"
+                    )
+                snapshot_id = entry["snapshot_id"]
+            exists = (
+                any(r["name"] == ref for r in t.list_tags())
+                if kind == "tag"
+                else any(b["name"] == ref for b in t.list_branches())
+            )
+            if verb == "replace":
+                if kind != "tag":
+                    raise ValueError(
+                        "DDL: REPLACE BRANCH is not supported — branches "
+                        "carry commits; merge or drop-and-recreate instead"
+                    )
+                if exists:
+                    t.delete_tag(ref)
+            elif exists:
+                if if_not_exists:
+                    return {"operation": f"create_{kind}", "table": name,
+                            "ref": ref, "created": False}
+                raise ValueError(
+                    f"DDL: {kind} {ref!r} already exists on {name!r}"
+                )
+            if kind == "tag":
+                kwargs = {}
+                if days is not None:
+                    kwargs["max_ref_age_ms"] = int(days) * 86400 * 1000
+                t.create_tag(ref, snapshot_id=snapshot_id, **kwargs)
+            else:
+                if days is not None:
+                    raise ValueError(
+                        "DDL: RETAIN applies to tags — branch retention "
+                        "follows table history expiry"
+                    )
+                t.create_branch(ref, at_snapshot_id=snapshot_id)
+            return {"operation": f"{verb}_{kind}", "table": name,
+                    "ref": ref, "created": True}
+        am = re.match(
+            r"^drop\s+(tag|branch)\s+(if\s+exists\s+)?(\w+)$",
+            a,
+            re.IGNORECASE,
+        )
+        if am:
+            kind, if_exists, ref = am.groups()
+            kind = kind.lower()
+            exists = (
+                any(r["name"] == ref for r in t.list_tags())
+                if kind == "tag"
+                else any(b["name"] == ref for b in t.list_branches())
+            )
+            if not exists:
+                if if_exists:
+                    return {"operation": f"drop_{kind}", "table": name,
+                            "ref": ref, "dropped": False}
+                raise ValueError(f"DDL: no {kind} {ref!r} on {name!r}")
+            if kind == "tag":
+                t.delete_tag(ref)
+            else:
+                t.delete_branch(ref)
+            return {"operation": f"drop_{kind}", "table": name,
+                    "ref": ref, "dropped": True}
         raise ValueError(f"DDL: unsupported ALTER TABLE action {action!r}")
 
     raise ValueError(f"DDL: unsupported statement {statement!r}")

@@ -884,3 +884,50 @@ def test_ctas_regex_extracts_query_with_hostile_literals(payload):
         assert m.group(2) == want_name
         assert m.group(3).startswith("select ")
         assert lit in m.group(3)
+
+
+# -- CALL procedure-statement fuzz (round 10; tables/sql_call.py) ------------
+
+
+@given(
+    payload=_SQL_PAYLOAD,
+    proc=st.sampled_from(
+        ["expire_snapshots", "rewrite_data_files", "ancestors_of",
+         "rollback_to_snapshot", "create_changelog_view"]
+    ),
+    qualifier=st.sampled_from(["system", "lakehouse.system", "c.n.system"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_call_parse_fuzz_string_args_survive(payload, proc, qualifier):
+    """CALL argument parsing is string-literal-safe: a quoted argument
+    containing commas, arrows, parens, or procedure-ish text survives
+    byte-for-byte, and the procedure/table route never shifts."""
+    from iceberg_quickstart_iac_spark.tables.sql_call import parse_call
+
+    lit = _sql_lit(payload)
+    stmt = (
+        f"CALL {qualifier}.{proc}(table => 't1', snapshot_id => {lit})"
+    )
+    got_proc, args = parse_call(stmt)
+    assert got_proc == proc
+    assert args["table"] == "t1"
+    assert args["snapshot_id"] == payload
+
+
+@given(garbage=_SQL_PAYLOAD)
+@settings(max_examples=300, deadline=None)
+def test_call_parse_never_misroutes(garbage):
+    """Arbitrary text after CALL either parses to a known procedure with
+    a table argument or raises ValueError — never returns a bogus route
+    and never raises anything else."""
+    from iceberg_quickstart_iac_spark.tables.sql_call import (
+        _PROC_ACCESS,
+        parse_call,
+    )
+
+    try:
+        proc, args = parse_call("CALL " + garbage)
+    except ValueError:
+        return
+    assert proc in _PROC_ACCESS
+    assert "table" in args

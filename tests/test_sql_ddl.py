@@ -266,3 +266,73 @@ def test_show_tables_on_empty_catalog(spark, tmp_path):
 
     empty = Lakehouse(tmp_path / "empty_lake")
     assert empty.sql(spark, "SHOW TABLES").count() == 0
+
+
+# ---------------------------------------------------------- ref DDL (r10)
+
+
+def test_ref_ddl_tag_lifecycle(spark, lake):
+    lake.sql(spark, "CREATE TABLE reft (k BIGINT)")
+    lake.sql(spark, "INSERT INTO reft SELECT id AS k FROM range(0, 5)")
+    lake.sql(spark, "INSERT INTO reft SELECT id AS k FROM range(5, 9)")
+    t = lake.table("reft")
+    r = lake.sql(
+        spark,
+        "ALTER TABLE reft CREATE TAG v1 AS OF VERSION 0 RETAIN 30 DAYS",
+    )
+    assert r == {"operation": "create_tag", "table": "reft", "ref": "v1",
+                 "created": True}
+    tag = t.tag("v1")
+    assert tag["sequence"] == 0
+    assert tag["max_ref_age_ms"] == 30 * 86400 * 1000
+    # the tag serves through time-travel SQL
+    n = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM reft FOR VERSION AS OF 'v1'"
+    ).first().n
+    assert n == 5
+    # IF NOT EXISTS: no-op; bare re-create: loud
+    r2 = lake.sql(spark, "ALTER TABLE reft CREATE TAG IF NOT EXISTS v1")
+    assert r2["created"] is False
+    with pytest.raises(ValueError, match="already exists"):
+        lake.sql(spark, "ALTER TABLE reft CREATE TAG v1")
+    # REPLACE moves the tag to another version
+    lake.sql(spark, "ALTER TABLE reft REPLACE TAG v1 AS OF VERSION 1")
+    assert t.tag("v1")["sequence"] == 1
+    # DROP removes it; IF EXISTS tolerates absence
+    r3 = lake.sql(spark, "ALTER TABLE reft DROP TAG v1")
+    assert r3["dropped"] is True
+    assert lake.sql(
+        spark, "ALTER TABLE reft DROP TAG IF EXISTS v1"
+    )["dropped"] is False
+    with pytest.raises(ValueError, match="no tag"):
+        lake.sql(spark, "ALTER TABLE reft DROP TAG v1")
+
+
+def test_ref_ddl_branch_lifecycle(spark, lake):
+    lake.sql(spark, "CREATE TABLE refb (k BIGINT)")
+    lake.sql(spark, "INSERT INTO refb SELECT id AS k FROM range(0, 5)")
+    t = lake.table("refb")
+    r = lake.sql(spark, "ALTER TABLE refb CREATE BRANCH audit")
+    assert r["created"] is True
+    assert [b["name"] for b in t.list_branches()] == ["audit"]
+    # branch writes stay isolated from main
+    t.branch("audit").append(
+        spark.range(100, 103).selectExpr("id AS k")
+    )
+    assert t.read(spark).count() == 5
+    assert t.branch("audit").read(spark).count() == 8
+    # RETAIN on a branch is a loud reject; REPLACE BRANCH too
+    with pytest.raises(ValueError, match="RETAIN applies to tags"):
+        lake.sql(spark, "ALTER TABLE refb CREATE BRANCH b2 RETAIN 7 DAYS")
+    with pytest.raises(ValueError, match="REPLACE BRANCH"):
+        lake.sql(spark, "ALTER TABLE refb REPLACE BRANCH audit AS OF VERSION 0")
+    r2 = lake.sql(spark, "ALTER TABLE refb DROP BRANCH audit")
+    assert r2["dropped"] is True
+    assert t.list_branches() == []
+
+
+def test_ref_ddl_as_of_version_unknown_sequence(spark, lake):
+    lake.sql(spark, "CREATE TABLE refv (k BIGINT)")
+    lake.sql(spark, "INSERT INTO refv SELECT id AS k FROM range(0, 3)")
+    with pytest.raises(ValueError, match="no commit with that sequence"):
+        lake.sql(spark, "ALTER TABLE refv CREATE TAG bad AS OF VERSION 9")
