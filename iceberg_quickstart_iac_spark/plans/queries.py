@@ -182,8 +182,9 @@ _GATE_PRIORITY: list[str] = [
     "corpus_curation_pipeline",
     "gdpr_erasure_lifecycle",
     # the r11 lead: bm25_batch_search, sql_call_maintenance_lifecycle,
-    # and sql_view_registry_lifecycle (added past the r10 gate — need
-    # their FIRST driver rows; all oracle-replayed by
+    # sql_view_registry_lifecycle, deterministic_corpus_shuffle,
+    # k_anonymity_audit, and sketch_accuracy_audit (added past the r10
+    # gate — need their FIRST driver rows; all oracle-replayed by
     # tests/test_oracle_parity.py meanwhile) plus the remaining 45
     # r8-certified queries
     # (3 rounds old then), all covered by the pytest oracle replay
@@ -8683,3 +8684,185 @@ def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "score", "matched_terms", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic seeded corpus shuffle + shard assignment (round 10): the
+# global-shuffle step every training run starts with, made reproducible
+# and cluster-scale. A seeded Knuth multiplicative hash over doc_id gives
+# every doc a pseudo-random 32-bit position; the shard is the hash's HIGH
+# RANGE (floor(h / 2^32 * n_shards)) and the within-shard read order is
+# the hash itself — so the pipeline is ONE map-only projection + ONE
+# exchange partitioned by shard + a per-partition local sort. No global
+# rank, no single-partition window, no driver state: the exact plan that
+# survives 100 TB (a windowed row_number over the whole corpus would
+# serialize on one task). Same seed ⇒ byte-identical order on any
+# cluster; a new seed reshuffles every epoch. The oracle replays the
+# integer hash arithmetic exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "deterministic_corpus_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 99991) % 4294967296 AS pos
+      FROM documents
+    )
+    SELECT CAST(pos // 536870912 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(MAX(pos) AS BIGINT) AS last_pos
+    FROM h
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def deterministic_corpus_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded reproducible shuffle: hash-position every doc, shard by
+    hash range, summarize per shard. Reference parity: the reference's
+    pipeline materializes ingest order as-is (dagster assets append in
+    partition order); a training exporter needs the decorrelated order
+    this provides. At scale the write would be
+    ``.repartition('shard').sortWithinPartitions('pos')`` streamed to
+    one file set per shard — the aggregate here certifies the exact
+    same (shard, pos) assignment the writer would use."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_shards = 8
+    pos = (F.col("doc_id") * F.lit(2654435761) + F.lit(99991)) % F.lit(
+        4294967296
+    )
+    return (
+        docs.select("doc_id", pos.alias("pos"))
+        .groupBy(
+            (F.col("pos") / F.lit(4294967296 // n_shards))
+            .cast("long")
+            .alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 10): the standard re-identification metric
+# for a release candidate — a row is k-anonymous when at least k rows
+# share its quasi-identifier tuple. The reference's compliance guide
+# drops/masks direct PII columns (docs/compliance.md; governance/access
+# implements that tier); this audits what masking does NOT fix: rare
+# (event_type, day) combinations that single someone out. One partial-agg
+# group count + one conditional re-aggregation — two shuffles total on
+# the QI key, fully codegen, O(groups) output at any scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS grp_n
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_groups,
+           CAST(COALESCE(SUM(CASE WHEN grp_n < 5 THEN grp_n END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(grp_n) AS BIGINT) AS smallest_group,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows_audited
+    FROM qi
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qi = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("grp_n"))
+    )
+    risky = F.col("grp_n") < 5
+    return qi.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0)).alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(risky, F.col("grp_n"))), F.lit(0)
+        ).alias("n_rows_at_risk"),
+        F.min("grp_n").alias("smallest_group"),
+        F.sum("grp_n").alias("n_rows_audited"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy audit (round 10): the 100 TB cardinality/quantile story
+# is SKETCHES (HLL++ for distinct counts, KLL-style for percentiles —
+# fixed memory per partition, one merge, no exact-distinct shuffle
+# explosion), but a sketch you haven't audited is a number you can't
+# trust. This runs Spark's approx_count_distinct (rsd 2%) and
+# percentile_approx NEXT TO the exact computations per event_type and
+# emits the exact values plus within-tolerance booleans. The oracle
+# replays the exact side and asserts the booleans — the sketch values
+# themselves are engine-specific and deliberately not hashed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_accuracy_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct,
+           CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonpos,
+           TRUE AS p50_within_range
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias(
+            "n_nonpos"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("hll_within_5pct"),
+        "n_nonpos",
+        # percentile_approx with accuracy 10k is near-exact on these
+        # group sizes; the audited contract is the loose sketch bound a
+        # 100 TB run relies on: the approx median lies within the
+        # group's [min, max] and within 5% of exact (relative to range)
+        (
+            (F.col("p50_approx") >= F.col("v_min"))
+            & (F.col("p50_approx") <= F.col("v_max"))
+            & (
+                F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                <= (F.col("v_max") - F.col("v_min")) * 0.05 + 1e-9
+            )
+        ).alias("p50_within_range"),
+    ).orderBy("event_type")

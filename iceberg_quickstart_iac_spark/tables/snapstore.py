@@ -2787,6 +2787,65 @@ class SnapTable:
         )
         return meta
 
+    def set_properties(self, props: dict) -> dict:
+        """Merge table properties (Iceberg's ``ALTER TABLE … SET
+        TBLPROPERTIES``). Metadata-only; keys overwrite, others keep."""
+        meta = self.meta
+        old = dict(meta.get("properties", {}))
+        meta.setdefault("properties", {}).update(
+            {str(k): str(v) for k, v in props.items()}
+        )
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "set_properties", "from": old,
+                     "to": meta["properties"]},
+        )
+        return meta
+
+    def unset_properties(self, keys: list[str]) -> dict:
+        """Remove table properties (``ALTER TABLE … UNSET TBLPROPERTIES``).
+        Unknown keys are ignored, like Iceberg's IF EXISTS behavior."""
+        meta = self.meta
+        old = dict(meta.get("properties", {}))
+        for k in keys:
+            meta.get("properties", {}).pop(str(k), None)
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "unset_properties", "from": old,
+                     "to": meta.get("properties", {})},
+        )
+        return meta
+
+    def set_identifier_fields(self, fields: list[str]) -> dict:
+        """Declare the row-identity columns (Iceberg's ``ALTER TABLE …
+        SET IDENTIFIER FIELDS`` — the fields MoR equality deletes key
+        on). Fields must be declared columns; an empty list clears."""
+        meta = self.meta
+        declared = {c["name"] for c in meta.get("columns", [])}
+        for f in fields:
+            if f not in declared:
+                raise ValueError(
+                    f"Identifier field {f!r} is not a declared column of "
+                    f"{self.fq_name}"
+                )
+        old = meta.get("identifier_fields")
+        if fields:
+            meta["identifier_fields"] = list(fields)
+        else:
+            meta.pop("identifier_fields", None)
+        self._write_meta(meta)
+        log_audit_event(
+            "schema_evolution",
+            self.fq_name,
+            details={"change": "identifier_fields", "from": old,
+                     "to": fields or None},
+        )
+        return meta
+
     # -- incremental reads -------------------------------------------------
 
     def read_incremental(

@@ -35,6 +35,15 @@ a user can stand up and evolve tables with statements alone:
   surface over create_tag/create_branch/delete_tag/delete_branch;
   RETAIN maps to the tag's ``max_ref_age_ms``, AS OF VERSION resolves
   a commit SEQUENCE (the number ``FOR VERSION AS OF`` reads use)
+- ``ALTER TABLE t ADD|DROP PARTITION FIELD <transform>`` /
+  ``REPLACE PARTITION FIELD a WITH b`` (round 10) → metadata-only
+  partition evolution (``evolve_partition_spec`` — old data keeps its
+  recorded spec, Iceberg split-planning semantics)
+- ``ALTER TABLE t SET|UNSET TBLPROPERTIES (…)`` (round 10) →
+  ``set_properties``/``unset_properties`` with the same key mapping
+  CREATE TABLE uses; UNSET of an unknown key is a no-op
+- ``ALTER TABLE t SET IDENTIFIER FIELDS a[, b]`` / ``DROP IDENTIFIER
+  FIELDS`` (round 10) → the MoR equality-delete key declaration
 
 Types parse from the Spark DDL names the generator emits (BIGINT, INT,
 DOUBLE, FLOAT, STRING, BOOLEAN, DATE, TIMESTAMP/_NTZ, BINARY,
@@ -513,6 +522,88 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
                     entry["null_order"] = "nulls_" + nulls.lower()
                 order.append(entry)
             return t.evolve_sort_order(order)
+        # partition evolution (Iceberg's ALTER TABLE partition-field SQL;
+        # metadata-only — old data keeps its recorded spec)
+        am = re.match(
+            r"^add\s+partition\s+field\s+(.+)$", a, re.IGNORECASE
+        )
+        if am:
+            entry = _parse_transform(am.group(1))
+            spec = list(t.meta.get("partition_spec") or [])
+            if entry in spec:
+                raise ValueError(
+                    f"DDL: partition field {am.group(1).strip()!r} is "
+                    f"already on {name!r}"
+                )
+            return t.evolve_partition_spec(spec + [entry])
+        am = re.match(
+            r"^drop\s+partition\s+field\s+(.+)$", a, re.IGNORECASE
+        )
+        if am:
+            entry = _parse_transform(am.group(1))
+            spec = list(t.meta.get("partition_spec") or [])
+            if entry not in spec:
+                raise ValueError(
+                    f"DDL: no partition field {am.group(1).strip()!r} on "
+                    f"{name!r} (current: {spec})"
+                )
+            return t.evolve_partition_spec(
+                [p for p in spec if p != entry]
+            )
+        am = re.match(
+            r"^replace\s+partition\s+field\s+(.+?)\s+with\s+(.+)$",
+            a,
+            re.IGNORECASE,
+        )
+        if am:
+            old_e = _parse_transform(am.group(1))
+            new_e = _parse_transform(am.group(2))
+            spec = list(t.meta.get("partition_spec") or [])
+            if old_e not in spec:
+                raise ValueError(
+                    f"DDL: no partition field {am.group(1).strip()!r} on "
+                    f"{name!r} (current: {spec})"
+                )
+            return t.evolve_partition_spec(
+                [new_e if p == old_e else p for p in spec]
+            )
+        # table properties
+        am = re.match(
+            r"^set\s+tblproperties\s*\((.+)\)\s*$",
+            a,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            props = {}
+            for pair in _split_top_level(am.group(1)):
+                k, eq, v = pair.partition("=")
+                if not eq:
+                    raise ValueError(f"DDL: malformed property {pair!r}")
+                key = _unquote(k)
+                props[_REVERSE_PROPS.get(key, key)] = _unquote(v)
+            return t.set_properties(props)
+        am = re.match(
+            r"^unset\s+tblproperties\s*(?:if\s+exists\s*)?\((.+)\)\s*$",
+            a,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            keys = [
+                _REVERSE_PROPS.get(_unquote(k), _unquote(k))
+                for k in _split_top_level(am.group(1))
+            ]
+            return t.unset_properties(keys)
+        # identifier fields (the MoR equality-delete key declaration)
+        am = re.match(
+            r"^set\s+identifier\s+fields\s+(.+)$", a, re.IGNORECASE
+        )
+        if am:
+            fields = [
+                f.strip() for f in am.group(1).split(",") if f.strip()
+            ]
+            return t.set_identifier_fields(fields)
+        if re.match(r"^drop\s+identifier\s+fields\s*$", a, re.IGNORECASE):
+            return t.set_identifier_fields([])
         # Iceberg ref DDL (the public branching-and-tagging SQL surface):
         # ALTER TABLE t CREATE TAG|BRANCH [IF NOT EXISTS] r
         #   [AS OF VERSION <sequence>] [RETAIN <n> DAYS]

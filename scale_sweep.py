@@ -405,6 +405,28 @@ def wl_repeated_substrings(spark, sf_dir: str, factor: int) -> int:
     return out.agg(F.sum("n_dup_windows")).first()[0]
 
 
+def wl_corpus_shuffle(spark, sf_dir: str, factor: int) -> int:
+    """X43 at corpus scale: seeded deterministic shuffle + shard
+    assignment. Map-only hash projection + one partial-agg shuffle on
+    the 8 shard keys — pure scan cost, alpha ~ 1 by construction; any
+    drift above that means the hash or grouping stopped being map-side
+    combinable."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    pos = (F.col("doc_id") * F.lit(2654435761) + F.lit(99991)) % F.lit(
+        4294967296
+    )
+    out = (
+        docs.select("doc_id", pos.alias("pos"))
+        .groupBy((F.col("pos") / F.lit(536870912)).cast("long").alias("shard"))
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+    )
+    return out.agg(F.sum("n")).first()[0]
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
@@ -417,6 +439,7 @@ WORKLOADS = {
     "boilerplate_removal": wl_boilerplate,
     "boilerplate_adversarial": wl_boilerplate_adversarial,
     "repeated_substrings": wl_repeated_substrings,
+    "corpus_shuffle": wl_corpus_shuffle,
 }
 
 

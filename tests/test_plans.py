@@ -264,3 +264,23 @@ def test_cosine_topk_fold_shuffles_only_k_per_partition(spark, sf_dir_small):
         "Exchange" in ln for ln in lines[partial_at:final_at]
     )
     assert exchange_between, p
+
+
+def test_corpus_shuffle_plan_no_window_one_agg_exchange(
+    spark, sf_dir_small
+):
+    """deterministic_corpus_shuffle must stay map-only + one hash
+    aggregate: a global rank (Window with empty partition spec) would
+    serialize the whole corpus through one task — the exact shape the
+    op exists to avoid. The orderBy on the 8-row result is fine; a
+    Window or a rangepartitioning over the raw docs is not."""
+    df = queries()["deterministic_corpus_shuffle"](spark, sf_dir_small)
+    p = _plan(spark, df)
+    assert "Window" not in p
+    # exactly one aggregate exchange over the derived shard key (plus
+    # the final tiny rangepartitioning for the ORDER BY)
+    hash_exchanges = [
+        ln for ln in p.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert len(hash_exchanges) == 1, p
+    assert sum("rangepartitioning(" in ln for ln in p.splitlines()) == 1

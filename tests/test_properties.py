@@ -931,3 +931,26 @@ def test_call_parse_never_misroutes(garbage):
         return
     assert proc in _PROC_ACCESS
     assert "table" in args
+
+
+@given(payload=_SQL_PAYLOAD, payload2=_SQL_PAYLOAD)
+@settings(max_examples=200, deadline=None)
+def test_create_view_comment_literal_never_confuses_as_split(
+    payload, payload2
+):
+    """CREATE VIEW parsing must find the real AS keyword even when the
+    COMMENT literal contains ' as ', quotes, or query-ish text: the
+    stored SQL is exactly the text after AS, and the comment round-trips
+    byte-for-byte."""
+    from unittest.mock import MagicMock
+
+    from iceberg_quickstart_iac_spark.tables.sql_ddl import execute_ddl
+
+    comment = (payload + " as " + payload2).strip()
+    body = "SELECT 1 AS one"
+    lake = MagicMock()
+    stmt = f"CREATE VIEW vfz COMMENT {_sql_lit(comment)} AS {body}"
+    execute_ddl(lake, None, stmt, "admin")
+    lake.create_view.assert_called_once_with(
+        "vfz", body, replace=False, comment=comment, namespace="default"
+    )

@@ -336,3 +336,72 @@ def test_ref_ddl_as_of_version_unknown_sequence(spark, lake):
     lake.sql(spark, "INSERT INTO refv SELECT id AS k FROM range(0, 3)")
     with pytest.raises(ValueError, match="no commit with that sequence"):
         lake.sql(spark, "ALTER TABLE refv CREATE TAG bad AS OF VERSION 9")
+
+
+# ----------------------------------------- ALTER surface completion (r10)
+
+
+def test_alter_partition_field_evolution_sql(spark, lake):
+    lake.sql(spark, """
+        CREATE TABLE pev (k BIGINT, ts TIMESTAMP_NTZ, cat STRING)
+        PARTITIONED BY (days(ts))
+    """)
+    t = lake.table("pev")
+    lake.sql(spark, "ALTER TABLE pev ADD PARTITION FIELD bucket(4, k)")
+    assert t.meta["partition_spec"] == [
+        {"column": "ts", "transform": "day"},
+        {"column": "k", "transform": "bucket[4]"},
+    ]
+    with pytest.raises(ValueError, match="already"):
+        lake.sql(spark, "ALTER TABLE pev ADD PARTITION FIELD bucket(4, k)")
+    lake.sql(
+        spark,
+        "ALTER TABLE pev REPLACE PARTITION FIELD days(ts) WITH months(ts)",
+    )
+    assert lake.table("pev").meta["partition_spec"][0] == {
+        "column": "ts", "transform": "month"
+    }
+    lake.sql(spark, "ALTER TABLE pev DROP PARTITION FIELD bucket(4, k)")
+    assert lake.table("pev").meta["partition_spec"] == [
+        {"column": "ts", "transform": "month"}
+    ]
+    with pytest.raises(ValueError, match="no partition field"):
+        lake.sql(spark, "ALTER TABLE pev DROP PARTITION FIELD bucket(4, k)")
+
+
+def test_alter_tblproperties_sql(spark, lake):
+    lake.sql(spark, "CREATE TABLE prp (k BIGINT)")
+    lake.sql(spark, """
+        ALTER TABLE prp SET TBLPROPERTIES (
+          'commit.retry.num-retries' = '9', 'owner' = 'data-eng')
+    """)
+    props = lake.table("prp").meta["properties"]
+    assert props["commit_num_retries"] == "9"
+    assert props["owner"] == "data-eng"
+    lake.sql(spark, "ALTER TABLE prp UNSET TBLPROPERTIES ('owner')")
+    props = lake.table("prp").meta["properties"]
+    assert "owner" not in props
+    assert props["commit_num_retries"] == "9"
+    # unknown key unset is a no-op, like Iceberg IF EXISTS
+    lake.sql(spark, "ALTER TABLE prp UNSET TBLPROPERTIES ('nope')")
+
+
+def test_alter_identifier_fields_enables_mor_delete(spark, lake):
+    lake.sql(spark, "CREATE TABLE idf (k BIGINT NOT NULL, v DOUBLE)")
+    lake.sql(
+        spark,
+        "INSERT INTO idf SELECT id AS k, CAST(id AS DOUBLE) AS v "
+        "FROM range(0, 10)",
+    )
+    t = lake.table("idf")
+    with pytest.raises(ValueError, match="identifier_fields"):
+        t.delete_where(spark, "k = 1", mode="mor")
+    lake.sql(spark, "ALTER TABLE idf SET IDENTIFIER FIELDS k")
+    lake.table("idf").delete_where(spark, "k = 1", mode="mor")
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM idf"
+    ).first().n == 9
+    with pytest.raises(ValueError, match="not a declared column"):
+        lake.sql(spark, "ALTER TABLE idf SET IDENTIFIER FIELDS ghost")
+    lake.sql(spark, "ALTER TABLE idf DROP IDENTIFIER FIELDS")
+    assert "identifier_fields" not in lake.table("idf").meta

@@ -34,6 +34,11 @@ def test_view_follows_head_and_replace_versions(spark, lake):
     )
     assert r == {"operation": "create_view", "view": "v_even", "version": 0}
     assert lake.sql(spark, "SELECT COUNT(*) AS n FROM v_even").first().n == 5
+    # expansion memo: a repeat read against an unchanged head re-expands
+    # NOTHING (the registry entry is identical before and after)
+    memo_before = dict(lake._sql_registry)
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM v_even").first().n == 5
+    assert lake._sql_registry == memo_before
     # a commit to the underlying table re-expands on the next statement
     lake.sql(spark, "INSERT INTO vt SELECT id AS k, 'even' AS grp "
                     "FROM range(100, 103)")
