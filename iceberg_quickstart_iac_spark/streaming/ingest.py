@@ -18,6 +18,11 @@ are listed as the follow-up enhancement (``docs/bring-your-own-data.md:
   freshness quality check.
 - :func:`session_windows` — native ``session_window`` gap sessionization
   (the streaming analog of the batch ``user_sessions`` catalog query).
+- **ST5** :func:`table_change_feed` — a snapstore TABLE as the stream
+  SOURCE (the Delta/Iceberg ``readStream.table``/``startingVersion``
+  shape): each turn delivers the commits since the checkpointed
+  snapshot (append scan or CDC changelog); :func:`mirror_into` composes
+  it with the txn ledger into exactly-once table→table mirroring.
 
 Scale notes: the file source lists + tracks files on the driver but reads
 them in executors; windowed aggs shuffle on (window, key) with state kept
@@ -366,3 +371,117 @@ def freshness_monitor(
         .agg(F.max(ts_col).alias("max_ts"), F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.end").alias("window_end"), "max_ts", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-as-stream source (round 10): consume a snapstore TABLE as an
+# incremental feed — the Delta/Iceberg "streaming read from a table"
+# shape (spark.readStream.table / startingVersion), at AvailableNow
+# cadence: each invocation delivers exactly the commits made since the
+# checkpointed snapshot, then stops.
+# ---------------------------------------------------------------------------
+
+
+def mirror_into(target: SnapTable, feed_id: str = "table_change_feed"):
+    """A ``batch_fn`` that txn-stamped-appends each batch into ``target``
+    — with :func:`table_change_feed`'s deterministic batch ids this
+    composes to exactly-once table→table mirroring (a crash between the
+    append and the checkpoint write re-delivers the batch; the
+    ``txn=(feed_id, batch_id)`` ledger makes the replay a no-op)."""
+
+    def fn(df: DataFrame, batch_id: int) -> None:
+        target.append(df, txn=(feed_id, batch_id))
+
+    return fn
+
+
+def table_change_feed(
+    spark: SparkSession,
+    source: SnapTable,
+    checkpoint_dir,
+    batch_fn,
+    mode: str = "append",
+) -> dict:
+    """One AvailableNow turn of a table-source stream: deliver everything
+    committed to ``source`` since the checkpoint, as ONE batch whose
+    ``batch_id`` is the head commit SEQUENCE, then advance the
+    checkpoint atomically (temp + ``os.replace``).
+
+    - First run (no checkpoint): the batch is the FULL current table —
+      Delta's ``startingVersion: 0`` contract (existing data first, then
+      increments).
+    - ``mode='append'``: the batch is the appended rows via the
+      incremental append scan (:meth:`SnapTable.read_incremental` —
+      partition pruning + declared-schema projection intact). A
+      non-append commit in the window (overwrite/delete/compact) raises
+      with guidance, never silently drops or double-counts — switch to
+      ``mode='cdc'`` for those chains.
+    - ``mode='cdc'``: the batch is the row-level changelog
+      (:meth:`read_changes` — ``_change_type`` insert/delete rows), so
+      any commit chain feeds downstream merges.
+
+    Delivery is at-least-once with DETERMINISTIC batch ids: the
+    checkpoint advances only after ``batch_fn`` returns, so a crash
+    between the two re-delivers the same (rows, batch_id) — the same
+    contract ``foreachBatch`` gives, and a txn-stamped sink
+    (:func:`mirror_into`) upgrades it to exactly-once. Driver cost is
+    one directory probe + one JSON read; data moves only in executors.
+
+    Returns ``{"batches": 0|1, "batch_id": …, "from_sequence": …}``.
+    """
+    import json
+    import os
+    from pathlib import Path
+
+    if mode not in ("append", "cdc"):
+        raise ValueError(f"table_change_feed: unknown mode {mode!r}")
+    ckpt_dir = Path(checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    ckpt = ckpt_dir / "feed.json"
+    entries = source._entries()
+    if not entries:
+        return {"batches": 0, "batch_id": None, "from_sequence": None}
+    head = entries[-1]
+    state = json.loads(ckpt.read_text()) if ckpt.exists() else None
+    if state is None:
+        batch = source.read(spark)
+        from_seq = None
+    else:
+        if state["last_sequence"] >= head["sequence"]:
+            return {
+                "batches": 0,
+                "batch_id": None,
+                "from_sequence": state["last_sequence"],
+            }
+        from_seq = state["last_sequence"]
+        if mode == "append":
+            try:
+                batch = source.read_incremental(
+                    spark, state["last_snapshot_id"]
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"table_change_feed(mode='append') on {source.fq_name}: "
+                    f"{e} — use mode='cdc' for chains with non-append "
+                    "commits"
+                ) from e
+        else:
+            batch = source.read_changes(
+                spark, state["last_snapshot_id"]
+            )
+    batch_fn(batch, int(head["sequence"]))
+    tmp = ckpt_dir / ".feed.json.tmp"
+    tmp.write_text(
+        json.dumps(
+            {
+                "last_sequence": int(head["sequence"]),
+                "last_snapshot_id": head["snapshot_id"],
+            }
+        )
+    )
+    os.replace(tmp, ckpt)
+    return {
+        "batches": 1,
+        "batch_id": int(head["sequence"]),
+        "from_sequence": from_seq,
+    }

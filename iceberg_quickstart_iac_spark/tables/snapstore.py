@@ -4053,3 +4053,21 @@ class _BranchView(SnapTable):
             "Sort-order evolution is table-wide metadata — run it on the "
             f"main table, not branch {self.branch_name!r}"
         )
+
+    def set_properties(self, props: dict) -> dict:
+        raise RuntimeError(
+            "Table properties are table-wide metadata — set them on the "
+            f"main table, not branch {self.branch_name!r}"
+        )
+
+    def unset_properties(self, keys: list[str]) -> dict:
+        raise RuntimeError(
+            "Table properties are table-wide metadata — unset them on the "
+            f"main table, not branch {self.branch_name!r}"
+        )
+
+    def set_identifier_fields(self, fields: list[str]) -> dict:
+        raise RuntimeError(
+            "Identifier fields are table-wide metadata — set them on the "
+            f"main table, not branch {self.branch_name!r}"
+        )

@@ -547,3 +547,111 @@ def test_streaming_admission_compaction_cadence(spark, tmp_path):
     q.awaitTermination(120)
     assert (200, 100, 1.0, "store") in hits
     assert store.read(spark).count() == 3  # the dup was not admitted
+
+
+# -------------------------------------------- table-as-stream source (r10)
+
+
+def _mk_table(lakeroot, name="feed_src", ids=None):
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+
+    return SnapTable.create(
+        lakeroot / name,
+        {
+            "name": name,
+            "namespace": "default",
+            "identifier_fields": ids or [],
+            "columns": [
+                {"name": "k", "type": "long", "required": True},
+                {"name": "v", "type": "double"},
+            ],
+        },
+    )
+
+
+def test_table_change_feed_initial_then_increments_then_drained(
+    spark, tmp_path
+):
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        mirror_into,
+        table_change_feed,
+    )
+
+    src = _mk_table(tmp_path)
+    tgt = _mk_table(tmp_path, "feed_tgt")
+    src.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                         "FROM range(0, 5)"))
+    ck = tmp_path / "ck"
+    # first turn: full current table (startingVersion-0 contract)
+    r1 = table_change_feed(spark, src, ck, mirror_into(tgt))
+    assert r1 == {"batches": 1, "batch_id": 0, "from_sequence": None}
+    assert tgt.read(spark).count() == 5
+    # two more commits arrive; ONE turn delivers both as one batch
+    src.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                         "FROM range(5, 8)"))
+    src.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                         "FROM range(8, 12)"))
+    r2 = table_change_feed(spark, src, ck, mirror_into(tgt))
+    assert r2 == {"batches": 1, "batch_id": 2, "from_sequence": 0}
+    assert tgt.read(spark).count() == 12
+    # drained: no-op turn, nothing re-delivered
+    r3 = table_change_feed(spark, src, ck, mirror_into(tgt))
+    assert r3["batches"] == 0
+    assert tgt.read(spark).count() == 12
+
+
+def test_table_change_feed_crash_replay_is_exactly_once(spark, tmp_path):
+    import json
+
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        mirror_into,
+        table_change_feed,
+    )
+
+    src = _mk_table(tmp_path)
+    tgt = _mk_table(tmp_path, "feed_tgt")
+    src.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                         "FROM range(0, 5)"))
+    ck = tmp_path / "ck"
+    table_change_feed(spark, src, ck, mirror_into(tgt))
+    src.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                         "FROM range(5, 9)"))
+    state_before = json.loads((ck / "feed.json").read_text())
+    table_change_feed(spark, src, ck, mirror_into(tgt))
+    assert tgt.read(spark).count() == 9
+    # simulate a crash AFTER the sink append but BEFORE the checkpoint
+    # advanced: roll the checkpoint back and replay the turn
+    (ck / "feed.json").write_text(json.dumps(state_before))
+    r = table_change_feed(spark, src, ck, mirror_into(tgt))
+    assert r["batches"] == 1  # re-delivered...
+    assert tgt.read(spark).count() == 9  # ...but the txn ledger de-duped
+
+
+def test_table_change_feed_cdc_mode_and_append_reject(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        table_change_feed,
+    )
+
+    src = _mk_table(tmp_path, ids=["k"])
+    src.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                         "FROM range(0, 6)"))
+    ck = tmp_path / "ck"
+    got: list = []
+    fn = lambda df, bid: got.append((bid, df))  # noqa: E731
+    table_change_feed(spark, src, ck, fn, mode="cdc")
+    # a delete makes the chain non-append
+    src.delete_where(spark, "k >= 4")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode='cdc'"):
+        table_change_feed(spark, src, ck, fn, mode="append")
+    r = table_change_feed(spark, src, ck, fn, mode="cdc")
+    assert r["batches"] == 1
+    bid, df = got[-1]
+    rows = {
+        (x.k, x._change_type)
+        for x in df.select("k", "_change_type").collect()
+    }
+    assert rows == {(4, "delete"), (5, "delete")}
