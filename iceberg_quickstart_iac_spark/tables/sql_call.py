@@ -44,6 +44,11 @@ validation like the DML front door):
   view?, follow_head?)`` → ``(changelog_view)`` — registers the
   governed ``<view>__changes`` CDC view (:meth:`register_changes`)
   and returns its name, like Iceberg's ``create_changelog_view``.
+- ``fast_forward(table, branch => 'main', to => <branch>)`` →
+  ``(branch_updated, previous_ref, updated_ref)`` — publish a table
+  branch to main (:meth:`merge_branch`: validate-first, fast-forward
+  or append-rebase; conflicts raise). Only main can be advanced —
+  branch refs self-fast-forward when merged.
 
 Governance: procedures that rewrite or erase state
 (``expire_snapshots``, ``remove_orphan_files``, ``rollback_*``,
@@ -75,6 +80,7 @@ _PROC_ACCESS = {
     "rewrite_position_delete_files": "writer",
     "ancestors_of": "reader",
     "create_changelog_view": "reader",
+    "fast_forward": "writer",
 }
 
 #: positional-argument order per procedure (Iceberg's documented order)
@@ -88,6 +94,7 @@ _PROC_POSITIONAL = {
     "set_current_snapshot": ["table", "snapshot_id"],
     "ancestors_of": ["table"],
     "create_changelog_view": ["table", "from_snapshot_id", "to_snapshot_id"],
+    "fast_forward": ["table", "branch", "to"],
 }
 
 
@@ -298,6 +305,36 @@ def execute_call(lake, spark, statement: str, access_level: str = "admin"):
             rows,
             "snapshot_id STRING, committed_at_ms BIGINT, "
             "sequence BIGINT, operation STRING",
+        )
+
+    if proc == "fast_forward":
+        # Iceberg's fast_forward(table, branch, to): advance `branch` to
+        # `to`'s head. Here the only advanceable ref is main (branch
+        # refs self-fast-forward on merge), so branch must be 'main' and
+        # `to` names the table branch to publish — the WAP publish step
+        # as a procedure. merge_branch validates first and rebases
+        # append-only histories; conflicts raise (Nessie's model).
+        branch = str(args.pop("branch", "main"))
+        to = args.pop("to", None)
+        if to is None:
+            raise ValueError("CALL fast_forward: missing 'to' (the branch "
+                             "to publish)")
+        _reject_extra(proc, args)
+        if branch != "main":
+            raise ValueError(
+                "CALL fast_forward: only 'main' can be fast-forwarded — "
+                "branch refs self-fast-forward when merged"
+            )
+        prev = t.current_snapshot()
+        entry = t.merge_branch(str(to))
+        return spark.createDataFrame(
+            [(
+                branch,
+                prev["snapshot_id"] if prev else None,
+                entry.get("snapshot_id"),
+            )],
+            "branch_updated STRING, previous_ref STRING, "
+            "updated_ref STRING",
         )
 
     if proc == "create_changelog_view":

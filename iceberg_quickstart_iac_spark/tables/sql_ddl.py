@@ -60,7 +60,8 @@ import re
 #: CREATE FUNCTION, etc. fall through to spark.sql untouched
 _DDL_KW = re.compile(
     r"^\s*(?:create\s+(?:table|namespace)|drop\s+table|alter\s+table"
-    r"|truncate\s+table|show\s+tables|describe\b|desc\s+table"
+    r"|truncate\s+table|show\s+tables|show\s+create\s+table"
+    r"|describe\b|desc\s+table"
     r"|create\s+(?:or\s+replace\s+)?view|drop\s+view|show\s+views)\b",
     re.IGNORECASE,
 )
@@ -433,6 +434,28 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
             "namespace STRING, view_name STRING, current_version BIGINT, "
             "comment STRING",
         ).filter("view_name <> ''").orderBy("namespace", "view_name")
+
+    m = re.match(
+        r"^show\s+create\s+table\s+([\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        # render the repo's OWN generated dialect (templates/ddl.py) —
+        # the exact text this parser round-trips, so SHOW CREATE TABLE
+        # output can be replayed through Lakehouse.sql verbatim
+        from iceberg_quickstart_iac_spark.templates.ddl import (
+            create_table_ddl,
+            write_order_ddl,
+        )
+
+        name, _ = _table_name(m.group(1))
+        meta = lake.table(name).meta
+        stmts = [create_table_ddl(meta)]
+        order = write_order_ddl(meta)
+        if order:
+            stmts.append(order)
+        return spark.createDataFrame(
+            [(name, ";\n".join(stmts))], "table_name STRING, ddl STRING"
+        )
 
     if re.match(r"^show\s+tables\s*$", s, re.IGNORECASE):
         rows = []

@@ -251,3 +251,27 @@ def test_namespace_validation(spark, lake):
     assert lake.sql(
         spark, f"CALL system.ancestors_of('{ns}.calls_t')"
     ).count() == 3
+
+
+def test_fast_forward_publishes_branch(spark, lake):
+    t = _seeded(spark, lake)
+    br = t.create_branch("wap")
+    br.append(spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v "
+                        "FROM range(100, 105)"))
+    # main untouched while staged
+    assert t.read(spark).count() == 30
+    out = lake.sql(
+        spark,
+        "CALL system.fast_forward(table => 'calls_t', branch => 'main', "
+        "to => 'wap')",
+    ).first()
+    assert out.branch_updated == "main"
+    assert out.previous_ref != out.updated_ref
+    assert t.read(spark).count() == 35
+    # only main can be advanced
+    with pytest.raises(ValueError, match="only 'main'"):
+        lake.sql(
+            spark,
+            "CALL system.fast_forward(table => 'calls_t', "
+            "branch => 'wap', to => 'main')",
+        )

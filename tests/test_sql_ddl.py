@@ -405,3 +405,46 @@ def test_alter_identifier_fields_enables_mor_delete(spark, lake):
         lake.sql(spark, "ALTER TABLE idf SET IDENTIFIER FIELDS ghost")
     lake.sql(spark, "ALTER TABLE idf DROP IDENTIFIER FIELDS")
     assert "identifier_fields" not in lake.table("idf").meta
+
+
+def test_show_create_table_roundtrips_through_the_parser(spark, lake):
+    lake.sql(spark, """
+        CREATE TABLE sct (
+          k BIGINT NOT NULL COMMENT 'key',
+          ts TIMESTAMP_NTZ,
+          v DOUBLE
+        ) PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('commit.retry.num-retries' = '7')
+    """)
+    row = lake.sql(spark, "SHOW CREATE TABLE sct").first()
+    assert row.table_name == "sct"
+    assert "CREATE TABLE" in row.ddl and "PARTITIONED BY" in row.ddl
+    # the emitted DDL is the repo's own dialect: replaying it in a FRESH
+    # catalog reconstructs the same template
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.tables import Lakehouse
+
+    lake2 = Lakehouse(tempfile.mkdtemp(prefix="sct2_") + "/lake")
+    for stmt in row.ddl.split(";\n"):
+        lake2.sql(spark, stmt)
+    m1, m2 = lake.table("sct").meta, lake2.table("sct").meta
+    assert m1["columns"] == m2["columns"]
+    assert m1.get("partition_spec") == m2.get("partition_spec")
+    assert (
+        m1["properties"]["commit_num_retries"]
+        == m2["properties"]["commit_num_retries"]
+    )
+
+
+def test_insert_values_through_front_door(spark, lake):
+    lake.sql(spark, "CREATE TABLE iv (k BIGINT, v DOUBLE)")
+    lake.sql(
+        spark,
+        "INSERT INTO iv VALUES (1, CAST(1.5 AS DOUBLE)), "
+        "(2, CAST(2.5 AS DOUBLE))",
+    )
+    rows = lake.sql(
+        spark, "SELECT k, v FROM iv ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 1.5), (2, 2.5)]
