@@ -275,3 +275,29 @@ def test_fast_forward_publishes_branch(spark, lake):
             "CALL system.fast_forward(table => 'calls_t', "
             "branch => 'wap', to => 'main')",
         )
+
+
+def test_rewrite_data_files_where_scopes_to_partition(spark, lake):
+    lake.sql(spark, """
+        CREATE TABLE callsp (k BIGINT, cat STRING)
+        PARTITIONED BY (cat)
+    """)
+    for i in range(2):  # two commits -> multiple files per partition
+        lake.sql(
+            spark,
+            f"INSERT INTO callsp SELECT id + {i * 100} AS k, "
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat "
+            "FROM range(0, 20)",
+        )
+    t = lake.table("callsp")
+    out = lake.sql(
+        spark,
+        "CALL system.rewrite_data_files(table => 'callsp', "
+        "where => 'cat = ''a''')",
+    ).first()
+    assert t.current_snapshot()["operation"] == "compact"
+    assert out.added_data_files_count <= out.rewritten_data_files_count
+    # rows intact in both partitions
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM callsp"
+    ).first().n == 40
