@@ -8707,7 +8707,8 @@ def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id,
-             (doc_id * 2654435761 + 99991) % 4294967296 AS pos
+             ((doc_id % 2147483648) * 2654435761 + 99991)
+               % 4294967296 AS pos
       FROM documents
     )
     SELECT CAST(pos // 536870912 AS BIGINT) AS shard,
@@ -8733,9 +8734,16 @@ def deterministic_corpus_shuffle(
     same (shard, pos) assignment the writer would use."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n_shards = 8
-    pos = (F.col("doc_id") * F.lit(2654435761) + F.lit(99991)) % F.lit(
-        4294967296
-    )
+    # overflow-safe at ANY id scale: reduce mod 2^31 BEFORE the Knuth
+    # multiply so the product tops out at 2^31 * 2654435761 ≈ 5.7e18 <
+    # 2^63-1 — the unreduced form errors under ANSI mode (and in the
+    # DuckDB oracle) once doc_id exceeds ~3.5e9, i.e. exactly at the
+    # corpus sizes this op exists for. Ids ≥ 2^31 fold into the same
+    # position classes, which only interleaves their shuffle order.
+    pos = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(99991)
+    ) % F.lit(4294967296)
     return (
         docs.select("doc_id", pos.alias("pos"))
         .groupBy(

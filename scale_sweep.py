@@ -416,9 +416,10 @@ def wl_corpus_shuffle(spark, sf_dir: str, factor: int) -> int:
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).select("doc_id")
-    pos = (F.col("doc_id") * F.lit(2654435761) + F.lit(99991)) % F.lit(
-        4294967296
-    )
+    pos = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(99991)
+    ) % F.lit(4294967296)
     out = (
         docs.select("doc_id", pos.alias("pos"))
         .groupBy((F.col("pos") / F.lit(536870912)).cast("long").alias("shard"))
