@@ -1579,6 +1579,85 @@ class SnapTable:
         )
         return entry
 
+    def cherrypick_snapshot(self, snapshot_id: str) -> dict:
+        """Re-apply ONE append snapshot's delta onto the current head —
+        Iceberg's ``cherrypick_snapshot`` procedure (metadata-only:
+        the target's NEW data directories are re-referenced, nothing
+        is rewritten). The recovery shape it exists for: after a
+        ``rollback_to`` skipped past a bad commit, cherry-pick the good
+        commits that followed it back one by one.
+
+        Only ``append`` snapshots are cherry-pickable (Iceberg has the
+        same restriction — a delete/overwrite delta is not expressible
+        as a directory re-reference). Directories the head already
+        references are skipped, so cherry-picking an ancestor of the
+        head is a no-op returning the current snapshot unchanged.
+        """
+        target = self._snapshot_for(snapshot_id, None)
+        if target.get("operation") != "append":
+            raise ValueError(
+                f"cherrypick_snapshot: {snapshot_id!r} is a "
+                f"{target.get('operation')!r} snapshot — only append "
+                "snapshots are cherry-pickable"
+            )
+        entries = self._entries()
+        idx = next(
+            i for i, e in enumerate(entries)
+            if e["sequence"] == target["sequence"]
+        )
+        parent = entries[idx - 1] if idx > 0 else None
+        parent_dirs = set(parent["data_dirs"]) if parent else set()
+        delta_dirs = [
+            d for d in target["data_dirs"] if d not in parent_dirs
+        ]
+        current = entries[-1]
+        new_dirs = [
+            d for d in delta_dirs if d not in set(current["data_dirs"])
+        ]
+        if not new_dirs:
+            return current
+        delta_rows = target["row_count"] - (
+            parent["row_count"] if parent else 0
+        )
+        delta_files = target["file_count"] - (
+            parent["file_count"] if parent else 0
+        )
+
+        def build(cur_entries: list[dict]) -> dict:
+            cur = cur_entries[-1] if cur_entries else None
+            return {
+                "operation": "append",
+                "data_dirs": (cur["data_dirs"] if cur else []) + new_dirs,
+                "delete_dirs": (
+                    list(cur.get("delete_dirs") or []) if cur else []
+                ),
+                "row_count": (cur["row_count"] if cur else 0) + delta_rows,
+                "file_count": (cur["file_count"] if cur else 0)
+                + delta_files,
+                # the delta dirs were written under the TARGET's epoch:
+                # carry its schema/spec stamps so epoch-grouped reads
+                # project them correctly (same contract as merge rebase)
+                **{
+                    k: target[k]
+                    for k in (
+                        "column_ids", "column_types", "partition_spec",
+                        "write_format",
+                    )
+                    if k in target
+                },
+            }
+
+        entry = self._commit(build)
+        log_audit_event(
+            "table_write",
+            self.fq_name,
+            details={
+                "mode": "cherrypick_snapshot",
+                "source_snapshot": snapshot_id,
+            },
+        )
+        return entry
+
     def read_changes(
         self, spark: SparkSession, from_snapshot_id: str, to_snapshot_id: str | None = None
     ) -> DataFrame:

@@ -44,6 +44,11 @@ validation like the DML front door):
   view?, follow_head?)`` → ``(changelog_view)`` — registers the
   governed ``<view>__changes`` CDC view (:meth:`register_changes`)
   and returns its name, like Iceberg's ``create_changelog_view``.
+- ``cherrypick_snapshot(table, snapshot_id)`` →
+  ``(source_snapshot_id, current_snapshot_id)`` — re-apply one append
+  snapshot's delta onto the head (metadata-only; the recovery step
+  after a rollback skipped past a bad commit). Append snapshots only,
+  like Iceberg; an already-referenced delta is a no-op.
 - ``fast_forward(table, branch => 'main', to => <branch>)`` →
   ``(branch_updated, previous_ref, updated_ref)`` — publish a table
   branch to main (:meth:`merge_branch`: validate-first, fast-forward
@@ -81,6 +86,7 @@ _PROC_ACCESS = {
     "ancestors_of": "reader",
     "create_changelog_view": "reader",
     "fast_forward": "writer",
+    "cherrypick_snapshot": "writer",
 }
 
 #: positional-argument order per procedure (Iceberg's documented order)
@@ -95,6 +101,7 @@ _PROC_POSITIONAL = {
     "ancestors_of": ["table"],
     "create_changelog_view": ["table", "from_snapshot_id", "to_snapshot_id"],
     "fast_forward": ["table", "branch", "to"],
+    "cherrypick_snapshot": ["table", "snapshot_id"],
 }
 
 
@@ -305,6 +312,17 @@ def execute_call(lake, spark, statement: str, access_level: str = "admin"):
             rows,
             "snapshot_id STRING, committed_at_ms BIGINT, "
             "sequence BIGINT, operation STRING",
+        )
+
+    if proc == "cherrypick_snapshot":
+        sid = args.pop("snapshot_id", None)
+        if sid is None:
+            raise ValueError("CALL cherrypick_snapshot: missing snapshot_id")
+        _reject_extra(proc, args)
+        entry = t.cherrypick_snapshot(str(sid))
+        return spark.createDataFrame(
+            [(str(sid), entry["snapshot_id"])],
+            "source_snapshot_id STRING, current_snapshot_id STRING",
         )
 
     if proc == "fast_forward":

@@ -301,3 +301,43 @@ def test_rewrite_data_files_where_scopes_to_partition(spark, lake):
     assert lake.sql(
         spark, "SELECT COUNT(*) AS n FROM callsp"
     ).first().n == 40
+
+
+def test_cherrypick_snapshot_recovers_good_commit_after_rollback(
+    spark, lake
+):
+    t = _seeded(spark, lake)  # commits 0,1,2 (10 rows each)
+    entries = t._entries()
+    # "bad" commit = seq 1; roll back to seq 0, then cherry-pick seq 2
+    lake.sql(
+        spark,
+        f"CALL system.rollback_to_snapshot(table => 'calls_t', "
+        f"snapshot_id => '{entries[0]['snapshot_id']}')",
+    )
+    assert t.read(spark).count() == 10
+    out = lake.sql(
+        spark,
+        f"CALL system.cherrypick_snapshot(table => 'calls_t', "
+        f"snapshot_id => '{entries[2]['snapshot_id']}')",
+    ).first()
+    assert out.source_snapshot_id == entries[2]["snapshot_id"]
+    # head = seq-0 rows + seq-2's delta; the bad middle commit stays out
+    rows = {r.k for r in t.read(spark).select("k").collect()}
+    assert rows == set(range(0, 10)) | set(range(20, 30))
+    # cherry-picking something already referenced is a no-op
+    head_before = t.current_snapshot()["snapshot_id"]
+    lake.sql(
+        spark,
+        f"CALL system.cherrypick_snapshot(table => 'calls_t', "
+        f"snapshot_id => '{entries[2]['snapshot_id']}')",
+    )
+    assert t.current_snapshot()["snapshot_id"] == head_before
+    # non-append snapshots are rejected loudly
+    t.delete_where(spark, "k = 5")
+    bad = t.current_snapshot()["snapshot_id"]
+    with pytest.raises(ValueError, match="only append"):
+        lake.sql(
+            spark,
+            f"CALL system.cherrypick_snapshot(table => 'calls_t', "
+            f"snapshot_id => '{bad}')",
+        )
