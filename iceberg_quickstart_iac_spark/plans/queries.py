@@ -115,97 +115,107 @@ def _resolved_oracles() -> dict[str, str]:
 #: tests/test_oracle_parity.py — no query loses verification, only which
 #: harness certifies it changes.
 _GATE_PRIORITY: list[str] = [
-    # round-10 gate (VERDICT r9 next #1): lead with the five round-9
-    # queries that have never had a driver row, then the 24 queries whose
-    # newest driver row dates from r7 (3 rounds old at r10 — the
-    # steady-state maximum for a 129-query catalog over a 50-slot gate).
-    "wap_sql_branch_lifecycle",
-    "doc_boilerplate_removal",
-    "embedding_ann_recall_audit",
-    "embedding_cluster_balanced_sample",
-    "source_token_budgets",
-    # the 24 r7-stale queries (verdict-recomputed list, name-for-name)
-    "above_customer_avg_orders",
-    "asof_last_click_before_purchase",
-    "brand_size_stats",
-    "bucketed_join_orders_lineitem",
-    "cube_status_year",
-    "distinct_customers_per_priority",
-    "doc_fingerprint_dedup",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_token_rarity",
-    "doc_token_stats",
-    "event_minute_windows",
-    "event_value_by_nation",
-    "json_props_rollup",
-    "monthly_order_stats",
-    "order_price_stats",
-    "quality_checks_events",
-    "row_policy_events",
-    "setops_customer_cohorts",
-    "soda_yaml_checks",
-    "source_mixture_weights",
-    "stratified_doc_sample",
-    "token_vocabulary",
-    "topk_orders",
-    # then the r9-certified queries whose code paths round 10 touches:
-    # the SQL DML/DDL parser fixes (single-pass alias rewrite, qualified
-    # table names, WHEN word-boundary), the lakehouse drop_table as-of
-    # purge + multi-scope CatalogBranch.sql, the trimmed store lifecycle,
-    # and the boilerplate-removal broadcast fix (in the lead block above).
-    "sql_dml_lifecycle",
-    "sql_ddl_lifecycle",
-    "dml_lifecycle",
-    "merge_upsert_lifecycle",
-    "near_dup_store_lifecycle",
-    "catalog_branch_lifecycle",
-    "flagship_sql_front_door",
-    "changelog_follow_head_view",
-    # then 13 of the 50 r8-certified queries (2 rounds old): the six on
-    # this round's lakehouse/SQL/dedup code paths first, then seven more
-    # to spread the r11 re-certification burden.
-    "changelog_sql_view",
-    "sql_view_follows_head",
-    "time_travel_sql_named_query",
-    "branch_lifecycle",
-    "incremental_near_dup_admission",
-    # the eight round-10 additions: first driver rows for the new
-    # retrieval + exact-substring + CTAS + canonical-selection + PCA +
-    # curation-capstone + GDPR-erasure surface
-    "doc_repeated_substrings",
-    "bm25_doc_search",
-    "hybrid_rrf_search",
+    # round-11 gate (VERDICT r10 next #1): lead with the six round-10
+    # queries that have never had a driver row, then 44 of the 45 queries
+    # whose newest driver row dates from r8 (3 rounds old at r11). That
+    # fills all 50 slots; the ONE spilled r8 query is
+    # `flagship_event_type_counts` — named here as the r12 gate lead per
+    # the capacity policy (COVERAGE.md "Gate capacity"): it spills because
+    # its operator (A5 group-count analytics) carries the freshest
+    # cross-cover in the stale set (`flagship_sql_front_door` r10 runs the
+    # same aggregate through the SQL front door), so aging it to 4 rounds
+    # risks the least. Its DuckDB oracle stays replayed by
+    # tests/test_oracle_parity.py every round.
+    "sql_call_maintenance_lifecycle",
+    "sql_view_registry_lifecycle",
+    "bm25_batch_search",
+    "deterministic_corpus_shuffle",
+    "k_anonymity_audit",
+    "sketch_accuracy_audit",
+    # the 44 r8-stale queries (r10-verdict-recomputed list minus the
+    # named spill), ordered with this round's touched code paths first:
+    # near_dup_doc_clusters + semantic funnel entries exercise the dedup
+    # code the canonical-docs rebuild touches.
+    "near_dup_doc_clusters",
+    "scd2_chain_from_orders",
+    "drift_sensor_cycle",
+    "latest_event_per_user",
+    "user_sessions",
+    "embedding_ann_ivf",
+    "ann_index_lifecycle",
+    "cohort_retention",
+    "corpus_filter_funnel",
+    "customer_running_totals",
+    "customer_spend_quartiles",
+    "customers_without_big_orders",
+    "doc_benchmark_contamination",
+    "doc_bigram_novelty",
+    "doc_bpe_token_stats",
+    "doc_chunks",
+    "doc_hash_split",
+    "doc_pii_redaction",
+    "doc_repetition_signals",
+    "embedding_int8_audit",
+    "embedding_label_centroids",
+    "embedding_lsh_topk",
+    "enrich_orders_by_segment",
+    "event_followup_pairs",
+    "event_time_hierarchy_rollup",
+    "funnel_click_to_purchase",
+    "inter_source_overlap",
+    "latest_order_per_customer",
+    "media_pcm_stats",
+    "mor_maintenance_lifecycle",
+    "multimodal_media_stats",
+    "orc_table_lifecycle",
+    "pivot_segment_status",
+    "q10_returned_item_customers",
+    "q13_customer_order_histogram",
+    "q14_promo_revenue_pct",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "rollup_order_status",
+    "semantic_dedup_cells_gemm",
+    "temperature_mixture_sample",
+    "training_shard_stats",
+    "weighted_doc_sample",
+    # past the 50-slot gate, queries whose CODE round 11 touched come
+    # next so a widened gate would pick them up first — their oracles are
+    # replayed by tests/test_oracle_parity.py every round regardless:
+    # sql_ctas_lifecycle (partitioned CTAS + TBLPROPERTIES + nullability
+    # carry — result schema extended this round), near_dup_canonical_docs
+    # (rebuilt on the planted-cluster fixture), gdpr_erasure_lifecycle /
+    # dml_lifecycle (zero-row partitioned write read-path guard).
     "sql_ctas_lifecycle",
     "near_dup_canonical_docs",
-    "embedding_pca_projection",
-    "corpus_curation_pipeline",
     "gdpr_erasure_lifecycle",
-    # the r11 lead: bm25_batch_search, sql_call_maintenance_lifecycle,
-    # sql_view_registry_lifecycle, deterministic_corpus_shuffle,
-    # k_anonymity_audit, and sketch_accuracy_audit (added past the r10
-    # gate — need their FIRST driver rows; all oracle-replayed by
-    # tests/test_oracle_parity.py meanwhile) plus the remaining 45
-    # r8-certified queries
-    # (3 rounds old then), all covered by the pytest oracle replay
-    # meanwhile:
-    # flagship_event_type_counts, near_dup_doc_clusters,
-    # scd2_chain_from_orders, drift_sensor_cycle, latest_event_per_user,
-    # user_sessions, embedding_ann_ivf, ann_index_lifecycle,
-    # cohort_retention, corpus_filter_funnel, customer_running_totals,
-    # customer_spend_quartiles, customers_without_big_orders,
-    # doc_benchmark_contamination, doc_bigram_novelty, doc_bpe_token_stats,
-    # doc_chunks, doc_hash_split, doc_pii_redaction, doc_repetition_signals,
-    # embedding_int8_audit, embedding_label_centroids, embedding_lsh_topk,
-    # enrich_orders_by_segment, event_followup_pairs,
-    # event_time_hierarchy_rollup, funnel_click_to_purchase,
-    # inter_source_overlap, latest_order_per_customer, media_pcm_stats,
-    # mor_maintenance_lifecycle, multimodal_media_stats, orc_table_lifecycle,
-    # pivot_segment_status, q10_returned_item_customers,
-    # q13_customer_order_histogram, q14_promo_revenue_pct, q18_large_orders,
-    # q7_nation_volume, q8_market_share, rollup_order_status,
-    # semantic_dedup_cells_gemm, temperature_mixture_sample,
-    # training_shard_stats, weighted_doc_sample.
+    "dml_lifecycle",
+    # the r12 lead, by name: first the round-11 additions, never driver-
+    # certified (event_peak_hour_value, lineitem_unpivot_measures,
+    # table_mirror_feed_lifecycle — all oracle-replayed by
+    # tests/test_oracle_parity.py meanwhile), then
+    # flagship_event_type_counts (the spill above, 4 rounds old at r12 —
+    # MUST run), then the r9-certified block
+    # (3 rounds old at r12): wap_sql_branch_lifecycle,
+    # doc_boilerplate_removal, embedding_ann_recall_audit,
+    # embedding_cluster_balanced_sample, source_token_budgets,
+    # above_customer_avg_orders, asof_last_click_before_purchase,
+    # brand_size_stats, bucketed_join_orders_lineitem, cube_status_year,
+    # distinct_customers_per_priority, doc_fingerprint_dedup,
+    # doc_language_id, doc_quality_scores, doc_token_rarity,
+    # doc_token_stats, event_minute_windows, event_value_by_nation,
+    # json_props_rollup, monthly_order_stats, order_price_stats,
+    # quality_checks_events, row_policy_events, setops_customer_cohorts,
+    # soda_yaml_checks, source_mixture_weights, stratified_doc_sample,
+    # token_vocabulary, topk_orders, sql_dml_lifecycle, sql_ddl_lifecycle,
+    # dml_lifecycle, merge_upsert_lifecycle, near_dup_store_lifecycle,
+    # catalog_branch_lifecycle, flagship_sql_front_door,
+    # changelog_follow_head_view, changelog_sql_view,
+    # sql_view_follows_head, time_travel_sql_named_query,
+    # branch_lifecycle, incremental_near_dup_admission — 3 + 1 + 43 = 47
+    # named for 50 slots, leaving 3 slots for round-11-touched entries
+    # (sql_ctas_lifecycle, near_dup_canonical_docs, dml_lifecycle).
 ]
 
 
@@ -2372,6 +2382,111 @@ def event_minute_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy("window_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding RANGE-interval window (round 11; SURVEY §2.5): per event, the
+# trailing-one-hour value total for the same user — the time-based frame
+# (`RANGE BETWEEN <interval> PRECEDING`) that rows-based frames can't
+# express (peers at the same instant must aggregate together; event
+# density varies). The frame key is epoch MICROSECONDS, so both engines
+# bound the frame with the same integer arithmetic; the inner SUM is
+# decimal-exact per the float policy, and the per-user MAX on top keeps
+# the result one row per user (spike detection — the alerting shape a
+# reference user's monitoring SQL computes). One shuffle (user_id), one
+# window pass, one partial-aggregated MAX. At 100 TB the partition is a
+# single user's events — bounded by construction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_peak_hour_value",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS hour_value
+      FROM events
+    )
+    SELECT user_id,
+           MAX(hour_value) AS peak_hour_value,
+           COUNT(*) AS n_events
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def event_peak_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    hour_value = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    return (
+        ev.select("user_id", hour_value.alias("hour_value"))
+        .groupBy("user_id")
+        .agg(
+            F.max("hour_value").alias("peak_hour_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (round 11; SURVEY §2.7 family): lineitem's four measure
+# columns unpivoted to (measure, value) rows, then aggregated per
+# return-flag × measure — the wide-to-long reshape the reference's BI
+# exports use (PIVOT's inverse; `pivot_segment_status` certifies the
+# other direction). Spark side is the native DataFrame.unpivot (one
+# Expand node — a single scan emits all four measures, never four scans);
+# the oracle states the same semantics as a UNION ALL. Decimal-exact
+# sums per the float policy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_unpivot_measures",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag, 'discount' AS measure, l_discount AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'quantity', l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(MIN(v) AS DOUBLE) AS v_min,
+           CAST(MAX(v) AS DOUBLE) AS v_max
+    FROM u GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("v", "total"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .orderBy("l_returnflag", "measure")
     )
 
 
@@ -6933,6 +7048,104 @@ def streaming_cdc_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Table-as-stream mirror lifecycle (round 11; SURVEY §2.9 ST5 —
+# streaming/ingest.py::table_change_feed + mirror_into): a source table
+# streams into a mirror with exactly-once table→table delivery — the
+# Delta `startingVersion: 0` contract (initial full batch, then one
+# batch per turn covering exactly the commits since the checkpoint, with
+# the head commit SEQUENCE as the deterministic batch id). The lifecycle
+# certifies: initial load, a two-commit increment delivered as ONE
+# batch pinned to the captured head, the drained no-op turn, and the
+# exactly-once txn ledger (replaying the increment's (feed, batch_id)
+# stamp is a no-op — the crash-between-append-and-checkpoint path). The
+# oracle replays the mirrored rows relationally plus the contract
+# constants (batch ids are commit sequences: 0 then 2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_mirror_feed_lifecycle",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(0 AS BIGINT) AS initial_batch_id,
+           CAST(2 AS BIGINT) AS incr_batch_id,
+           TRUE AS drained_noop,
+           TRUE AS replay_noop
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def table_mirror_feed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        mirror_into,
+        table_change_feed,
+    )
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="feedmirror_")
+    template = {
+        "name": "orders_feed",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    }
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    src = SnapTable.create(base + "/src", template)
+    tgt = SnapTable.create(
+        base + "/tgt", {**template, "name": "orders_feed_mirror"}
+    )
+    src.append(orders.filter(F.col("o_orderkey") < 2000).select(*cols))
+    ck = base + "/ck"
+    r1 = table_change_feed(spark, src, ck, mirror_into(tgt, "feed"))
+    # two commits arrive; the next turn delivers BOTH as one batch whose
+    # id is the head sequence (2)
+    src.append(orders.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+    ).select(*cols))
+    src.append(orders.filter(
+        (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 4000)
+    ).select(*cols))
+    r2 = table_change_feed(spark, src, ck, mirror_into(tgt, "feed"))
+    r3 = table_change_feed(spark, src, ck, mirror_into(tgt, "feed"))
+    n_before_replay = tgt.read(spark).count()
+    # exactly-once: re-delivering the increment under its txn stamp (the
+    # crash-between-append-and-checkpoint replay) is a ledger no-op
+    tgt.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+        ).select(*cols),
+        txn=("feed", r2["batch_id"]),
+    )
+    replay_noop = tgt.read(spark).count() == n_before_replay
+    return (
+        tgt.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .withColumn(
+            "initial_batch_id", F.lit(int(r1["batch_id"])).cast("long")
+        )
+        .withColumn(
+            "incr_batch_id", F.lit(int(r2["batch_id"])).cast("long")
+        )
+        .withColumn("drained_noop", F.lit(r3["batches"] == 0))
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Branch lifecycle (SURVEY §2.10 + Nessie parity, deep-dive.md:262-303):
 # fork a branch, evolve + write on it in isolation, verify main is
 # untouched, merge, verify main adopted data + schema. Deterministic
@@ -8039,13 +8252,19 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CTAS / TRUNCATE lifecycle (round 10; tables/sql_ddl.py): CREATE TABLE
-# AS SELECT infers the schema from the query and populates the table in
-# one statement (Athena/Spark CTAS — the reference's named-query users
-# create derived tables exactly this way), TRUNCATE is a zero-file
-# overwrite commit that PRESERVES history, and the re-INSERT + aggregate
-# certify the statement sequence end-to-end. The oracle replays the four
-# statements relationally. Float sums follow the decimal policy.
+# CTAS / TRUNCATE lifecycle (round 10, extended round 11;
+# tables/sql_ddl.py): CREATE TABLE AS SELECT infers the schema from the
+# query and populates the table in one statement (Athena/Spark CTAS —
+# the reference's named-query users create derived tables exactly this
+# way; the reference's own Athena CTAS workflow in
+# docs/bring-your-own-data.md creates PARTITIONED tables, so the round-11
+# form is a PARTITIONED BY + TBLPROPERTIES CTAS whose partition dirs are
+# proven through the __partitions metadata view and whose inferred schema
+# carries source nullability: COUNT(*) is non-nullable → required).
+# TRUNCATE is a zero-file overwrite commit that PRESERVES history, and
+# the re-INSERT + aggregate certify the statement sequence end-to-end.
+# The oracle replays the statements relationally. Float sums follow the
+# decimal policy.
 # ---------------------------------------------------------------------------
 
 
@@ -8065,6 +8284,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT COUNT(*) FROM ctas) AS BIGINT) AS n_after_ctas,
            CAST((SELECT SUM(n) FROM ctas) AS BIGINT) AS rows_summed,
+           CAST((SELECT COUNT(DISTINCT status) FROM ctas) AS BIGINT)
+             AS n_partition_dirs,
+           CAST(1 AS BIGINT) AS n_required_cols,
+           TRUE AS props_roundtrip,
            CAST(0 AS BIGINT) AS n_after_truncate,
            CAST((SELECT COUNT(*) FROM reinsert) AS BIGINT)
              AS n_after_reinsert,
@@ -8082,7 +8305,10 @@ def sql_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     ).createOrReplaceTempView("orders_ctas_src")
     r = lake.sql(spark, """
-        CREATE TABLE status_rollup AS
+        CREATE TABLE status_rollup
+        PARTITIONED BY (status)
+        TBLPROPERTIES ('commit.retry.num-retries'='7')
+        AS
         SELECT o_orderstatus AS status,
                COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -8091,6 +8317,18 @@ def sql_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
     """)
     n_after_ctas = r["row_count"]
+    meta = lake.table("status_rollup").meta
+    n_required_cols = sum(
+        1 for c in meta["columns"] if c.get("required")
+    )
+    props_roundtrip = (
+        meta.get("properties", {}).get("commit_num_retries") == "7"
+    )
+    # partitioned CTAS writes hidden-partition dirs: the __partitions
+    # metadata view (one row per live partition) proves the layout
+    n_partition_dirs = lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM status_rollup__partitions"
+    ).first().n
     rows_summed = lake.sql(
         spark, "SELECT CAST(SUM(n) AS BIGINT) AS s FROM status_rollup"
     ).first().s
@@ -8112,9 +8350,20 @@ def sql_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM status_rollup
     """).first()
     out = spark.createDataFrame(
-        [(n_after_ctas, rows_summed, n_after_truncate, row.n, row.p)],
-        "n_after_ctas LONG, rows_summed LONG, n_after_truncate LONG, "
-        "n_after_reinsert LONG, reinserted_price DOUBLE",
+        [(
+            n_after_ctas,
+            rows_summed,
+            int(n_partition_dirs),
+            int(n_required_cols),
+            bool(props_roundtrip),
+            n_after_truncate,
+            row.n,
+            row.p,
+        )],
+        "n_after_ctas LONG, rows_summed LONG, n_partition_dirs LONG, "
+        "n_required_cols LONG, props_roundtrip BOOLEAN, "
+        "n_after_truncate LONG, n_after_reinsert LONG, "
+        "reinserted_price DOUBLE",
     ).localCheckpoint()
     lake.table("status_rollup").unregister(spark, "status_rollup")
     lake.sql(spark, "DROP TABLE status_rollup")
@@ -8123,52 +8372,34 @@ def sql_ctas_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Canonical-representative selection (round 10; SURVEY §2.13 X40 —
-# operators/dedup.py::canonical_per_cluster): the 'keep the best copy'
-# step a dedup pipeline ends with — per near-dup cluster keep the
-# highest-quality member (ties → lowest id), report what got removed.
-# Spark side is the sort-free max(struct) aggregate; the oracle replays
-# clusters (recursive CTE over the verified pair graph) + the quality
-# heuristic + a per-cluster window. Both building blocks' cross-engine
-# parity is already pinned by near_dup_doc_clusters/doc_quality_scores.
+# Canonical-representative selection (round 10, rebuilt round 11;
+# SURVEY §2.13 X40 — operators/dedup.py::canonical_per_cluster): the
+# 'keep the best copy' step a dedup pipeline ends with — per near-dup
+# cluster keep the highest-quality member (ties → lowest id), report
+# what got removed. The r10 form re-ran the full shingle/LSH funnel to
+# get its clusters — the SAME cost center `near_dup_doc_clusters` and
+# `corpus_curation_pipeline` already certify, paid a third time (~4 s of
+# bench for zero new verification; VERDICT r10 "what's wrong" #2). The
+# r11 form builds PLANTED chain clusters instead (doc_id % 97 groups,
+# consecutive-member edges), which still forces real transitive closure
+# through near_dup_clusters (a ~20-hop chain per group — min-label must
+# propagate end to end) but costs one window instead of a shingle
+# self-join. The NEW logic this entry certifies — the quality join +
+# sort-free max(struct(quality, -id)) selection + tie-breaks — is
+# unchanged and runs on the same real quality scores.
 # ---------------------------------------------------------------------------
 
 
 @query(
     "near_dup_canonical_docs",
     oracle=r"""
-    WITH RECURSIVE norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+    WITH members AS (
+      SELECT doc_id, doc_id % 97 AS g
       FROM documents WHERE doc_id < 2000
     ),
-    sh AS (
-      SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INTEGER), 5) AS s
-      FROM norm, LATERAL unnest(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM shared
-      JOIN sizes na ON na.doc_id = id_a
-      JOIN sizes nb ON nb.doc_id = id_b
-      WHERE c / (na.n + nb.n - c) >= 0.7
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
     clusters AS (
-      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
-      FROM reach GROUP BY src
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS cluster_id
+      FROM members
     ),
     quality AS (
       SELECT doc_id,
@@ -8214,11 +8445,20 @@ def near_dup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from iceberg_quickstart_iac_spark.operators.text import quality_score
 
-    pairs = _verified_near_dup_pairs(spark, sf_dir, block=2000).localCheckpoint()
-    clusters = near_dup_clusters(pairs, None, "doc_id")
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 2000
     )
+    # planted chain clusters: consecutive members of each doc_id%97 group
+    # pair up, so components only resolve through REAL transitive closure
+    # (each cluster is a ~20-hop chain, never a direct clique)
+    members = docs.select("doc_id", (F.col("doc_id") % 97).alias("g"))
+    w = W.partitionBy("g").orderBy("doc_id")
+    pairs = (
+        members.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    clusters = near_dup_clusters(pairs, None, "doc_id")
     scores = docs.select(
         "doc_id", quality_score("text").alias("quality")
     )

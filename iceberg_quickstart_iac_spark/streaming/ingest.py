@@ -443,8 +443,14 @@ def table_change_feed(
         return {"batches": 0, "batch_id": None, "from_sequence": None}
     head = entries[-1]
     state = json.loads(ckpt.read_text()) if ckpt.exists() else None
+    # every read below pins to the CAPTURED head snapshot: a commit
+    # landing between the head probe and the read would otherwise be
+    # delivered in this batch while the checkpoint records the older
+    # sequence — next turn re-delivers those rows under a different
+    # batch_id, which the txn ledger cannot dedupe (duplicates in a
+    # mirror target)
     if state is None:
-        batch = source.read(spark)
+        batch = source.read(spark, snapshot_id=head["snapshot_id"])
         from_seq = None
     else:
         if state["last_sequence"] >= head["sequence"]:
@@ -457,7 +463,9 @@ def table_change_feed(
         if mode == "append":
             try:
                 batch = source.read_incremental(
-                    spark, state["last_snapshot_id"]
+                    spark,
+                    state["last_snapshot_id"],
+                    to_snapshot_id=head["snapshot_id"],
                 )
             except ValueError as e:
                 raise ValueError(
@@ -467,7 +475,9 @@ def table_change_feed(
                 ) from e
         else:
             batch = source.read_changes(
-                spark, state["last_snapshot_id"]
+                spark,
+                state["last_snapshot_id"],
+                to_snapshot_id=head["snapshot_id"],
             )
     batch_fn(batch, int(head["sequence"]))
     tmp = ckpt_dir / ".feed.json.tmp"

@@ -1589,9 +1589,19 @@ class SnapTable:
 
         Only ``append`` snapshots are cherry-pickable (Iceberg has the
         same restriction — a delete/overwrite delta is not expressible
-        as a directory re-reference). Directories the head already
-        references are skipped, so cherry-picking an ancestor of the
-        head is a no-op returning the current snapshot unchanged.
+        as a directory re-reference). Directories whose rows the head
+        already references are skipped — DIRECTLY (the dir or one of its
+        kept-leaf subpaths is in the head's ``data_dirs``) or through
+        REWRITE LINEAGE (a compact/rewrite commit recorded the dir in its
+        ``absorbed_dirs`` map and the rewrite's output is reachable from
+        the head): without the lineage walk, cherry-picking an append
+        whose delta a later ``rewrite_data_files`` absorbed would
+        re-append rows the head already holds. Cherry-picking a fully
+        covered snapshot is a no-op returning the current snapshot
+        unchanged; a partially covered one re-references only the
+        uncovered dirs, with ``row_count``/``file_count`` deltas computed
+        from those dirs' file footers (metadata-only), never the full
+        target-parent delta.
         """
         target = self._snapshot_for(snapshot_id, None)
         if target.get("operation") != "append":
@@ -1611,17 +1621,36 @@ class SnapTable:
             d for d in target["data_dirs"] if d not in parent_dirs
         ]
         current = entries[-1]
+        # top-level dir segments whose rows the head can reach: seed with
+        # the head's references, then walk rewrite lineage (absorbed_dirs
+        # maps recorded by compact) to a fixed point. Conservative by
+        # construction — over-covering turns a would-be duplicate append
+        # into a no-op, never the reverse.
+        absorbed_by: dict[str, set[str]] = {}
+        for e in entries:
+            for nd, ab in (e.get("absorbed_dirs") or {}).items():
+                absorbed_by.setdefault(nd.split("/", 1)[0], set()).update(
+                    p.split("/", 1)[0] for p in ab
+                )
+        reached = {d.split("/", 1)[0] for d in current["data_dirs"]}
+        frontier = list(reached)
+        while frontier:
+            for t_ in absorbed_by.get(frontier.pop(), ()):
+                if t_ not in reached:
+                    reached.add(t_)
+                    frontier.append(t_)
         new_dirs = [
-            d for d in delta_dirs if d not in set(current["data_dirs"])
+            d for d in delta_dirs if d.split("/", 1)[0] not in reached
         ]
         if not new_dirs:
             return current
-        delta_rows = target["row_count"] - (
-            parent["row_count"] if parent else 0
-        )
-        delta_files = target["file_count"] - (
-            parent["file_count"] if parent else 0
-        )
+        # deltas from the dirs actually re-referenced — on partial
+        # coverage the target-parent delta would overstate both counts
+        new_files_list = [
+            f for d in new_dirs for f in _list_data_files(self.data_dir / d)
+        ]
+        delta_rows = _footer_row_count(new_files_list)
+        delta_files = len(new_files_list)
 
         def build(cur_entries: list[dict]) -> dict:
             cur = cur_entries[-1] if cur_entries else None
@@ -2459,6 +2488,13 @@ class SnapTable:
                     # as NULL — no comparison predicate can hold, skip
                     continue
             paths = self._leaf_dirs(roots, gfilters, spec)
+            # a zero-row write on a PARTITIONED table lands a dir with no
+            # data files at all (partitionBy emits nothing, not even a
+            # schema-only file — TRUNCATE and full CoW DELETE both hit
+            # this): loading it would fail schema inference. One driver
+            # directory listing per leaf — the same listing the scan is
+            # about to do anyway.
+            paths = [p for p in paths if _list_data_files(Path(p))]
             if not paths:
                 continue
             fmt = (epoch or {}).get("write_format") or "parquet"
@@ -2932,10 +2968,16 @@ class SnapTable:
         spark: SparkSession,
         from_snapshot_id: str,
         filters: list[tuple] | None = None,
+        to_snapshot_id: str | None = None,
     ) -> DataFrame:
         """Rows appended AFTER ``from_snapshot_id`` (Iceberg's incremental
         append scan — the consumer side of CDC-style pipelines: checkpoint a
-        snapshot id, read only what arrived since).
+        snapshot id, read only what arrived since). ``to_snapshot_id``
+        pins the UPPER bound (Iceberg's ``end-snapshot-id``): a streaming
+        turn that captured a head must deliver exactly up to that head,
+        or a commit landing mid-turn slips into the batch while the
+        checkpoint records the older sequence — re-delivered next turn
+        under a different batch id, un-dedupable downstream.
 
         Valid only across an append-only chain: an overwrite or compact
         rewrites the visible set, so "new rows" is no longer the directory
@@ -2952,7 +2994,21 @@ class SnapTable:
         if from_snapshot_id not in ids:
             raise ValueError(f"No snapshot {from_snapshot_id!r} in {self.fq_name}")
         start = ids.index(from_snapshot_id)
-        newer = entries[start + 1 :]
+        if to_snapshot_id is not None:
+            if to_snapshot_id not in ids:
+                raise ValueError(
+                    f"No snapshot {to_snapshot_id!r} in {self.fq_name}"
+                )
+            end = ids.index(to_snapshot_id)
+            if end < start:
+                raise ValueError(
+                    f"read_incremental: to_snapshot_id {to_snapshot_id!r} "
+                    f"predates from_snapshot_id {from_snapshot_id!r} on "
+                    f"{self.fq_name}"
+                )
+            newer = entries[start + 1 : end + 1]
+        else:
+            newer = entries[start + 1 :]
         if not newer:
             return self.read(spark).limit(0)
         non_append = [e["operation"] for e in newer if e["operation"] != "append"]
@@ -3060,6 +3116,10 @@ class SnapTable:
                 "data_dirs": [dir_name],
                 "row_count": rows,
                 "file_count": files,
+                # lineage: which directories this rewrite ABSORBED — a
+                # later cherrypick_snapshot must treat an absorbed dir's
+                # rows as already present wherever this dir is referenced
+                "absorbed_dirs": {dir_name: sorted(current["data_dirs"])},
                 **self._write_epoch(),
             }
         )
@@ -3068,7 +3128,14 @@ class SnapTable:
             self.fq_name,
             details={"mode": "compact", "file_count": files, "zorder": zorder or []},
         )
-        return entry
+        # procedure-output counts (Iceberg's rewrite_data_files reports the
+        # files it touched, not table totals) — returned on a COPY, never
+        # persisted to the commit log; a full compact rewrites every file
+        return {
+            **entry,
+            "rewritten_files": int(current["file_count"]),
+            "added_files": int(files),
+        }
 
     def _leaf_suffix(self, top_dir: str, leaf: str) -> str:
         """A leaf dir's partition suffix relative to its TOP-LEVEL data
@@ -3162,7 +3229,9 @@ class SnapTable:
                     str(Path(l).relative_to(self.data_dir)) for l in kept
                 ]
         if not rewrite:
-            return current  # nothing matches — metadata no-op
+            # nothing matches — metadata no-op; the procedure output still
+            # reports what the rewrite touched (nothing)
+            return {**current, "rewritten_files": 0, "added_files": 0}
 
         # rewrite the matched leaves, per source dir so each slice gets its
         # own epoch projection and exactly the delete files applicable to it
@@ -3287,9 +3356,24 @@ class SnapTable:
                     new_data_dirs.extend(kept_subpaths.get(d, []))
             if new_dir is not None:
                 new_data_dirs.append(new_dir)
+            absorbed = (
+                {
+                    new_dir: sorted(
+                        str(Path(l).relative_to(self.data_dir))
+                        for leaves in rewrite.values()
+                        for l in leaves
+                    )
+                }
+                if new_dir is not None
+                else {}
+            )
             return {
                 "operation": "compact",
                 "data_dirs": new_data_dirs,
+                # lineage for cherrypick_snapshot: the matched leaves'
+                # rows now live in new_dir (kept leaves stay as direct
+                # subpath references, so they need no lineage entry)
+                **({"absorbed_dirs": absorbed} if absorbed else {}),
                 "delete_dirs": [dd for dd in ddirs if dd not in retired],
                 # visible rows are unchanged: the rewrite only materializes
                 # deletes that were already applied logically
@@ -3314,7 +3398,13 @@ class SnapTable:
                 "retired_delete_files": len(retired),
             },
         )
-        return entry
+        # scoped procedure output: only the files the rewrite touched —
+        # table-wide totals would misreport a where-scoped rewrite
+        return {
+            **entry,
+            "rewritten_files": int(matched_files),
+            "added_files": int(new_files),
+        }
 
     def rewrite_delete_files(self, spark: SparkSession) -> dict:
         """Merge accumulated equality-delete files WITHOUT touching any

@@ -228,7 +228,6 @@ def execute_call(lake, spark, statement: str, access_level: str = "admin"):
         )
 
     if proc == "rewrite_data_files":
-        before = t.current_snapshot()
         kwargs = {}
         strategy = str(args.pop("strategy", "binpack")).lower()
         sort_order = args.pop("sort_order", None)
@@ -254,8 +253,11 @@ def execute_call(lake, spark, statement: str, access_level: str = "admin"):
             kwargs["target_files"] = int(args.pop("target_files"))
         _reject_extra(proc, args)
         after = t.compact(spark, **kwargs)
+        # compact() reports the files the rewrite actually touched (scoped
+        # rewrites count only matched partitions), matching Iceberg's
+        # procedure output — NOT table-wide before/after totals
         return spark.createDataFrame(
-            [(int(before["file_count"]), int(after["file_count"]))],
+            [(int(after["rewritten_files"]), int(after["added_files"]))],
             "rewritten_data_files_count BIGINT, "
             "added_data_files_count BIGINT",
         )

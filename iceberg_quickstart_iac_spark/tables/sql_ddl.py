@@ -201,6 +201,21 @@ def _scan_paren_group(s: str, open_idx: int) -> tuple[str, int]:
     raise ValueError("DDL: unbalanced parentheses")
 
 
+def _parse_props(props_sql: str) -> dict:
+    """``TBLPROPERTIES('k'='v', …)`` body → template properties dict
+    (public Iceberg property names mapped back to template keys)."""
+    from iceberg_quickstart_iac_spark.tables.sql_dml import _split_top_level
+
+    props = {}
+    for pair in _split_top_level(props_sql):
+        k, eq, v = pair.partition("=")
+        if not eq:
+            raise ValueError(f"DDL: malformed property {pair!r}")
+        key = _unquote(k)
+        props[_REVERSE_PROPS.get(key, key)] = _unquote(v)
+    return props
+
+
 def _parse_create_table(s: str):
     """(if_not_exists, dotted_name, cols_sql, part_sql, props_sql) for a
     CREATE TABLE statement, or None if the head doesn't match."""
@@ -231,11 +246,42 @@ _DROP_TABLE_RE = re.compile(
 _ALTER_RE = re.compile(
     r"^alter\s+table\s+([\w.]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
-_CTAS_RE = re.compile(
-    r"^create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s*"
-    r"(?:using\s+\w+\s+)?as\s+(.+)$",
-    re.IGNORECASE | re.DOTALL,
+_CTAS_HEAD_RE = re.compile(
+    r"^create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s+",
+    re.IGNORECASE,
 )
+
+
+def _parse_ctas(s: str):
+    """(if_not_exists, dotted_name, part_sql, props_sql, query) for a
+    ``CREATE TABLE … [USING fmt] [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
+    AS <query>`` statement, or None if the shape doesn't match. Clause
+    order follows Spark SQL. Parsed with the same balanced-paren scan as
+    plain CREATE TABLE — ``PARTITIONED BY (days(ts))`` nests parens a
+    regex can't balance. Tried only AFTER ``_parse_create_table`` (whose
+    head requires ``(`` right after the name), so a column-list CREATE
+    never lands here."""
+    m = _CTAS_HEAD_RE.match(s)
+    if not m:
+        return None
+    if_not_exists, dotted = m.groups()
+    tail = s[m.end():].strip()
+    um = re.match(r"^using\s+\w+\s+", tail, re.IGNORECASE)
+    if um:
+        tail = tail[um.end():].strip()
+    part_sql = props_sql = None
+    pm = re.match(r"^partitioned\s+by\s*\(", tail, re.IGNORECASE)
+    if pm:
+        part_sql, pos = _scan_paren_group(tail, pm.end() - 1)
+        tail = tail[pos:].strip()
+    tm = re.match(r"^tblproperties\s*\(", tail, re.IGNORECASE)
+    if tm:
+        props_sql, pos = _scan_paren_group(tail, tm.end() - 1)
+        tail = tail[pos:].strip()
+    am = re.match(r"^as\s+(.+)$", tail, re.IGNORECASE | re.DOTALL)
+    if not am:
+        return None
+    return if_not_exists, dotted, part_sql, props_sql, am.group(1).strip()
 _TRUNCATE_RE = re.compile(
     r"^truncate\s+table\s+([\w.]+)\s*$", re.IGNORECASE
 )
@@ -271,6 +317,31 @@ def _template_type_of(dtype) -> str:
         if isinstance(dtype, cls):
             return name
     raise ValueError(f"CTAS: unsupported inferred column type {dtype}")
+
+
+def _retract_session_views(lake, spark, name: str) -> None:
+    """A catalog DROP must retract the Spark temp views the lazy
+    registration created for ``name`` — purging the registry memo alone
+    leaves the session views resolvable, so a post-drop SELECT would
+    silently serve the stale expansion instead of erroring (and a
+    re-created table could serve the dropped one's rows until the next
+    head probe). Drops the base view plus every derived variant: the
+    ``name__asof_*`` time-travel pins, ``name__scope_*`` branch views,
+    ``name__snapshots``/… metadata views, and their combinations — all
+    derived names start with ``name__`` by construction. Also forgets the
+    follow-head refresh specs keyed on the (now deleted) table root, so a
+    later commit to a re-created same-name table never re-resolves a
+    dropped handle."""
+    from iceberg_quickstart_iac_spark.tables.snapstore import (
+        _HEAD_REGISTRATIONS,
+        _head_reg_key,
+    )
+
+    _HEAD_REGISTRATIONS.pop(_head_reg_key(lake.root / name), None)
+    prefix = name + "__"
+    for t in spark.catalog.listTables():
+        if t.isTemporary and (t.name == name or t.name.startswith(prefix)):
+            spark.catalog.dropTempView(t.name)
 
 
 def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
@@ -311,41 +382,47 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
                 _parse_transform(p) for p in _split_top_level(part_sql)
             ]
         if props_sql:
-            props = {}
-            for pair in _split_top_level(props_sql):
-                k, eq, v = pair.partition("=")
-                if not eq:
-                    raise ValueError(f"DDL: malformed property {pair!r}")
-                key = _unquote(k)
-                props[_REVERSE_PROPS.get(key, key)] = _unquote(v)
-            template["properties"] = props
+            template["properties"] = _parse_props(props_sql)
         lake.create_table(template)
         return {"operation": "create_table", "table": name, "created": True}
 
-    m = _CTAS_RE.match(s)
-    if m:
+    parsed = _parse_ctas(s)
+    if parsed:
         # CREATE TABLE … AS <query>: the schema is INFERRED from the
-        # query result (Spark dtypes → template types) and the result
-        # populates the new table in the same statement — Athena/Spark
-        # CTAS semantics. The source query goes back through the front
-        # door (lake.sql), so it reads catalog tables with the same lazy
-        # governed registration any SELECT gets.
-        if_not_exists, dotted, query = m.groups()
+        # query result (Spark dtypes → template types; a non-nullable
+        # query column becomes a required/NOT NULL template column) and
+        # the result populates the new table in the same statement —
+        # Athena/Spark CTAS semantics, including partitioned CTAS
+        # (PARTITIONED BY transforms) and TBLPROPERTIES. The source query
+        # goes back through the front door (lake.sql), so it reads
+        # catalog tables with the same lazy governed registration any
+        # SELECT gets.
+        if_not_exists, dotted, part_sql, props_sql, query = parsed
         name, namespace = _table_name(dotted)
         if (lake.root / name / "table.json").exists():
             if if_not_exists:
                 return {"operation": "create_table_as", "table": name,
                         "created": False}
             raise ValueError(f"Table {name!r} already exists")
-        df = lake.sql(spark, query.strip(), access_level=access_level)
+        df = lake.sql(spark, query, access_level=access_level)
         template = {
             "name": name,
             "namespace": namespace or "default",
             "columns": [
-                {"name": f.name, "type": _template_type_of(f.dataType)}
+                {
+                    "name": f.name,
+                    "type": _template_type_of(f.dataType),
+                    **({"required": True} if not f.nullable else {}),
+                }
                 for f in df.schema.fields
             ],
         }
+        if part_sql:
+            template["partition_spec"] = [
+                _parse_transform(p) for p in _split_top_level(part_sql)
+            ]
+        if props_sql:
+            template["properties"] = _parse_props(props_sql)
         t = lake.create_table(template)
         commit = t.append(df)
         return {
@@ -414,6 +491,8 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
         if_exists, dotted = m.groups()
         name, _ = _table_name(dotted)
         dropped = lake.drop_view(name, if_exists=bool(if_exists))
+        if dropped:
+            _retract_session_views(lake, spark, name)
         return {"operation": "drop_view", "view": name, "dropped": dropped}
 
     if re.match(r"^show\s+views\s*$", s, re.IGNORECASE):
@@ -498,6 +577,8 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
         if_exists, dotted = m.groups()
         name, _ = _table_name(dotted)
         dropped = lake.drop_table(name, if_exists=bool(if_exists))
+        if dropped:
+            _retract_session_views(lake, spark, name)
         return {"operation": "drop_table", "table": name, "dropped": dropped}
 
     m = _ALTER_RE.match(s)
@@ -664,6 +745,15 @@ def execute_ddl(lake, spark, statement: str, access_level: str = "admin"):
                     raise ValueError(
                         "DDL: REPLACE BRANCH is not supported — branches "
                         "carry commits; merge or drop-and-recreate instead"
+                    )
+                if seq is None:
+                    # Iceberg's REPLACE TAG requires the target version —
+                    # without this, an operator typo would silently move a
+                    # retention-pinning tag off its snapshot to the head
+                    raise ValueError(
+                        "DDL: REPLACE TAG requires AS OF VERSION <n> — "
+                        "an implicit head re-pin would silently move a "
+                        "retention tag; state the target version"
                     )
                 if exists:
                     t.delete_tag(ref)

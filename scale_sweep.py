@@ -590,7 +590,78 @@ def wl_stream_ingest(spark, sf_dir: str, factor: int) -> int:
     return table.read(spark).count()
 
 
-STREAM_WORKLOADS = {"incremental_file_ingest": wl_stream_ingest}
+#: (table, checkpoint) per factor for the table-feed workload — the N×
+#: base table is SETUP, not the thing measured: with --runs>=2, run 1
+#: pays the build and best-of-N keeps the warm turns
+_FEED_BASES: dict[int, tuple] = {}
+FEED_DELTA_ROWS = 20_000
+FEED_TURNS = 3
+
+
+def wl_table_feed(spark, sf_dir: str, factor: int) -> int:
+    """ST5 table-as-stream source (streaming/ingest.py::table_change_feed,
+    VERDICT r10 #7): per-turn cost must track the DELTA (fixed 20k
+    rows/turn here), never the TABLE (N× base rows behind the
+    checkpoint): a feed turn is one head probe (directory listing + one
+    JSON read) plus an incremental dir-delta scan pinned to the captured
+    head. Expected alpha ~ 0 over the factor; an O(table) regression
+    (a full-scan fallback inside the turn) shows up as alpha -> 1."""
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        table_change_feed,
+    )
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+    from iceberg_quickstart_iac_spark.templates.loader import spark_schema
+
+    template = {
+        "name": "feed_src",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts", "type": "timestamptz"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+            {"name": "props", "type": "string"},
+        ],
+    }
+    if factor not in _FEED_BASES:
+        scratch = tempfile.mkdtemp(prefix=f"feed_sweep_x{factor}_")
+        t = SnapTable.create(os.path.join(scratch, "t"), template)
+        base = spark.read.schema(spark_schema(template)).parquet(
+            os.path.join(sf_dir, "files")
+        )
+        t.append(base)
+        ck = os.path.join(scratch, "ckpt")
+        # baseline turn: consumes the initial full-table batch so the
+        # TIMED turns below are pure per-delta increments
+        table_change_feed(spark, t, ck, lambda df, bid: df.count())
+        _FEED_BASES[factor] = (t, ck)
+    t, ck = _FEED_BASES[factor]
+    delivered = 0
+
+    def fn(df, bid) -> None:
+        nonlocal delivered
+        delivered += df.count()
+
+    for i in range(FEED_TURNS):
+        t.append(spark.range(FEED_DELTA_ROWS).selectExpr(
+            "id AS event_id",
+            "timestamp'2026-01-01 00:00:00' AS ts",
+            "id % 1000 AS user_id",
+            "'click' AS event_type",
+            "CAST(id AS DOUBLE) AS value",
+            "'{}' AS props",
+        ))
+        table_change_feed(spark, t, ck, fn)
+    return delivered
+
+
+STREAM_WORKLOADS = {
+    "incremental_file_ingest": wl_stream_ingest,
+    "table_feed_turn": wl_table_feed,
+}
 
 
 # ---------------------------------------------------------------------------

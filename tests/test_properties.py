@@ -868,22 +868,33 @@ def test_scope_rewrite_spares_literals_and_prefixed_names(payload):
 @given(payload=_SQL_PAYLOAD)
 @settings(max_examples=150, deadline=None)
 def test_ctas_regex_extracts_query_with_hostile_literals(payload):
-    """The CTAS head split: the AS <query> boundary is the FIRST 'as'
-    after the table name, so literals inside the query (carrying ' as ',
-    parens, quotes) arrive in the query group byte-intact."""
-    from iceberg_quickstart_iac_spark.tables.sql_ddl import _CTAS_RE
+    """The CTAS head split: the AS <query> boundary is the first
+    top-level 'as' after the name/USING/PARTITIONED BY/TBLPROPERTIES
+    clauses, so literals inside the query (carrying ' as ', parens,
+    quotes) arrive in the query group byte-intact — and clause bodies
+    with nested parens parse via the balanced scan, not a regex."""
+    from iceberg_quickstart_iac_spark.tables.sql_ddl import _parse_ctas
 
     lit = _sql_lit(payload + " as x ")
-    for stmt, want_name in [
-        (f"create table t9 as select {lit} as c from src", "t9"),
+    for stmt, want_name, want_part, want_props in [
+        (f"create table t9 as select {lit} as c from src",
+         "t9", None, None),
         (f"create table if not exists ns.t9 using iceberg as "
-         f"select {lit} as c", "ns.t9"),
+         f"select {lit} as c", "ns.t9", None, None),
+        (f"create table t9 partitioned by (days(ts), bucket(4, k)) "
+         f"tblproperties ('write.format.default'='orc') as "
+         f"select {lit} as c from src",
+         "t9", "days(ts), bucket(4, k)",
+         "'write.format.default'='orc'"),
     ]:
-        m = _CTAS_RE.match(stmt)
-        assert m, stmt
-        assert m.group(2) == want_name
-        assert m.group(3).startswith("select ")
-        assert lit in m.group(3)
+        parsed = _parse_ctas(stmt)
+        assert parsed, stmt
+        _ine, name, part_sql, props_sql, query = parsed
+        assert name == want_name
+        assert part_sql == want_part
+        assert props_sql == want_props
+        assert query.startswith("select ")
+        assert lit in query
 
 
 # -- CALL procedure-statement fuzz (round 10; tables/sql_call.py) ------------

@@ -290,13 +290,32 @@ def test_rewrite_data_files_where_scopes_to_partition(spark, lake):
             "FROM range(0, 20)",
         )
     t = lake.table("callsp")
+    from iceberg_quickstart_iac_spark.tables.snapstore import (
+        _list_data_files,
+    )
+
+    def _part_files(snap, frag):
+        return sum(
+            1
+            for d in snap["data_dirs"]
+            for f in _list_data_files(t.data_dir / d)
+            if frag in str(f)
+        )
+
+    before = t.current_snapshot()
+    files_a_before = _part_files(before, "cat=a")
     out = lake.sql(
         spark,
         "CALL system.rewrite_data_files(table => 'callsp', "
         "where => 'cat = ''a''')",
     ).first()
-    assert t.current_snapshot()["operation"] == "compact"
-    assert out.added_data_files_count <= out.rewritten_data_files_count
+    after = t.current_snapshot()
+    assert after["operation"] == "compact"
+    # scoped procedure output: ONLY the files the rewrite touched —
+    # never the table-wide totals (partition b's files are not counted)
+    assert out.rewritten_data_files_count == files_a_before
+    assert out.rewritten_data_files_count < before["file_count"]
+    assert out.added_data_files_count == _part_files(after, "cat=a")
     # rows intact in both partitions
     assert lake.sql(
         spark, "SELECT COUNT(*) AS n FROM callsp"
@@ -341,3 +360,48 @@ def test_cherrypick_snapshot_recovers_good_commit_after_rollback(
             f"CALL system.cherrypick_snapshot(table => 'calls_t', "
             f"snapshot_id => '{bad}')",
         )
+
+
+def test_cherrypick_of_rewrite_absorbed_append_is_noop(spark, lake):
+    """An append whose delta a later rewrite_data_files absorbed has no
+    dirs in the head, but its ROWS are there — cherry-picking it must be
+    a no-op (rewrite lineage walk), never a duplicate re-append."""
+    t = _seeded(spark, lake)  # commits 0,1,2 (10 rows each)
+    target_entry = t._entries()[1]
+    target = target_entry["snapshot_id"]
+    lake.sql(
+        spark, "CALL system.rewrite_data_files(table => 'calls_t')"
+    )
+    head_before = t.current_snapshot()
+    # the target's dirs are gone from the head, absorbed into the
+    # compact dir — the directory-membership check alone would re-append
+    assert not set(target_entry["data_dirs"]) & set(
+        head_before["data_dirs"]
+    )
+    lake.sql(
+        spark,
+        f"CALL system.cherrypick_snapshot(table => 'calls_t', "
+        f"snapshot_id => '{target}')",
+    )
+    after = t.current_snapshot()
+    assert after["snapshot_id"] == head_before["snapshot_id"]
+    assert t.read(spark).count() == 30  # no duplicated rows
+    # …and a rollback PAST the rewrite makes the same target
+    # cherry-pickable again (its rows left the head lineage)
+    entries = t._entries()
+    lake.sql(
+        spark,
+        f"CALL system.rollback_to_snapshot(table => 'calls_t', "
+        f"snapshot_id => '{entries[0]['snapshot_id']}')",
+    )
+    lake.sql(
+        spark,
+        f"CALL system.cherrypick_snapshot(table => 'calls_t', "
+        f"snapshot_id => '{target}')",
+    )
+    cur = t.current_snapshot()
+    rows = {r.k for r in t.read(spark).select("k").collect()}
+    assert rows == set(range(0, 20))
+    # metadata deltas come from the re-referenced dirs' footers
+    assert cur["row_count"] == 20
+    assert t.read(spark).count() == 20

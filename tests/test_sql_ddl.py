@@ -202,6 +202,40 @@ def test_ctas_creates_and_populates(spark, lake):
     spark.catalog.dropTempView("ctas_src")
 
 
+def test_ctas_partitioned_with_properties_and_nullability(spark, lake):
+    """Partitioned CTAS (VERDICT r10 #3): PARTITIONED BY + TBLPROPERTIES
+    parse on the CTAS path, the write lands hidden-partition dirs, and
+    inferred schemas carry source nullability (COUNT(*) → required)."""
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5), (4, "c", 0.5)],
+        "id LONG, grp STRING, v DOUBLE",
+    ).createOrReplaceTempView("ctasp_src")
+    r = lake.sql(spark, """
+        CREATE TABLE ctasp_out
+        PARTITIONED BY (grp)
+        TBLPROPERTIES ('commit.retry.num-retries'='9')
+        AS SELECT grp, COUNT(*) AS n, SUM(v) AS total
+        FROM ctasp_src GROUP BY grp
+    """)
+    assert r["created"] is True and r["row_count"] == 3
+    t = lake.table("ctasp_out")
+    required = {c["name"] for c in t.meta["columns"] if c.get("required")}
+    assert required == {"n"}  # COUNT(*) is non-nullable; SUM/grp are not
+    assert t.meta["properties"]["commit_num_retries"] == "9"
+    assert [p["column"] for p in t.meta["partition_spec"]] == ["grp"]
+    # the data dirs really are hidden-partitioned (one leaf per grp)
+    files = t.files(spark).collect()
+    assert {f.partition for f in files} == {
+        '{"__p_grp": "a"}', '{"__p_grp": "b"}', '{"__p_grp": "c"}'
+    }
+    # the SHOW CREATE TABLE round-trip carries the clauses
+    ddl = lake.sql(
+        spark, "SHOW CREATE TABLE ctasp_out"
+    ).first().ddl
+    assert "PARTITIONED BY" in ddl
+    spark.catalog.dropTempView("ctasp_src")
+
+
 def test_ctas_reads_catalog_tables_through_front_door(spark, lake):
     lake.sql(spark, "CREATE TABLE base_t (k BIGINT, v STRING)")
     lake.sql(spark, "INSERT INTO base_t VALUES (1, 'x'), (2, 'y')")
@@ -298,6 +332,12 @@ def test_ref_ddl_tag_lifecycle(spark, lake):
     # REPLACE moves the tag to another version
     lake.sql(spark, "ALTER TABLE reft REPLACE TAG v1 AS OF VERSION 1")
     assert t.tag("v1")["sequence"] == 1
+    # REPLACE TAG without AS OF VERSION is a loud reject (Iceberg
+    # requires the target version — an implicit head re-pin would
+    # silently move a retention tag)
+    with pytest.raises(ValueError, match="AS OF VERSION"):
+        lake.sql(spark, "ALTER TABLE reft REPLACE TAG v1")
+    assert t.tag("v1")["sequence"] == 1  # unchanged by the reject
     # DROP removes it; IF EXISTS tolerates absence
     r3 = lake.sql(spark, "ALTER TABLE reft DROP TAG v1")
     assert r3["dropped"] is True
@@ -306,6 +346,33 @@ def test_ref_ddl_tag_lifecycle(spark, lake):
     )["dropped"] is False
     with pytest.raises(ValueError, match="no tag"):
         lake.sql(spark, "ALTER TABLE reft DROP TAG v1")
+
+
+def test_drop_table_retracts_session_views(spark, lake):
+    """DROP TABLE must retract the Spark temp views the lazy registration
+    created — a post-drop SELECT errors, and a re-created table with the
+    same name serves ITS rows, never the dropped table's."""
+    from pyspark.errors import AnalysisException
+
+    lake.sql(spark, "CREATE TABLE dropt (k BIGINT)")
+    lake.sql(spark, "INSERT INTO dropt SELECT id AS k FROM range(0, 7)")
+    # register base + a metadata view + a time-travel pin in the session
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM dropt").first().n == 7
+    assert lake.sql(
+        spark, "SELECT COUNT(*) AS n FROM dropt__snapshots"
+    ).first().n == 1
+    lake.sql(spark, "SELECT COUNT(*) AS n FROM dropt FOR VERSION AS OF 0")
+    lake.sql(spark, "DROP TABLE dropt")
+    with pytest.raises(AnalysisException):
+        lake.sql(spark, "SELECT COUNT(*) AS n FROM dropt").collect()
+    with pytest.raises(Exception):
+        lake.sql(
+            spark, "SELECT COUNT(*) AS n FROM dropt__snapshots"
+        ).collect()
+    # same-name re-create serves the NEW table's rows
+    lake.sql(spark, "CREATE TABLE dropt (k BIGINT)")
+    lake.sql(spark, "INSERT INTO dropt SELECT id AS k FROM range(0, 3)")
+    assert lake.sql(spark, "SELECT COUNT(*) AS n FROM dropt").first().n == 3
 
 
 def test_ref_ddl_branch_lifecycle(spark, lake):

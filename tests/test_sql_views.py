@@ -134,6 +134,12 @@ def test_view_drop_and_temp_view_passthrough(spark, lake):
     assert lake.sql(spark, "SELECT COUNT(*) AS n FROM vd").first().n == 10
     r = lake.sql(spark, "DROP VIEW vd")
     assert r == {"operation": "drop_view", "view": "vd", "dropped": True}
+    # the drop retracts the session temp view too: a post-drop SELECT
+    # errors instead of silently serving the stale expansion
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        lake.sql(spark, "SELECT COUNT(*) AS n FROM vd").collect()
     assert lake.sql(spark, "DROP VIEW IF EXISTS vd")["dropped"] is False
     with pytest.raises(TableNotFoundError):
         lake.sql(spark, "DROP VIEW vd")

@@ -600,6 +600,42 @@ def test_table_change_feed_initial_then_increments_then_drained(
     assert tgt.read(spark).count() == 12
 
 
+def test_read_incremental_to_snapshot_pins_the_upper_bound(
+    spark, tmp_path
+):
+    """table_change_feed pins its reads to the head it checkpointed:
+    read_incremental(to_snapshot_id=…) must exclude commits past the
+    bound, or a commit landing mid-turn is delivered under a batch id
+    the checkpoint never records (re-delivered next turn → duplicates
+    the txn ledger cannot dedupe)."""
+    import pytest
+
+    src = _mk_table(tmp_path)
+    for lo in (0, 5, 8):
+        src.append(spark.sql(
+            f"SELECT id AS k, CAST(id AS DOUBLE) AS v "
+            f"FROM range({lo}, {lo + 3})"
+        ))
+    e = src._entries()
+    bounded = src.read_incremental(
+        spark, e[0]["snapshot_id"], to_snapshot_id=e[1]["snapshot_id"]
+    )
+    assert {r.k for r in bounded.collect()} == {5, 6, 7}
+    # unbounded still reads to the live head
+    assert src.read_incremental(spark, e[0]["snapshot_id"]).count() == 6
+    # a bound that predates the start is a loud reject
+    with pytest.raises(ValueError, match="predates"):
+        src.read_incremental(
+            spark, e[1]["snapshot_id"], to_snapshot_id=e[0]["snapshot_id"]
+        )
+    # a non-append commit BEYOND the bound no longer poisons the window
+    src.delete_where(spark, "k = 0")
+    ok = src.read_incremental(
+        spark, e[0]["snapshot_id"], to_snapshot_id=e[2]["snapshot_id"]
+    )
+    assert {r.k for r in ok.collect()} == {5, 6, 7, 8, 9, 10}
+
+
 def test_table_change_feed_crash_replay_is_exactly_once(spark, tmp_path):
     import json
 
