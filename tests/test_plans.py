@@ -284,3 +284,28 @@ def test_corpus_shuffle_plan_no_window_one_agg_exchange(
     ]
     assert len(hash_exchanges) == 1, p
     assert sum("rangepartitioning(" in ln for ln in p.splitlines()) == 1
+
+
+def test_unpivot_is_one_scan_with_expand(spark, sf_dir_small):
+    """lineitem_unpivot_measures must unpivot via ONE Expand over one
+    lineitem scan — the UNION-ALL formulation (the oracle's semantics
+    statement) would re-scan the fact table once per measure, a 4×
+    read-amplification bug at 100 TB."""
+    p = _plan(spark, queries()["lineitem_unpivot_measures"](spark, sf_dir_small))
+    assert "Expand" in p
+    # one scan NODE — formatted explain prints each node twice (tree +
+    # detail), so count the per-scan Location lines
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+
+
+def test_peak_hour_window_is_one_user_exchange(spark, sf_dir_small):
+    """event_peak_hour_value: one hash exchange on user_id feeds BOTH the
+    RANGE window and the per-user MAX (the aggregate reuses the window's
+    partitioning — no second shuffle), plus only the final ORDER BY's
+    range exchange."""
+    p = _plan(spark, queries()["event_peak_hour_value"](spark, sf_dir_small))
+    assert "Window" in p
+    hash_exchanges = [
+        ln for ln in p.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert len(hash_exchanges) == 1, p

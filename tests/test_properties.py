@@ -965,3 +965,61 @@ def test_create_view_comment_literal_never_confuses_as_split(
     lake.create_view.assert_called_once_with(
         "vfz", body, replace=False, comment=comment, namespace="default"
     )
+
+
+def test_cherrypick_never_duplicates_under_random_interleavings(
+    spark, tmp_path
+):
+    """Model check for cherry-pick safety (ADVICE r10 #2): random
+    interleavings of append / compact / rollback_to / cherrypick must
+    NEVER duplicate a key — a cherry-pick of an append whose delta a
+    later rewrite absorbed has to resolve through the lineage walk to a
+    no-op, while one whose rows genuinely left the head (rollback past
+    it) is a true re-reference. Every appended key is globally unique,
+    so duplication is directly observable; row_count is re-asserted
+    against the actual read each step (the footer-based delta math)."""
+    import random
+
+    from iceberg_quickstart_iac_spark.tables import SnapTable
+
+    for seed in (7, 29):
+        rng = random.Random(seed)
+        t = SnapTable.create(
+            tmp_path / f"cp-{seed}",
+            {
+                "name": f"cp{seed}", "namespace": "x",
+                "columns": [
+                    {"name": "k", "type": "long"},
+                    {"name": "v", "type": "long"},
+                ],
+            },
+        )
+        next_k = 0
+
+        def add(n):
+            nonlocal next_k
+            batch = [(next_k + j, seed) for j in range(n)]
+            next_k += n
+            t.append(spark.createDataFrame(batch, "k LONG, v LONG"))
+
+        add(4)
+        for step in range(10):
+            entries = t._entries()
+            op = rng.choice(["append", "compact", "rollback", "cherrypick"])
+            if op == "append":
+                add(rng.randint(1, 3))
+            elif op == "compact":
+                t.compact(spark)
+            elif op == "rollback":
+                t.rollback_to(rng.choice(entries)["snapshot_id"])
+            else:
+                cands = [e for e in entries if e["operation"] == "append"]
+                if cands:
+                    t.cherrypick_snapshot(
+                        rng.choice(cands)["snapshot_id"]
+                    )
+            ks = [r.k for r in t.read(spark).select("k").collect()]
+            assert len(ks) == len(set(ks)), (seed, step, op)
+            assert t.current_snapshot()["row_count"] == len(ks), (
+                seed, step, op,
+            )
