@@ -1602,6 +1602,12 @@ class SnapTable:
         uncovered dirs, with ``row_count``/``file_count`` deltas computed
         from those dirs' file footers (metadata-only), never the full
         target-parent delta.
+
+        Lineage survives expiry by construction: ``expire_snapshots``
+        drops entries oldest-first, so a rewrite's ``absorbed_dirs``
+        record can only leave the log AFTER every (older) snapshot it
+        absorbed — i.e. after those targets stop being cherry-pickable
+        at all.
         """
         target = self._snapshot_for(snapshot_id, None)
         if target.get("operation") != "append":

@@ -886,6 +886,11 @@ def test_ctas_regex_extracts_query_with_hostile_literals(payload):
          f"select {lit} as c from src",
          "t9", "days(ts), bucket(4, k)",
          "'write.format.default'='orc'"),
+        # a property VALUE carrying ' as ', parens, and quotes must not
+        # shift the clause boundaries (the balanced scan is literal-aware)
+        (f"create table t9 tblproperties ('comment'={lit}) as "
+         f"select 1 as c",
+         "t9", None, f"'comment'={lit}"),
     ]:
         parsed = _parse_ctas(stmt)
         assert parsed, stmt
@@ -894,7 +899,8 @@ def test_ctas_regex_extracts_query_with_hostile_literals(payload):
         assert part_sql == want_part
         assert props_sql == want_props
         assert query.startswith("select ")
-        assert lit in query
+        # the literal lands byte-intact wherever the statement put it
+        assert lit in (props_sql if props_sql and lit in props_sql else query)
 
 
 # -- CALL procedure-statement fuzz (round 10; tables/sql_call.py) ------------
