@@ -193,8 +193,8 @@ _GATE_PRIORITY: list[str] = [
     "dml_lifecycle",
     # the r12 lead, by name: first the round-11 additions, never driver-
     # certified (event_peak_hour_value, lineitem_unpivot_measures,
-    # table_mirror_feed_lifecycle — all oracle-replayed by
-    # tests/test_oracle_parity.py meanwhile), then
+    # table_mirror_feed_lifecycle, orders_grouping_sets — all
+    # oracle-replayed by tests/test_oracle_parity.py meanwhile), then
     # flagship_event_type_counts (the spill above, 4 rounds old at r12 —
     # MUST run), then the r9-certified block
     # (3 rounds old at r12): wap_sql_branch_lifecycle,
@@ -213,9 +213,9 @@ _GATE_PRIORITY: list[str] = [
     # catalog_branch_lifecycle, flagship_sql_front_door,
     # changelog_follow_head_view, changelog_sql_view,
     # sql_view_follows_head, time_travel_sql_named_query,
-    # branch_lifecycle, incremental_near_dup_admission — 3 + 1 + 43 = 47
-    # named for 50 slots, leaving 3 slots for round-11-touched entries
-    # (sql_ctas_lifecycle, near_dup_canonical_docs, dml_lifecycle).
+    # branch_lifecycle, incremental_near_dup_admission — 4 + 1 + 43 = 48
+    # named for 50 slots, leaving 2 slots for round-11-touched entries
+    # (sql_ctas_lifecycle, near_dup_canonical_docs).
 ]
 
 
@@ -2864,6 +2864,61 @@ def cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_year",
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_year").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (round 11; §2.4 family): the arbitrary-subset
+# grouping shape between ROLLUP (`rollup_order_status`) and CUBE
+# (`cube_status_year`) — here (status, priority), (priority), (): the
+# per-cell detail, the priority margin WITHOUT a status margin, and the
+# grand total, in one pass (one Expand + one aggregate, same plan family
+# as rollup/cube — never three scans). GROUPING() markers disambiguate
+# real NULLs from margin rows, same convention as the CUBE entry.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY g_status, g_priority,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "total_price",
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
         )
     )
 
