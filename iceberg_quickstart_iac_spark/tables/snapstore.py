@@ -1608,6 +1608,13 @@ class SnapTable:
         record can only leave the log AFTER every (older) snapshot it
         absorbed — i.e. after those targets stop being cherry-pickable
         at all.
+
+        Known divergence (shared with Iceberg's procedure): coverage is
+        DIRECTORY-level, not row-level — cherry-picking an append whose
+        rows were later DML-DELETED (or whose partition-scoped rewrite
+        materialized to nothing because every row was MoR-deleted)
+        re-references the dirs and resurrects those rows; deletes are
+        not part of an append's re-applicable delta.
         """
         target = self._snapshot_for(snapshot_id, None)
         if target.get("operation") != "append":

@@ -658,9 +658,70 @@ def wl_table_feed(spark, sf_dir: str, factor: int) -> int:
     return delivered
 
 
+def wl_table_feed_multi_commit(spark, sf_dir: str, factor: int) -> int:
+    """The commits-per-window axis of the ST5 sweep: same 20k rows per
+    turn as ``table_feed_turn`` but split across FIVE commits, delivered
+    as ONE batch. Per-turn cost must track the delta VOLUME, not the
+    commit count (the incremental scan reads the dir set difference in
+    one pass — K commits are K more dirs in one load, not K scans);
+    expected alpha ~ 0 over the table factor and wall time comparable to
+    the single-commit workload."""
+    import tempfile
+
+    from iceberg_quickstart_iac_spark.streaming.ingest import (
+        table_change_feed,
+    )
+    from iceberg_quickstart_iac_spark.tables.snapstore import SnapTable
+    from iceberg_quickstart_iac_spark.templates.loader import spark_schema
+
+    key = -factor  # separate memo slot from the single-commit workload
+    template = {
+        "name": "feed_src_mc",
+        "namespace": "lakehouse",
+        "columns": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts", "type": "timestamptz"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+            {"name": "props", "type": "string"},
+        ],
+    }
+    if key not in _FEED_BASES:
+        scratch = tempfile.mkdtemp(prefix=f"feedmc_sweep_x{factor}_")
+        t = SnapTable.create(os.path.join(scratch, "t"), template)
+        t.append(spark.read.schema(spark_schema(template)).parquet(
+            os.path.join(sf_dir, "files")
+        ))
+        ck = os.path.join(scratch, "ckpt")
+        table_change_feed(spark, t, ck, lambda df, bid: df.count())
+        _FEED_BASES[key] = (t, ck)
+    t, ck = _FEED_BASES[key]
+    delivered = 0
+
+    def fn(df, bid) -> None:
+        nonlocal delivered
+        delivered += df.count()
+
+    per_commit = FEED_DELTA_ROWS // 5
+    for _ in range(FEED_TURNS):
+        for c in range(5):
+            t.append(spark.range(per_commit).selectExpr(
+                "id AS event_id",
+                "timestamp'2026-01-01 00:00:00' AS ts",
+                "id % 1000 AS user_id",
+                "'click' AS event_type",
+                "CAST(id AS DOUBLE) AS value",
+                "'{}' AS props",
+            ))
+        table_change_feed(spark, t, ck, fn)
+    return delivered
+
+
 STREAM_WORKLOADS = {
     "incremental_file_ingest": wl_stream_ingest,
     "table_feed_turn": wl_table_feed,
+    "table_feed_multi_commit": wl_table_feed_multi_commit,
 }
 
 
