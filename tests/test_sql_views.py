@@ -160,3 +160,12 @@ def test_view_on_catalog_branch_scope(spark, lake):
     br.sql(spark, "INSERT INTO vt SELECT 50 AS k, 'even' AS grp")
     assert br.sql(spark, "SELECT COUNT(*) AS n FROM vb").first().n == 6
     assert lake.sql(spark, "SELECT COUNT(*) AS n FROM vb").first().n == 5
+    # a main-catalog DROP retracts the BRANCH-SCOPE registration too —
+    # the suffixed temp view must not keep serving the dropped definition
+    from pyspark.errors import AnalysisException
+
+    lake.sql(spark, "DROP VIEW vb")
+    with pytest.raises(AnalysisException):
+        br.sql(spark, "SELECT COUNT(*) AS n FROM vb").collect()
+    with pytest.raises(AnalysisException):
+        lake.sql(spark, "SELECT COUNT(*) AS n FROM vb").collect()
