@@ -441,8 +441,6 @@ class SnapTable:
         properties: dict | None = None,
     ) -> SnapTable:
         table = cls(root)
-        table.log_dir.mkdir(parents=True, exist_ok=True)
-        table.data_dir.mkdir(parents=True, exist_ok=True)
         # Iceberg-style field ids: every column gets a table-unique id at
         # declaration time; a dropped-then-re-added name is a NEW id, so old
         # data files never leak pre-drop values into the re-added column.
@@ -461,6 +459,20 @@ class SnapTable:
             "identifier_fields": (template or {}).get("identifier_fields", []) or [],
             "properties": {**((template or {}).get("properties") or {}), **(properties or {})},
         }
+        # partition/sort columns must exist in the declared schema —
+        # Iceberg rejects an unknown source column at DDL time; accepting
+        # it silently would declare a spec the writer then silently
+        # ignores (data lands unpartitioned while metadata claims a spec)
+        declared = {c["name"] for c in columns}
+        for kind in ("partition_spec", "sort_order"):
+            for entry in meta[kind]:
+                col = entry["column"] if isinstance(entry, dict) else entry
+                if col not in declared:
+                    raise ValueError(
+                        f"{kind} references column {col!r}, which is not "
+                        f"in the declared schema {sorted(declared)} — "
+                        "declare the column or fix the transform source"
+                    )
         fmt = meta["properties"].get("write_format", "parquet")
         if fmt == "avro":
             # loud S5-style rejection, not a silent parquet fallback: row-
@@ -477,6 +489,10 @@ class SnapTable:
                 f"Unsupported write_format {fmt!r} — the template schema "
                 "allows parquet | orc | avro (table-template-reference.md)"
             )
+        # directories land only after every validation passed — a
+        # rejected template must not leave a half-created table root
+        table.log_dir.mkdir(parents=True, exist_ok=True)
+        table.data_dir.mkdir(parents=True, exist_ok=True)
         (table.root / "table.json").write_text(json.dumps(meta, indent=2))
         return table
 
