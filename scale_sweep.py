@@ -517,6 +517,9 @@ REL_WORKLOADS = {
         "event_followup_pairs",        # bucketed range join
         "user_sessions",               # sessionization window
         "latest_event_per_user",       # sort-free latest-per-entity
+        "lineitem_unpivot_measures",   # r11: one-scan Expand unpivot
+        "orders_grouping_sets",        # r11: grouping-sets Expand+agg
+        "event_peak_hour_value",       # r11: RANGE-interval window
     )
 }
 
