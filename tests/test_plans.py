@@ -309,3 +309,12 @@ def test_peak_hour_window_is_one_user_exchange(spark, sf_dir_small):
         ln for ln in p.splitlines() if "hashpartitioning(" in ln
     ]
     assert len(hash_exchanges) == 1, p
+
+
+def test_grouping_sets_is_one_scan_expand_agg(spark, sf_dir_small):
+    """orders_grouping_sets must compute all three grouping sets from ONE
+    orders scan through one Expand + partial/final aggregate — never a
+    scan per set (the UNION-ALL formulation's 3× read amplification)."""
+    p = _plan(spark, queries()["orders_grouping_sets"](spark, sf_dir_small))
+    assert "Expand" in p
+    assert p.count("Location: InMemoryFileIndex") == 1, p
