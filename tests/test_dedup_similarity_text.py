@@ -1515,7 +1515,7 @@ def test_retrieval_plan_shapes(spark, sf_dir):
     jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    bm = queries()["bm25_doc_search"](spark, sf_dir)
+    bm = queries(include_retired=True)["bm25_doc_search"](spark, sf_dir)
     plan = bm._jdf.queryExecution().explainString(jm)
     assert "CartesianProduct" not in plan
     # the top-15 head must be a bounded top-k, never a global sort:

@@ -1,0 +1,92 @@
+"""Mechanical mirror of the gate-rotation contract (VERDICT r11 Next #2).
+
+The r12 gate mislabel survived review because the due set lived only in a
+hand-written comment. These tests recompute it from the CORRECTNESS_r*.json
+history via gate_plan.py and assert the LIVE ``_GATE_PRIORITY`` head against
+it — a wrong plan now fails the suite instead of aging 42 stale queries to
+4 rounds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import gate_plan
+from iceberg_quickstart_iac_spark.plans import queries as queries_fn
+from iceberg_quickstart_iac_spark.plans.queries import (
+    _GATE_PRIORITY,
+    _GATE_ROUND,
+    _GATE_SPILL,
+    _REGISTRY,
+    _RETIRED,
+)
+
+CATALOG = list(queries_fn().keys())
+FIRST_50 = _GATE_PRIORITY[: gate_plan.GATE_SLOTS]
+
+
+def test_gate_names_resolve():
+    """Every gate name is a registered, non-retired catalog query."""
+    unknown = [q for q in _GATE_PRIORITY if q not in _REGISTRY]
+    assert not unknown, f"gate names not in registry: {unknown}"
+    retired_in_gate = [q for q in _GATE_PRIORITY if q in _RETIRED]
+    assert not retired_in_gate, f"retired queries still in gate: {retired_in_gate}"
+    assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), "duplicate gate names"
+
+
+def test_gate_head_is_full():
+    """The driver certifies exactly the first 50 entries — with a catalog
+    larger than the gate, an underfull head wastes certification slots."""
+    assert len(CATALOG) >= gate_plan.GATE_SLOTS
+    assert len(FIRST_50) == gate_plan.GATE_SLOTS
+
+
+def test_gate_head_covers_due_set():
+    """first-50 == {never-certified} ∪ {>=3-rounds-stale} ∪ free touched
+    slots, with any overflow named in _GATE_SPILL (capacity policy items
+    1-2). Computed from CORRECTNESS rounds BEFORE _GATE_ROUND so the
+    assertion stays stable after this round's own file lands."""
+    never, stale, free = gate_plan.due_set(CATALOG, _GATE_ROUND)
+    due = set(never) | set(stale)
+    head = set(FIRST_50)
+    if free >= 0:
+        missing = due - head
+        assert not missing, (
+            f"round-{_GATE_ROUND} gate omits {len(missing)} due queries "
+            f"(never={len(never)}, stale={len(stale)}): {sorted(missing)}"
+        )
+        assert not _GATE_SPILL, (
+            f"_GATE_SPILL names {_GATE_SPILL} but the due set fits "
+            f"({len(due)} <= {gate_plan.GATE_SLOTS}) — spill is only for overflow"
+        )
+    else:
+        spilled = due - head
+        assert spilled == set(_GATE_SPILL), (
+            f"overflow round: spilled {sorted(spilled)} must exactly match "
+            f"_GATE_SPILL {sorted(_GATE_SPILL)}"
+        )
+        assert len(spilled) == -free
+
+
+def test_never_certified_lead_the_gate():
+    """Policy item 1: never-certified queries occupy the head positions."""
+    never, _, _ = gate_plan.due_set(CATALOG, _GATE_ROUND)
+    lead = _GATE_PRIORITY[: len(never)]
+    assert set(lead) == set(never), (
+        f"gate must LEAD with the never-certified set {sorted(never)}, got {lead}"
+    )
+
+
+def test_gate_round_is_current():
+    """_GATE_ROUND must track the CORRECTNESS history. During a build
+    session the newest file is round N-1 (gate = latest+1); in the judge's
+    session this round's own file has landed (gate = latest). A gate left
+    un-replanned for a whole round fails here at that round's judge run."""
+    latest = gate_plan._latest_round()
+    assert _GATE_ROUND in (latest, latest + 1), (
+        f"_GATE_ROUND={_GATE_ROUND} but newest CORRECTNESS round is {latest} "
+        f"— recompute the gate with gate_plan.py and bump _GATE_ROUND"
+    )
