@@ -66,7 +66,8 @@ class Lakehouse:
 
     #: metadata-table view suffixes register() publishes per table
     _MD_SUFFIXES = (
-        "__snapshots", "__files", "__partitions", "__delete_files", "__refs"
+        "__snapshots", "__history", "__files", "__partitions",
+        "__delete_files", "__refs",
     )
 
     def __init__(self, root: str | Path):

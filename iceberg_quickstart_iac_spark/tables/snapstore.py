@@ -1574,6 +1574,11 @@ class SnapTable:
         entry = self._commit(
             lambda entries: {
                 "operation": "rollback",
+                # the target's sequence, so `history` can reconstruct the
+                # current-ancestor chain (snapshots between the target and
+                # this commit left the head lineage — Iceberg's
+                # is_current_ancestor=false rows)
+                "rollback_of": target["sequence"],
                 "data_dirs": list(target["data_dirs"]),
                 "delete_dirs": list(target.get("delete_dirs") or []),
                 "row_count": target["row_count"],
@@ -2157,8 +2162,9 @@ class SnapTable:
           before the scan — ``spark.sql`` output can never name them) and
           applies ``row_policies`` ({policy: SQL predicate}) as pushed
           filters;
-        - ``<name>__snapshots`` / ``__files`` / ``__partitions`` /
-          ``__delete_files`` / ``__refs`` — the metadata tables.
+        - ``<name>__snapshots`` / ``__history`` / ``__files`` /
+          ``__partitions`` / ``__delete_files`` / ``__refs`` — the
+          metadata tables.
           ``metadata_tables=None`` (the default) resolves to True for
           admin/writer and **False for reader** — ``__files`` carries
           actual min/max data values in ``column_bounds`` and
@@ -2233,6 +2239,7 @@ class SnapTable:
                 else None
             )
             self.snapshots(spark).createOrReplaceTempView(f"{base}__snapshots")
+            self.history(spark).createOrReplaceTempView(f"{base}__history")
             self.files(spark, redact_columns=redact).createOrReplaceTempView(
                 f"{base}__files"
             )
@@ -2595,6 +2602,54 @@ class SnapTable:
             ],
             "snapshot_id STRING, parent_id STRING, sequence LONG, committed_at_ms LONG, "
             "operation STRING, row_count LONG, data_dir_count INT",
+        )
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The table-history metadata table (M1), like Iceberg's
+        ``t.history``: one row per commit with ``is_current_ancestor``
+        marking whether the HEAD's state still derives from it.
+
+        Snapstore's log is linear (a rollback is itself a commit), so the
+        divergence Iceberg expresses through parent pointers is encoded in
+        the rollback entries' ``rollback_of`` stamp: walking back from the
+        head, a rollback jumps to its target — everything between the two
+        left the head lineage exactly like Iceberg snapshots orphaned by
+        ``rollback_to_snapshot`` (is_current_ancestor = false). Entries
+        committed before the stamp existed degrade to the linear walk
+        (every commit ancestral — the pre-upgrade behavior, conservative).
+        Metadata-only: reads the commit log, never data files.
+        """
+        entries = self._entries()
+        seq_to_idx = {e["sequence"]: i for i, e in enumerate(entries)}
+        ancestors: set[int] = set()
+        i = len(entries) - 1
+        while i >= 0:
+            e = entries[i]
+            ancestors.add(e["sequence"])
+            target = e.get("rollback_of")
+            if (
+                e.get("operation") == "rollback"
+                and target in seq_to_idx
+                and target < e["sequence"]  # set_current_snapshot can jump
+                # FORWARD; only a backward jump orphans the span between
+            ):
+                i = seq_to_idx[target]
+            else:
+                i -= 1
+        return spark.createDataFrame(
+            [
+                (
+                    e["committed_at_ms"],
+                    e["snapshot_id"],
+                    e["parent_id"],
+                    e["sequence"],
+                    e["operation"],
+                    e["sequence"] in ancestors,
+                )
+                for e in entries
+            ],
+            "made_current_at_ms LONG, snapshot_id STRING, parent_id STRING, "
+            "sequence LONG, operation STRING, is_current_ancestor BOOLEAN",
         )
 
     def files(

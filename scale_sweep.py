@@ -1301,6 +1301,64 @@ CATALOG_WORKLOADS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Skewed-key window suite (--suite window, VERDICT r11 #5): the r11 rel
+# sweep grew USERS 10× at constant per-user density (alpha -0.02 — added
+# users add parallel window partitions). This suite measures the opposite,
+# adversarial axis: ONE user (a bot/spam key) gets factor× the density of
+# the whole base corpus's 50% slice while everyone else stays 1×. The
+# RANGE-frame window is one task per user, so the bot partition serializes
+# — `event_peak_hour_value` should degrade toward alpha ~1 (straggler
+# linear in bot rows) while `event_peak_minute_rollup` (pre-aggregate per
+# (user, minute) BEFORE the window — partial agg absorbs the hot key
+# across input partitions, frame rows bounded by active minutes) should
+# track the scan growth only. The measured gap IS the documented
+# mitigation: grain reduction before a per-key window, not salting (a
+# trailing frame can't be salted without breaking frame continuity).
+# ---------------------------------------------------------------------------
+
+_BOT_USER = 424_242_424_242
+
+
+def build_skew_corpus(factor: int) -> str:
+    import duckdb
+
+    out_dir = os.path.join(SWEEP_ROOT, f"skew_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    con = duckdb.connect()
+    base = f"'{BASE_SF_DIR}/events.parquet'"
+    selects = [f"SELECT * FROM {base}"]
+    for k in range(factor):
+        # the bot's k-th slice: half the base corpus re-keyed to ONE user.
+        # event_ids stay globally unique; ts jitters by k seconds so the
+        # trailing-hour frame DENSITY grows with factor at constant span.
+        selects.append(
+            f"SELECT event_id + {(k + 1) * 100_000_000} AS event_id, "
+            f"ts + INTERVAL {k + 1} SECOND AS ts, "
+            f"CAST({_BOT_USER} AS BIGINT) AS user_id, "
+            f"event_type, value, props "
+            f"FROM {base} WHERE event_id % 2 = 0"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(selects)}) "
+        f"TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+WINDOW_WORKLOADS = {
+    n: _catalog_wl(n)
+    for n in ("event_peak_hour_value", "event_peak_minute_rollup")
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
@@ -1308,7 +1366,7 @@ def main() -> None:
     ap.add_argument(
         "--suite", default="text",
         choices=["text", "rel", "stream", "cdc", "morread", "annserve",
-                 "catalog"],
+                 "catalog", "window"],
     )
     ap.add_argument(
         "--only", default=None,
@@ -1338,6 +1396,8 @@ def main() -> None:
         workloads, builder = ANNSERVE_WORKLOADS, build_corpus
     elif args.suite == "catalog":
         workloads, builder = CATALOG_WORKLOADS, build_catalog_corpus
+    elif args.suite == "window":
+        workloads, builder = WINDOW_WORKLOADS, build_skew_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     if args.only:

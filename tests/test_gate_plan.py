@@ -20,12 +20,16 @@ from iceberg_quickstart_iac_spark.plans.queries import (
     _GATE_PRIORITY,
     _GATE_ROUND,
     _GATE_SPILL,
+    _QUEUED_ADDITIONS,
     _REGISTRY,
     _RETIRED,
 )
 
 CATALOG = list(queries_fn().keys())
 FIRST_50 = _GATE_PRIORITY[: gate_plan.GATE_SLOTS]
+#: mid-round additions are contractually past the gate this round — the
+#: due-set computations below exclude them (they lead the NEXT head)
+ROTATING = [q for q in CATALOG if q not in _QUEUED_ADDITIONS]
 
 
 def test_gate_names_resolve():
@@ -49,7 +53,7 @@ def test_gate_head_covers_due_set():
     slots, with any overflow named in _GATE_SPILL (capacity policy items
     1-2). Computed from CORRECTNESS rounds BEFORE _GATE_ROUND so the
     assertion stays stable after this round's own file lands."""
-    never, stale, free = gate_plan.due_set(CATALOG, _GATE_ROUND)
+    never, stale, free = gate_plan.due_set(ROTATING, _GATE_ROUND)
     due = set(never) | set(stale)
     head = set(FIRST_50)
     if free >= 0:
@@ -73,7 +77,7 @@ def test_gate_head_covers_due_set():
 
 def test_never_certified_lead_the_gate():
     """Policy item 1: never-certified queries occupy the head positions."""
-    never, _, _ = gate_plan.due_set(CATALOG, _GATE_ROUND)
+    never, _, _ = gate_plan.due_set(ROTATING, _GATE_ROUND)
     lead = _GATE_PRIORITY[: len(never)]
     assert set(lead) == set(never), (
         f"gate must LEAD with the never-certified set {sorted(never)}, got {lead}"
@@ -90,3 +94,18 @@ def test_gate_round_is_current():
         f"_GATE_ROUND={_GATE_ROUND} but newest CORRECTNESS round is {latest} "
         f"— recompute the gate with gate_plan.py and bump _GATE_ROUND"
     )
+
+
+def test_queued_additions_are_past_the_gate():
+    """Mid-round additions must be registered, never certified, outside
+    the first 50, and covered by an oracle (the pytest replay is their
+    interim verification)."""
+    hist = gate_plan.newest_green(max_round=_GATE_ROUND)
+    from iceberg_quickstart_iac_spark.plans import oracle_sql
+
+    oracles = oracle_sql(include_retired=True)
+    for q in _QUEUED_ADDITIONS:
+        assert q in _REGISTRY, q
+        assert q not in hist, f"{q} already certified — drop it from the queue"
+        assert q not in FIRST_50, f"{q} is queued past the gate but sits in the head"
+        assert q in oracles, f"{q} has no oracle — rows-only interim coverage"

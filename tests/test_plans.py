@@ -311,6 +311,28 @@ def test_peak_hour_window_is_one_user_exchange(spark, sf_dir_small):
     assert len(hash_exchanges) == 1, p
 
 
+def test_peak_minute_rollup_preagg_before_window(spark, sf_dir_small):
+    """event_peak_minute_rollup (the skew-hardened variant): a PARTIAL
+    HashAggregate must run before the first exchange (map-side combine is
+    what absorbs a hot key's density), the first shuffle must be on the
+    FINE (user_id, minute_idx) key — spreading the hot user across
+    reducers — and exactly one further hash exchange (user_id) feeds the
+    window + per-user MAX. Two hash exchanges total, both over
+    minute-grain rows or finer."""
+    p = _plan(spark, queries()["event_peak_minute_rollup"](spark, sf_dir_small))
+    assert "Window" in p
+    lines = p.splitlines()
+    hash_exchanges = [ln for ln in lines if "hashpartitioning(" in ln]
+    assert len(hash_exchanges) == 2, p
+    # the fine-key exchange carries the minute grouping expression (Spark
+    # materializes the computed key as _groupingexpression#N); the
+    # window's exchange carries only user_id
+    assert any("_groupingexpression" in ln for ln in hash_exchanges), p
+    # map-side combine: the partial decimal sum runs BEFORE the fine-key
+    # exchange — that's what collapses a hot key inside input partitions
+    assert "partial_sum(cast(value" in p, p
+
+
 def test_grouping_sets_is_one_scan_expand_agg(spark, sf_dir_small):
     """orders_grouping_sets must compute all three grouping sets from ONE
     orders scan through one Expand + partial/final aggregate — never a

@@ -140,6 +140,67 @@ def test_snapshot_listing(spark, table, events_df):
     assert snaps[1].row_count == 6
 
 
+def test_history_marks_rollback_orphans(spark, table, events_df):
+    """Iceberg `t.history` semantics: snapshots between a rollback target
+    and the rollback commit left the head lineage — is_current_ancestor
+    False; the target, the rollback itself, and later commits are True."""
+    base = table.overwrite(events_df)          # seq 0: ancestor
+    table.append(events_df)                    # seq 1: orphaned below
+    table.append(events_df)                    # seq 2: orphaned below
+    table.rollback_to(base["snapshot_id"])     # seq 3: ancestor
+    table.append(events_df)                    # seq 4: head
+
+    hist = table.history(spark).orderBy("sequence").collect()
+    assert [h.operation for h in hist] == [
+        "overwrite", "append", "append", "rollback", "append"
+    ]
+    assert [h.is_current_ancestor for h in hist] == [
+        True, False, False, True, True
+    ]
+    # parent chain + made_current ordering preserved
+    assert hist[1].parent_id == hist[0].snapshot_id
+    assert all(
+        a.made_current_at_ms <= b.made_current_at_ms
+        for a, b in zip(hist, hist[1:])
+    )
+
+
+def test_history_without_rollback_is_all_ancestral(spark, table, events_df):
+    table.overwrite(events_df)
+    table.append(events_df)
+    hist = table.history(spark).collect()
+    assert all(h.is_current_ancestor for h in hist)
+
+
+def test_history_chained_rollbacks(spark, table, events_df):
+    """A rollback OF a rollback: the walk must follow both stamps —
+    everything between each target and its rollback is orphaned."""
+    s0 = table.overwrite(events_df)            # seq 0
+    table.append(events_df)                    # seq 1
+    s2 = table.rollback_to(s0["snapshot_id"])  # seq 2
+    table.append(events_df)                    # seq 3
+    table.rollback_to(s2["snapshot_id"])       # seq 4
+
+    hist = table.history(spark).orderBy("sequence").collect()
+    assert [h.is_current_ancestor for h in hist] == [
+        True, False, True, False, True
+    ]
+
+
+def test_history_view_registered(spark, table, events_df):
+    """register() publishes <name>__history with the other metadata
+    views; the SQL front door resolves it token-based like __snapshots."""
+    base = table.overwrite(events_df)
+    table.append(events_df)
+    table.rollback_to(base["snapshot_id"])
+    table.register(spark, name="hview_t", metadata_tables=True)
+    rows = spark.sql(
+        "SELECT sequence, is_current_ancestor FROM hview_t__history "
+        "ORDER BY sequence"
+    ).collect()
+    assert [r.is_current_ancestor for r in rows] == [True, False, True]
+
+
 def test_expire_snapshots_drops_history_and_orphans(spark, table, events_df):
     table.overwrite(events_df)          # snapshot 0 (its data dir becomes orphaned)
     table.overwrite(events_df.limit(2))  # snapshot 1 (current)
