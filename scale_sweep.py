@@ -502,7 +502,14 @@ def _catalog_wl(name: str):
         import importlib
 
         Qm = importlib.import_module("iceberg_quickstart_iac_spark.plans.queries")
-        return Qm.queries()[name](spark, sf_dir).count()
+        df = Qm.queries()[name](spark, sf_dir)
+        # materialize EVERY column via the noop sink: a bare .count() lets
+        # Catalyst prune unreferenced window/aggregate expressions (count
+        # needs only grouping keys), so a sweep would time the scan, not
+        # the operator — discovered round 12 when the skewed-key window
+        # measured FLAT at 128x density while its real cost was minutes
+        df.write.format("noop").mode("overwrite").save()
+        return df.count()
 
     return run
 
@@ -1333,15 +1340,18 @@ def build_skew_corpus(factor: int) -> str:
     base = f"'{BASE_SF_DIR}/events.parquet'"
     selects = [f"SELECT * FROM {base}"]
     for k in range(factor):
-        # the bot's k-th slice: half the base corpus re-keyed to ONE user.
-        # event_ids stay globally unique; ts jitters by k seconds so the
-        # trailing-hour frame DENSITY grows with factor at constant span.
+        # the bot's k-th slice: the WHOLE base corpus re-keyed to ONE
+        # user. event_ids stay globally unique; ts jitters by k seconds so
+        # the trailing-hour frame DENSITY grows with factor at constant
+        # span — both the partition's rows AND its frame occupancy scale
+        # with the factor, the shape that makes an event-grain frame
+        # quadratic on the straggler task.
         selects.append(
             f"SELECT event_id + {(k + 1) * 100_000_000} AS event_id, "
             f"ts + INTERVAL {k + 1} SECOND AS ts, "
             f"CAST({_BOT_USER} AS BIGINT) AS user_id, "
             f"event_type, value, props "
-            f"FROM {base} WHERE event_id % 2 = 0"
+            f"FROM {base}"
         )
     con.execute(
         f"COPY ({' UNION ALL '.join(selects)}) "
@@ -1376,6 +1386,12 @@ def main() -> None:
         "--keep", action="store_true",
         help="keep generated corpora under spark-warehouse/scale_sweep "
              "(default: deleted at exit — a sweep builds gigabytes)",
+    )
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="one untimed pass per (workload, factor) before timing — "
+             "use when per-cell cost is small enough that session/scan "
+             "warmup would otherwise dominate the smallest factor's cell",
     )
     args = ap.parse_args()
     factors = sorted(int(f) for f in args.factors.split(","))
@@ -1419,6 +1435,8 @@ def main() -> None:
     rows: dict[str, dict[int, int]] = {w: {} for w in workloads}
     for factor in factors:
         for name, fn in workloads.items():
+            if args.warmup:
+                fn(spark, dirs[factor], factor)
             best = math.inf
             for _ in range(args.runs):
                 t0 = time.perf_counter()
