@@ -187,6 +187,25 @@ def test_history_chained_rollbacks(spark, table, events_df):
     ]
 
 
+def test_history_expired_target_degrades_to_linear(spark, table, events_df):
+    """When expiry drops a rollback's TARGET entry, the ancestor walk
+    cannot jump — it degrades to the linear (all-ancestral) walk from the
+    rollback down, the documented conservative fallback (never a crash,
+    never a false orphan)."""
+    base = table.overwrite(events_df)          # seq 0 — will be expired
+    time.sleep(0.005)
+    table.append(events_df)                    # seq 1 — truly orphaned
+    table.rollback_to(base["snapshot_id"])     # seq 2 — rollback_of=0
+    table.append(events_df)                    # seq 3 — head
+    dropped = table.expire_snapshots(older_than_ms=base["committed_at_ms"])
+    assert dropped >= 1
+    hist = table.history(spark).orderBy("sequence").collect()
+    seqs = [h.sequence for h in hist]
+    assert 0 not in seqs
+    # target gone -> linear walk marks every survivor ancestral
+    assert all(h.is_current_ancestor for h in hist)
+
+
 def test_history_view_registered(spark, table, events_df):
     """register() publishes <name>__history with the other metadata
     views; the SQL front door resolves it token-based like __snapshots."""
