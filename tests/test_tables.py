@@ -165,6 +165,22 @@ def test_history_marks_rollback_orphans(spark, table, events_df):
     )
 
 
+def test_history_empty_table(spark, tmp_path):
+    """A table with no commits yields an empty history with the full
+    declared schema — never a can't-infer-schema error."""
+    t = SnapTable.create(
+        tmp_path / "empty-hist",
+        {"name": "eh", "namespace": "x",
+         "columns": [{"name": "k", "type": "long"}]},
+    )
+    df = t.history(spark)
+    assert df.count() == 0
+    assert df.columns == [
+        "made_current_at_ms", "snapshot_id", "parent_id",
+        "sequence", "operation", "is_current_ancestor",
+    ]
+
+
 def test_history_without_rollback_is_all_ancestral(spark, table, events_df):
     table.overwrite(events_df)
     table.append(events_df)
