@@ -81,6 +81,29 @@ def due_set(
     return never, stale, free
 
 
+def plan_for(
+    target: int, repo: str = REPO
+) -> tuple[list[str], list[str], int, list[str]]:
+    """(never, stale, free_slots, queued) for the live catalog at
+    ``target``. Mid-round additions (``_QUEUED_ADDITIONS``) are
+    contractually PAST the gate for the round their queue was declared
+    for — excluding them here makes the CLI reproduce the committed head
+    exactly while a queue is in force (ADVICE r12 #1); for any other
+    target round they rotate normally (as never-certified leads)."""
+    import importlib
+
+    queries_mod = importlib.import_module(
+        "iceberg_quickstart_iac_spark.plans.queries"
+    )
+    catalog = list(queries_mod.queries().keys())
+    queued: list[str] = []
+    if target == queries_mod._GATE_ROUND:
+        queued = [q for q in queries_mod._QUEUED_ADDITIONS if q in catalog]
+        catalog = [q for q in catalog if q not in queued]
+    never, stale, free = due_set(catalog, target, repo=repo)
+    return never, stale, free, queued
+
+
 def _latest_round(repo: str = REPO) -> int:
     rounds = [
         int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
@@ -100,13 +123,8 @@ def main() -> None:
         help="target gate round (default: newest CORRECTNESS round + 1)",
     )
     args = parser.parse_args()
-    target = args.round or _latest_round() + 1
-
-    import importlib
-
-    queries_mod = importlib.import_module("iceberg_quickstart_iac_spark.plans.queries")
-    catalog = list(queries_mod.queries().keys())
-    never, stale, free = due_set(catalog, target)
+    target = args.round if args.round is not None else _latest_round() + 1
+    never, stale, free, queued = plan_for(target)
     hist = newest_green(max_round=target)
 
     print(f"# gate plan for round {target} ({GATE_SLOTS} slots)")
@@ -120,6 +138,10 @@ def main() -> None:
         print(f"# {free} free slot(s) for round-touched re-certifications")
     else:
         print(f"# OVERFLOW: name {-free} spill(s) in _GATE_SPILL (policy item 2)")
+    if queued:
+        print(f"# queued past the gate this round ({len(queued)}):")
+        for q in queued:
+            print(f"    {q!r},  # leads the round-{target + 1} head")
 
 
 if __name__ == "__main__":

@@ -111,6 +111,35 @@ def test_queued_additions_are_past_the_gate():
         assert q in oracles, f"{q} has no oracle — rows-only interim coverage"
 
 
+def test_cli_plan_matches_committed_head():
+    """The CLI's plan_for (ADVICE r12 #1) must reproduce the committed
+    head's due set exactly — including while a _QUEUED_ADDITIONS list is
+    in force, when the raw catalog would disagree with the head."""
+    never, stale, free, queued = gate_plan.plan_for(_GATE_ROUND)
+    assert set(queued) == set(_QUEUED_ADDITIONS)
+    due = set(never) | set(stale)
+    assert due <= set(FIRST_50) or free < 0
+    assert not (due & set(_QUEUED_ADDITIONS))
+
+
+def test_cli_plan_excludes_queue_only_for_gate_round(monkeypatch):
+    """A queued addition is exempt ONLY for the round its queue was
+    declared for; at the next round it must rotate as never-certified."""
+    import importlib
+
+    qmod = importlib.import_module("iceberg_quickstart_iac_spark.plans.queries")
+    name = next(iter(qmod._REGISTRY))
+    monkeypatch.setattr(qmod, "_QUEUED_ADDITIONS", [name])
+    hist = gate_plan.newest_green(max_round=_GATE_ROUND)
+    never_now, stale_now, _, queued_now = gate_plan.plan_for(_GATE_ROUND)
+    assert queued_now == [name]
+    assert name not in never_now and name not in stale_now
+    never_next, stale_next, _, queued_next = gate_plan.plan_for(_GATE_ROUND + 1)
+    assert queued_next == []
+    if name not in hist:
+        assert name in never_next
+
+
 # ---------------------------------------------------------------------------
 # Property check of the planner itself: for ANY certification history the
 # due set must obey the policy invariants — these are what make the
