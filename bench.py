@@ -23,6 +23,13 @@ re-baseline 148 queries mid-series. Scaling claims use scale_sweep.py,
 which since round 12 materializes through the noop sink (every column
 computed) precisely because pruning let a skewed-key window sweep measure
 the scan instead of the operator.
+
+Since round 13 (VERDICT r12 Next #6) every run ALSO records a noop-sink
+sweep — ``noop_value`` in the JSON line, per-query in bench_detail.json —
+so the honest every-column-computed total is a standing series beside the
+count series and a regression in pruned-away compute can never hide. The
+noop sweep defaults to one pass (``SPARK_GRAFT_BENCH_NOOP_REPEATS``): it
+is a level gauge, not the primary timing signal.
 """
 
 from __future__ import annotations
@@ -118,6 +125,19 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
+    # the standing noop-materialization series (round 13): same catalog,
+    # every output column computed — the count-vs-noop gap on record each
+    # round instead of once
+    noop_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_NOOP_REPEATS", "1"))
+    noop_samples: dict[str, list[float]] = {name: [] for name in catalog}
+    for _ in range(noop_repeats):
+        for name, fn in catalog.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            noop_samples[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+    noop_timings = {name: round(min(ts), 3) for name, ts in noop_samples.items()}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
@@ -125,6 +145,7 @@ def main() -> None:
         json.dump(
             {
                 "queries": timings,
+                "noop_queries": noop_timings,
                 "dispersion": dispersion,
                 "sf": sf_val,
                 "cpus": int(cpus),
@@ -137,6 +158,7 @@ def main() -> None:
         {
             "metric": "catalog_total_runtime",
             "value": round(sum(timings.values()), 3),
+            "noop_value": round(sum(noop_timings.values()), 3),
             "unit": "sec",
             "n_queries": len(timings),
             "queries": headline,

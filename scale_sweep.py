@@ -428,6 +428,31 @@ def wl_corpus_shuffle(spark, sf_dir: str, factor: int) -> int:
     return out.agg(F.sum("n")).first()[0]
 
 
+def _curation_df(spark, sf_dir: str):
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.plans.queries import curation_stages
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return curation_stages(raw)
+
+
+def wl_curation_pipeline(spark, sf_dir: str, factor: int) -> None:
+    """The composed curation capstone, UNBLOCKED (no doc_id cap) over the
+    factor× corpus — measures the composition itself: the stage-1
+    localCheckpoint materialization feeding 4 downstream consumers
+    (exact-dedup survivors → funnel, quality, canonical keep, rollup),
+    which no per-stage sweep covers (VERDICT r12 Next #3). Noop-sink
+    materialization; row count via count_rows outside the timed region."""
+    _curation_df(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+wl_curation_pipeline.count_rows = (
+    lambda spark, sf_dir, factor: _curation_df(spark, sf_dir).count()
+)
+
+
 WORKLOADS = {
     "near_dup_minhash_pairs": wl_minhash_pairs,
     "near_dup_doc_clusters": wl_doc_clusters,
@@ -441,6 +466,7 @@ WORKLOADS = {
     "boilerplate_adversarial": wl_boilerplate_adversarial,
     "repeated_substrings": wl_repeated_substrings,
     "corpus_shuffle": wl_corpus_shuffle,
+    "curation_pipeline": wl_curation_pipeline,
 }
 
 
@@ -502,7 +528,10 @@ def _catalog_wl(name: str):
         import importlib
 
         Qm = importlib.import_module("iceberg_quickstart_iac_spark.plans.queries")
-        return Qm.queries()[name](spark, sf_dir)
+        # include_retired: retired entries stay sweepable — the r13-retired
+        # event_peak_hour_value is PART of the window suite precisely so its
+        # dense-key hazard stays measured against the rollup successor
+        return Qm.queries(include_retired=True)[name](spark, sf_dir)
 
     def run(spark, sf_dir: str, factor: int) -> None:
         # materialize EVERY column via the noop sink: a bare .count() lets
@@ -1372,7 +1401,20 @@ def build_skew_corpus(factor: int) -> str:
 
 WINDOW_WORKLOADS = {
     n: _catalog_wl(n)
-    for n in ("event_peak_hour_value", "event_peak_minute_rollup")
+    for n in (
+        "event_peak_hour_value",   # RETIRED r13 — kept swept so the
+                                   # hazard-vs-successor gap stays measured
+        "event_peak_minute_rollup",
+        # hot-key axis for the bucketed range join (VERDICT r12 Next #4):
+        # the bot key multiplies PAIRS quadratically (f× density in the
+        # same hour span → f² candidate pairs in the bot's (user, bucket)
+        # cells), so the exact pair count itself is Ω(f²) work on one
+        # shuffle cell — the sweep quantifies the straggler against the
+        # r13 minute-band rollup, whose per-key work is linear in events
+        # + active minutes however hot the key
+        "event_followup_pairs",
+        "event_followup_pairs_rollup",
+    )
 }
 
 

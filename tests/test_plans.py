@@ -302,8 +302,14 @@ def test_peak_hour_window_is_one_user_exchange(spark, sf_dir_small):
     """event_peak_hour_value: one hash exchange on user_id feeds BOTH the
     RANGE window and the per-user MAX (the aggregate reuses the window's
     partitioning — no second shuffle), plus only the final ORDER BY's
-    range exchange."""
-    p = _plan(spark, queries()["event_peak_hour_value"](spark, sf_dir_small))
+    range exchange. Retired from the driver catalog r13 (dense-key alpha
+    1.80 — see _RETIRED) but the plan shape stays pinned here."""
+    p = _plan(
+        spark,
+        queries(include_retired=True)["event_peak_hour_value"](
+            spark, sf_dir_small
+        ),
+    )
     assert "Window" in p
     hash_exchanges = [
         ln for ln in p.splitlines() if "hashpartitioning(" in ln
@@ -340,3 +346,16 @@ def test_grouping_sets_is_one_scan_expand_agg(spark, sf_dir_small):
     p = _plan(spark, queries()["orders_grouping_sets"](spark, sf_dir_small))
     assert "Expand" in p
     assert p.count("Location: InMemoryFileIndex") == 1, p
+
+
+def test_sketch_audit_has_no_unbounded_percentile_buffer(spark, sf_dir_small):
+    """sketch_accuracy_audit (r13 rework): the exact `percentile`
+    aggregate buffered every group value in executor memory — the plan
+    must now contain ONLY the bounded-state percentile_approx sketch,
+    with the median audited via the broadcast rank-bracket re-scan."""
+    import re
+
+    p = _plan(spark, queries()["sketch_accuracy_audit"](spark, sf_dir_small))
+    assert "percentile_approx" in p
+    assert re.search(r"\bpercentile\(", p) is None, "exact percentile is back"
+    assert "BroadcastExchange" in p  # 6-row stats side of the rank re-scan

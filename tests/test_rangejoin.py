@@ -81,3 +81,144 @@ def test_range_join_on_events_matches_theta_join(spark, sf_dir_small):
             F.col("a.event_id").alias("na"), F.col("b.event_id").alias("nb")
         ).collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# followup_pair_rollup (round 13): the minute-band decomposition must equal
+# the naive pair join EXACTLY — counts and µs gap sums — on data that hits
+# every band edge: within-minute ties and strict order (d=0), cross-minute
+# cells (d 1..59), the inclusive 1h boundary with r_b == r_a and the
+# just-over-1h exclusion (d=60), multi-key isolation, dense same-minute
+# bursts (the bot shape the decomposition exists for).
+# ---------------------------------------------------------------------------
+
+
+def _naive_pairs(ev):
+    a = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("kb"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.k == b.kb)
+            & (b.ts_b > a.ts_a)
+            & (F.unix_micros(b.ts_b) <= F.unix_micros(a.ts_a) + 3_600_000_000),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.unix_micros("ts_b") - F.unix_micros("ts_a")
+            ).alias("total_gap_us"),
+        )
+    )
+
+
+def _rollup_rows(ev):
+    from iceberg_quickstart_iac_spark.plans.queries import followup_pair_rollup
+
+    return sorted(
+        (r.type_a, r.type_b, r.n_pairs, r.total_gap_us)
+        for r in followup_pair_rollup(ev, "user_id", "event_type", "ts").collect()
+    )
+
+
+def _check(spark, rows):
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    naive = sorted(
+        (r.type_a, r.type_b, r.n_pairs, r.total_gap_us)
+        for r in _naive_pairs(ev).collect()
+    )
+    assert _rollup_rows(ev) == naive
+
+
+def test_followup_rollup_band_edges(spark):
+    us = lambda base, micros: datetime.fromtimestamp(base + micros / 1e6)
+    import calendar
+
+    base = calendar.timegm((2024, 1, 1, 0, 0, 0))
+    rows = [
+        # d=0: same-minute strict order incl. an exact tie (no pair)
+        (1, "a", us(base, 1_000_000)),
+        (1, "b", us(base, 1_000_000)),      # tie with the row above
+        (1, "b", us(base, 2_500_000)),
+        # d=60 boundary: gap exactly 1h (r_b == r_a, inclusive) and
+        # gap 1h + 1µs (excluded)
+        (1, "c", us(base + 3600, 1_000_000)),
+        (1, "c", us(base + 3600, 1_000_001)),
+        # d in [1,59]: cross-minute cells
+        (1, "a", us(base + 90, 0)),
+        (1, "b", us(base + 1800, 123_456)),
+        # second key: must not pair with key 1
+        (2, "a", us(base, 500_000)),
+        (2, "b", us(base + 30, 500_000)),
+    ]
+    _check(spark, rows)
+
+
+def test_followup_rollup_matches_naive_on_random_bursts(spark):
+    # seeded random corpus biased toward the adversarial shape: a hot key
+    # with dense same-minute bursts, sparse keys, multi-hour spread
+    import random
+
+    rng = random.Random(20240113)
+    rows = []
+    for _ in range(260):
+        k = rng.choice([7, 7, 7, 8, 9])      # key 7 is the bot
+        typ = rng.choice(["a", "b", "c"])
+        if k == 7 and rng.random() < 0.6:
+            sec = rng.choice([30, 31, 3599, 3600, 3661])
+            micros = rng.randrange(0, 2_000_000)
+        else:
+            sec = rng.randrange(0, 7200)
+            micros = rng.randrange(0, 60_000_000)
+        rows.append(
+            (k, typ, datetime(2024, 1, 1) + __import__("datetime").timedelta(
+                seconds=sec, microseconds=micros))
+        )
+    _check(spark, rows)
+
+
+def test_followup_rollup_matches_range_join_query(spark, sf_dir_small):
+    from iceberg_quickstart_iac_spark.plans.queries import queries
+
+    q = queries(include_retired=True)
+    got = sorted(
+        tuple(r) for r in q["event_followup_pairs_rollup"](spark, sf_dir_small).collect()
+    )
+    want = sorted(
+        tuple(r) for r in q["event_followup_pairs"](spark, sf_dir_small).collect()
+    )
+    assert got == want
+
+
+def test_followup_rollup_plan_never_joins_at_event_grain(spark, sf_dir_small):
+    """The decomposition's only join runs over minute-cell aggregates
+    (collect_list-packed), so both join children must sit above a
+    HashAggregate — no events×events join survives in the plan — and the
+    prefix bands are growing-frame windows (never a sliding lower bound,
+    the alpha-1.80 shape the rollup replaces)."""
+    from iceberg_quickstart_iac_spark.plans.queries import queries
+
+    df = queries(include_retired=True)["event_followup_pairs_rollup"](
+        spark, sf_dir_small
+    )
+    import re
+
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in p
+    assert "unboundedpreceding" in p.lower()
+    # exactly ONE join total — the mid-band join of collect_list-packed
+    # minute cells; a second join would be an event-grain pair join
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    assert len(joins) == 1, joins
+    assert "HashAggregate" in p
