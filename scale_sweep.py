@@ -97,8 +97,14 @@ def build_corpus(factor: int) -> str:
                 mode = "base"
                 text = d["text"][i]
             else:
-                # 5% exact copies, 5% near-dups, 90% distinct filler —
-                # dup DENSITY constant across factors => pair volume linear
+                # 5% exact copies, 5% near-dups, 90% distinct filler.
+                # Dup DENSITY is constant across factors, but every
+                # replica mutates off the SAME base doc, so near-dup
+                # CLUSTERS grow to size ~factor and pair volume grows
+                # ~factor^2 (measured r13: screened pairs 343 -> 185k at
+                # 10x). Funnel alphas over this corpus are therefore
+                # upper bounds on the fixed-cluster-size (realistic)
+                # shape — see SCALE_SWEEP_r13 curation_composed notes.
                 slot = base_id % 20
                 mode = "exact" if slot == 0 else "near" if slot == 1 else "distinct"
                 toks = d["text"][i].split(" ")
