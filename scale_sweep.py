@@ -564,6 +564,7 @@ REL_WORKLOADS = {
         "q9_product_profit",           # multi-join star
         "asof_last_click_before_purchase",  # as-of join
         "event_followup_pairs",        # bucketed range join
+        "event_followup_pairs_rollup",  # r13 hour-block decomposition
         "user_sessions",               # sessionization window
         "latest_event_per_user",       # sort-free latest-per-entity
         "lineitem_unpivot_measures",   # r11: one-scan Expand unpivot
@@ -1416,7 +1417,7 @@ WINDOW_WORKLOADS = {
         # same hour span → f² candidate pairs in the bot's (user, bucket)
         # cells), so the exact pair count itself is Ω(f²) work on one
         # shuffle cell — the sweep quantifies the straggler against the
-        # r13 minute-band rollup, whose per-key work is linear in events
+        # r13 hour-block rollup, whose per-key work is linear in events
         # + active minutes however hot the key
         "event_followup_pairs",
         "event_followup_pairs_rollup",

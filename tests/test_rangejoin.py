@@ -201,12 +201,11 @@ def test_followup_rollup_matches_range_join_query(spark, sf_dir_small):
     assert got == want
 
 
-def test_followup_rollup_plan_never_joins_at_event_grain(spark, sf_dir_small):
-    """The decomposition's only join runs over minute-cell aggregates
-    (collect_list-packed), so both join children must sit above a
-    HashAggregate — no events×events join survives in the plan — and the
-    prefix bands are growing-frame windows (never a sliding lower bound,
-    the alpha-1.80 shape the rollup replaces)."""
+def test_followup_rollup_plan_has_zero_joins(spark, sf_dir_small):
+    """The hour-block decomposition is join-free: two growing-frame
+    window passes (never a sliding lower bound, the alpha-1.80 shape)
+    plus the final pair-type aggregate. ANY join node would mean the
+    pair enumeration leaked back in."""
     from iceberg_quickstart_iac_spark.plans.queries import queries
 
     df = queries(include_retired=True)["event_followup_pairs_rollup"](
@@ -215,10 +214,55 @@ def test_followup_rollup_plan_never_joins_at_event_grain(spark, sf_dir_small):
     import re
 
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "collect_list" in p
     assert "unboundedpreceding" in p.lower()
-    # exactly ONE join total — the mid-band join of collect_list-packed
-    # minute cells; a second join would be an event-grain pair join
-    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
-    assert len(joins) == 1, joins
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|CartesianProduct",
+        p,
+    )
+    assert joins == [], joins
+    assert p.count("Window") >= 2  # the two prefix bands
     assert "HashAggregate" in p
+
+
+# ---------------------------------------------------------------------------
+# Property check: for ANY event placement the decomposition equals the
+# naive join. The strategy concentrates mass on the band boundaries
+# (minutes 0/1/59/60/61 and intra-minute offsets 0/1µs/59.999999s) where
+# an off-by-one in the d=0 strict order or the d=60 inclusive bound
+# would hide from uniform sampling.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EDGE_MINUTES = [0, 1, 59, 60, 61, 120]
+_EDGE_MICROS = [0, 1, 30_000_000, 59_999_999]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),
+            st.sampled_from(["a", "b"]),
+            st.one_of(
+                st.sampled_from(_EDGE_MINUTES),
+                st.integers(min_value=0, max_value=125),
+            ),
+            st.one_of(
+                st.sampled_from(_EDGE_MICROS),
+                st.integers(min_value=0, max_value=59_999_999),
+            ),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_followup_rollup_property_vs_naive(spark, events):
+    from datetime import timedelta
+
+    rows = [
+        (k, t, datetime(2024, 3, 1) + timedelta(minutes=m, microseconds=us))
+        for (k, t, m, us) in events
+    ]
+    _check(spark, rows)
