@@ -84,7 +84,7 @@ def test_range_join_on_events_matches_theta_join(spark, sf_dir_small):
 
 
 # ---------------------------------------------------------------------------
-# followup_pair_rollup (round 13): the minute-band decomposition must equal
+# followup_pair_rollup (round 13): the hour-block decomposition must equal
 # the naive pair join EXACTLY — counts and µs gap sums — on data that hits
 # every band edge: within-minute ties and strict order (d=0), cross-minute
 # cells (d 1..59), the inclusive 1h boundary with r_b == r_a and the
