@@ -46,6 +46,18 @@ def range_join(
     ``keys``. Empty/negative intervals (hi < lo) match nothing. Pick
     ``bucket_s`` >= the typical interval length: the interval side
     replicates once per overlapped bucket.
+
+    DENSITY-BOUND CONTRACT (r13 sweep, SCALE_SWEEP_r13 pair_hotkey):
+    output (and candidate) pairs per (keys…, bucket) cell are
+    Ω(points_in_cell × intervals_in_cell) and the whole cell lands on ONE
+    shuffle task — a single dense key measured α 1.22 (2.15 s → 63.5 s,
+    29.5× time for 8.5× data, at 16× bot-key density). Salting cannot
+    help: the blowup is the pair VOLUME itself, not partition imbalance.
+    Use this operator only where per-(key, bucket) densities are bounded
+    (human-scale activity); for pair-AGGREGATE semantics over possibly
+    dense keys, use a join-free decomposition instead — see
+    ``plans.queries.followup_pair_rollup`` (exact same-key pair counts +
+    gap sums, flat on the same axis, α −0.02).
     """
     w_us = int(bucket_s) * 1_000_000
     pts = points.withColumn(_BUCKET, F.floor(F.unix_micros(F.col(point_ts)) / w_us))

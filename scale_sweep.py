@@ -74,11 +74,26 @@ def _mutate_tokens(rng, toks: list[str], mode: str, replica: int) -> list[str]:
 
 def build_corpus(factor: int) -> str:
     """Write documents.parquet + embeddings.parquet at `factor` x sf0.1."""
+    return _build_doc_corpus(factor, fixed=False)
+
+
+def build_fixed_corpus(factor: int) -> str:
+    """Fixed-cluster-distribution variant (VERDICT r13 Next #3): same dup
+    DENSITY (5% exact / 5% near / 90% distinct), but every dup pair
+    closes WITHIN its replica against a replica-salted partner, so
+    near-dup cluster sizes stay CONSTANT (2) as the factor grows. The
+    original corpus mutates every replica off the SAME base doc —
+    clusters grow to size ~factor and pair volume ~factor², so funnel
+    alphas over it measure the corpus, not the engine."""
+    return _build_doc_corpus(factor, fixed=True)
+
+
+def _build_doc_corpus(factor: int, fixed: bool) -> str:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = os.path.join(SWEEP_ROOT, f"x{factor}")
+    out_dir = os.path.join(SWEEP_ROOT, f"x{'fix' if fixed else ''}{factor}")
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
@@ -89,6 +104,14 @@ def build_corpus(factor: int) -> str:
     d = docs.to_pydict()
     n = len(d["doc_id"])
     rng = np.random.default_rng(1234 + factor)
+
+    def _distinct_text(i: int, k_rep: int) -> str:
+        # deterministic (no rng draw), so a dup doc can reproduce its
+        # partner's filler text exactly
+        return " ".join(
+            _mutate_tokens(rng, d["text"][i].split(" "), "distinct", k_rep)
+        )
+
     out = {k: [] for k in d}
     for k_rep in range(factor):
         for i in range(n):
@@ -98,17 +121,38 @@ def build_corpus(factor: int) -> str:
                 text = d["text"][i]
             else:
                 # 5% exact copies, 5% near-dups, 90% distinct filler.
-                # Dup DENSITY is constant across factors, but every
-                # replica mutates off the SAME base doc, so near-dup
-                # CLUSTERS grow to size ~factor and pair volume grows
-                # ~factor^2 (measured r13: screened pairs 343 -> 185k at
-                # 10x). Funnel alphas over this corpus are therefore
-                # upper bounds on the fixed-cluster-size (realistic)
-                # shape — see SCALE_SWEEP_r13 curation_composed notes.
                 slot = base_id % 20
                 mode = "exact" if slot == 0 else "near" if slot == 1 else "distinct"
-                toks = d["text"][i].split(" ")
-                text = " ".join(_mutate_tokens(rng, toks, mode, k_rep))
+                if not fixed:
+                    # Dup DENSITY is constant across factors, but every
+                    # replica mutates off the SAME base doc, so near-dup
+                    # CLUSTERS grow to size ~factor and pair volume grows
+                    # ~factor^2 (measured r13: screened pairs 343 -> 185k at
+                    # 10x). Funnel alphas over this corpus are therefore
+                    # upper bounds on the fixed-cluster-size (realistic)
+                    # shape — see SCALE_SWEEP_r13 curation_composed notes.
+                    toks = d["text"][i].split(" ")
+                    text = " ".join(_mutate_tokens(rng, toks, mode, k_rep))
+                else:
+                    # FIXED clusters: the dup partner is a replica-LOCAL
+                    # distinct-filler doc (slot >= 2 — its corpus text IS
+                    # its salted filler), so each pair has zero overlap
+                    # with any other replica and cluster size stays 2.
+                    pi = i + 2 if mode == "exact" else i + 4
+                    ok = (
+                        mode != "distinct"
+                        and pi < n
+                        and d["doc_id"][pi] % 20 >= 2
+                    )
+                    if not ok:
+                        text = _distinct_text(i, k_rep)
+                    elif mode == "exact":
+                        text = _distinct_text(pi, k_rep)
+                    else:  # near: flip ONE token of the partner's text
+                        ptoks = _distinct_text(pi, k_rep).split(" ")
+                        j = int(rng.integers(0, len(ptoks)))
+                        ptoks[j] = f"mut{k_rep}x{j}"
+                        text = " ".join(ptoks)
             out["doc_id"].append(base_id + k_rep * OFFSET)
             out["text"].append(text)
             out["lang"].append(d["lang"][i])
@@ -472,6 +516,18 @@ WORKLOADS = {
     "boilerplate_adversarial": wl_boilerplate_adversarial,
     "repeated_substrings": wl_repeated_substrings,
     "corpus_shuffle": wl_corpus_shuffle,
+    "curation_pipeline": wl_curation_pipeline,
+}
+
+
+#: the corpus-shape-sensitive funnels, re-swept on the FIXED-cluster
+#: corpus (--suite funnelfix; VERDICT r13 Next #3): with cluster sizes
+#: constant in the factor, pair volume is linear by construction, so
+#: these alphas measure the ENGINE — superlinearity here would be a real
+#: plan defect, not a corpus artifact.
+FUNNELFIX_WORKLOADS = {
+    "near_dup_minhash_pairs": wl_minhash_pairs,
+    "near_dup_doc_clusters": wl_doc_clusters,
     "curation_pipeline": wl_curation_pipeline,
 }
 
@@ -1432,7 +1488,7 @@ def main() -> None:
     ap.add_argument(
         "--suite", default="text",
         choices=["text", "rel", "stream", "cdc", "morread", "annserve",
-                 "catalog", "window"],
+                 "catalog", "window", "funnelfix"],
     )
     ap.add_argument(
         "--only", default=None,
@@ -1470,6 +1526,8 @@ def main() -> None:
         workloads, builder = CATALOG_WORKLOADS, build_catalog_corpus
     elif args.suite == "window":
         workloads, builder = WINDOW_WORKLOADS, build_skew_corpus
+    elif args.suite == "funnelfix":
+        workloads, builder = FUNNELFIX_WORKLOADS, build_fixed_corpus
     else:
         workloads, builder = WORKLOADS, build_corpus
     if args.only:
@@ -1496,6 +1554,18 @@ def main() -> None:
             # exactly ONE materialization of the full-value plan
             counter = getattr(fn, "count_rows", None)
             n = counter(spark, dirs[factor], factor) if counter else None
+            if counter:
+                # drop anything the pre-pass cached/checkpointed (e.g.
+                # curation_pipeline's localCheckpoint blocks) so the timed
+                # region starts from the same cold JVM state at every
+                # (workload, factor) cell — ADVICE r13 #4's cross-cell
+                # bias. clearCache drops cache-manager entries; the gc
+                # pass releases the pre-pass's Python refs so Spark's
+                # ContextCleaner can reclaim its localCheckpoint blocks.
+                import gc
+
+                gc.collect()
+                spark.catalog.clearCache()
             if args.warmup:
                 fn(spark, dirs[factor], factor)
             best = math.inf
