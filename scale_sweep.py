@@ -81,10 +81,20 @@ def build_fixed_corpus(factor: int) -> str:
     """Fixed-cluster-distribution variant (VERDICT r13 Next #3): same dup
     DENSITY (5% exact / 5% near / 90% distinct), but every dup pair
     closes WITHIN its replica against a replica-salted partner, so
-    near-dup cluster sizes stay CONSTANT (2) as the factor grows. The
-    original corpus mutates every replica off the SAME base doc —
-    clusters grow to size ~factor and pair volume ~factor², so funnel
-    alphas over it measure the corpus, not the engine."""
+    near-dup cluster sizes stay CONSTANT (~2) as the factor grows and
+    pair volume is LINEAR in the factor by construction. The original
+    corpus mutates every replica off the SAME base doc — clusters grow
+    to size ~factor and pair volume ~factor², so funnel alphas over it
+    measure the corpus, not the engine.
+
+    Replica 0 gets the same salted construction as every other replica
+    (unlike the original corpus, which keeps the raw base docs): the
+    first funnelfix run kept the raw base at k=0 and its NATURAL dup
+    density (256 verified pairs) sat far below the synthetic 5%+5%
+    injection (~700/replica), so the 1× cell was unrepresentatively
+    cheap and the 1×→10× ratio read superlinear (pairs 256→7015) — a
+    corpus artifact in the opposite direction. With every replica
+    identically constructed, per-doc pair density is factor-invariant."""
     return _build_doc_corpus(factor, fixed=True)
 
 
@@ -106,17 +116,25 @@ def _build_doc_corpus(factor: int, fixed: bool) -> str:
     rng = np.random.default_rng(1234 + factor)
 
     def _distinct_text(i: int, k_rep: int) -> str:
-        # deterministic (no rng draw), so a dup doc can reproduce its
-        # partner's filler text exactly
+        # Deterministic (no rng draw), so a dup doc can reproduce its
+        # partner's filler text exactly. The salt is a per-(replica, doc,
+        # position) HASH rendered as 8 hex chars: unlike the original
+        # corpus's structured r{k}s{j} prefix — which is byte-identical
+        # across ALL docs at the same position, so character-shingle
+        # windows overlapping token starts collide corpus-wide and
+        # inflate MinHash band candidates between unrelated docs — hashed
+        # salts share no prefixes, so the ONLY shingle overlap in the
+        # fixed corpus is the constructed dup pairs.
         return " ".join(
-            _mutate_tokens(rng, d["text"][i].split(" "), "distinct", k_rep)
+            f"{((k_rep * 1000003 + i * 7919 + j * 31) * 2654435761) % 4294967296:08x}{t}"
+            for j, t in enumerate(d["text"][i].split(" "))
         )
 
     out = {k: [] for k in d}
     for k_rep in range(factor):
         for i in range(n):
             base_id = d["doc_id"][i]
-            if k_rep == 0:
+            if k_rep == 0 and not fixed:
                 mode = "base"
                 text = d["text"][i]
             else:
