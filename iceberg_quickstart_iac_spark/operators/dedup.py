@@ -855,6 +855,11 @@ def near_dup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # cache hash-partitioned on the join key: every propagation round
+        # probes edges on dst, and InMemoryRelation preserves the cached
+        # plan's outputPartitioning — one exchange paid once instead of one
+        # per round (r14, guide §2.4 "share one exchange")
+        .repartition(F.col("dst"))
         .cache()
     )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")).cache()
@@ -866,6 +871,10 @@ def near_dup_clusters(
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
+            # carry the per-row "label lowered" flag instead of re-joining
+            # new labels against old ones: src is unique per labels row, so
+            # the row-local comparison IS the convergence check — one fewer
+            # shuffle join per round (r14, guide §2.4)
             new_labels = (
                 labels.join(neighbor_min, "src", "left")
                 .select(
@@ -873,16 +882,14 @@ def near_dup_clusters(
                     F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                         "cluster_id"
                     ),
+                    (
+                        F.col("nbr_min").isNotNull()
+                        & (F.col("nbr_min") < F.col("cluster_id"))
+                    ).alias("__lowered"),
                 )
                 .cache()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "src")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.filter("__lowered").limit(1).count()
             if labels is not cached[0]:
                 labels.unpersist()
             labels = new_labels

@@ -349,13 +349,29 @@ def test_grouping_sets_is_one_scan_expand_agg(spark, sf_dir_small):
 
 
 def test_sketch_audit_has_no_unbounded_percentile_buffer(spark, sf_dir_small):
-    """sketch_accuracy_audit (r13 rework): the exact `percentile`
-    aggregate buffered every group value in executor memory — the plan
-    must now contain ONLY the bounded-state percentile_approx sketch,
-    with the median audited via the broadcast rank-bracket re-scan."""
+    """sketch_accuracy_audit (r13 rework + r14 checkpoint): the exact
+    `percentile` aggregate buffered every group value in executor memory —
+    the aggregate lineage must contain ONLY the bounded-state
+    percentile_approx sketch. Since r14 that lineage is checkpointed
+    (ADVICE r13 #3: one sketch value feeds both the rank re-scan and the
+    output row), which truncates the FINAL plan — so the sketch is pinned
+    on the shared agg helper the query materializes, and the final plan is
+    pinned on the checkpoint scan + broadcast rank re-scan shape."""
     import re
 
+    from iceberg_quickstart_iac_spark.datasets import load_table
+    from iceberg_quickstart_iac_spark.plans.queries import _sketch_audit_agg
+
+    events = load_table(spark, sf_dir_small, "events").select(
+        "event_type", "user_id", "value"
+    )
+    agg_plan = _plan(spark, _sketch_audit_agg(events))
+    assert "percentile_approx" in agg_plan
+    assert re.search(r"\bpercentile\(", agg_plan) is None, "exact percentile is back"
+
     p = _plan(spark, queries()["sketch_accuracy_audit"](spark, sf_dir_small))
-    assert "percentile_approx" in p
     assert re.search(r"\bpercentile\(", p) is None, "exact percentile is back"
     assert "BroadcastExchange" in p  # 6-row stats side of the rank re-scan
+    # the checkpointed 6-row agg feeds the final join as a lineage-free
+    # scan — the guarantee that the audited sketch value IS the emitted one
+    assert "ExistingRDD" in p, p
