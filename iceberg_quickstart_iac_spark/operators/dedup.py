@@ -1104,7 +1104,12 @@ def repeated_window_spans(
     per-document window function (single shuffle on id), integer-exact
     gaps-and-islands — no collect, no UDF.
     """
-    arrs = df.select(
+    # spread before the per-token window build (transform+slice+concat_ws
+    # per window is the expensive per-row work here, and `wins` is consumed
+    # twice): a one-file corpus otherwise serializes BOTH passes onto a
+    # single core (r14, guide §2.5 input skew — measured 6.4 s → 3.4 s
+    # count / 6.9 s → 4.9 s noop isolated at sf0.1)
+    arrs = _spread(df, id_col).select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= w)
     wins = arrs.select(

@@ -70,7 +70,14 @@ def bm25_scores(
     if not terms:
         raise ValueError("bm25_scores: empty query term list")
     terms = list(terms)
-    toks = docs.select(
+    from iceberg_quickstart_iac_spark.operators.dedup import _spread
+
+    # spread BEFORE the explode (r14, guide §2.3/§2.5): a one-file corpus
+    # otherwise tokenizes on a single core, and the id-keyed repartition
+    # moves |docs| rows where the post-explode groupBy would move |tokens|
+    # rows — the per-doc aggregation then reuses the id partitioning with
+    # no further exchange
+    toks = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     # ONE pass over the exploded tokens: dl and every per-term tf come
@@ -192,7 +199,13 @@ def bm25_batch_scores(
     the matched (doc, term) pairs — |terms|-bounded output, broadcast
     back. Same bit-exact arithmetic as :data:`BM25_TERM_EXPR`.
     """
-    toks = docs.select(
+    from iceberg_quickstart_iac_spark.operators.dedup import _spread
+
+    # spread before the explode — same shape as :func:`bm25_scores` (r14):
+    # `toks` is consumed twice (dl + tf), so a single-split scan would run
+    # the tokenize serially TWICE; spread parallelizes both passes and the
+    # per-doc dl aggregation reuses the id partitioning exchange-free
+    toks = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))

@@ -2572,7 +2572,17 @@ class SnapTable:
                     continue
                 if len(kept) < len(files):
                     scan = kept
-            df = spark.read.option("mergeSchema", "true").format(fmt).load(scan)
+            # mergeSchema only where merging can differ from one footer:
+            # within a non-legacy epoch group every file was written under
+            # the SAME declared types (the write path casts before writing
+            # — see _write_data), so schema inference from one footer is
+            # exact and skips the all-footers merge job Spark otherwise
+            # runs per read — a fixed driver cost on EVERY table read
+            # (r14, guide §1.2 per-task work; lifecycles pay it 5-10x per
+            # query). Legacy dirs (schema enforcement disabled) keep the
+            # merge: their files carry no epoch guarantee.
+            merge = "true" if epoch is None else "false"
+            df = spark.read.option("mergeSchema", merge).format(fmt).load(scan)
             if gfilters and any(col not in df.columns for col, _, _ in gfilters):
                 continue
             df = self._apply_row_filters(df, gfilters)
@@ -3329,7 +3339,10 @@ class SnapTable:
                 len(_list_data_files(Path(l))) for l in leaves
             )
             df = (
-                spark.read.option("mergeSchema", "true")
+                # one source dir = one write epoch: every leaf file shares
+                # the same written schema, one-footer inference is exact
+                # (same rationale as _read_dirs, r14)
+                spark.read.option("mergeSchema", "false" if epoch is not None else "true")
                 .format(fmt)
                 .load([str(l) for l in leaves])
             )
