@@ -271,10 +271,12 @@ def _near_dup_matches(
         .select("new_id", F.col("partner").alias("dup_of"), "est_jaccard")
         .withColumn("source", F.lit("store"))
     )
-    # in-batch near-dups: the later (greater-id) doc defers to the earlier
+    # in-batch near-dups: the later (greater-id) doc defers to the earlier.
+    # new_sigs is checkpointed by every caller of this helper — skip the
+    # redundant second materialization inside the pair builder.
     batch_pairs = lsh_candidate_pairs(
         new_sigs, id_col, bands=bands, num_perm=num_perm,
-        max_bucket_df=max_bucket_df,
+        max_bucket_df=max_bucket_df, _materialized=True,
     )
     scored_batch = (
         signature_similarity(batch_pairs, new_sigs, id_col, num_perm=num_perm)
@@ -576,6 +578,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     num_perm: int = 64,
     max_bucket_df: int = 1000,
+    _materialized: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on at least one LSH band.
 
@@ -594,8 +597,11 @@ def lsh_candidate_pairs(
     # members), and without the checkpoint each scan re-runs the FULL
     # shingle-explode + num_perm-hash signature DAG. Signatures are 1 row x
     # num_perm longs per doc (shuffle-scale data); re-deriving the banding
-    # from them per scan is a cheap element_at hash.
-    signatures = signatures.localCheckpoint()
+    # from them per scan is a cheap element_at hash. ``_materialized=True``
+    # (the admission path, whose caller already checkpointed) skips the
+    # redundant re-materialization job (r14).
+    if not _materialized:
+        signatures = signatures.localCheckpoint()
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(_band_bucket_array(r, bands)).alias("band", "bucket"),
