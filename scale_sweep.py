@@ -1598,9 +1598,13 @@ def main() -> None:
             print(f"  x{factor} {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     lo, hi = factors[0], factors[-1]
+    # single-factor runs (e.g. tools/core_scaling.py timing one cell per
+    # core count) have no slope to fit — alpha is undefined, not an error
     exponents = {
-        w: round(
-            math.log(times[w][hi] / times[w][lo]) / math.log(hi / lo), 3
+        w: (
+            round(math.log(times[w][hi] / times[w][lo]) / math.log(hi / lo), 3)
+            if hi != lo
+            else None
         )
         for w in workloads
     }
